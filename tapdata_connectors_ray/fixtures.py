@@ -1,0 +1,318 @@
+"""Deterministic synthetic fixtures: transcripts base table + change-event log.
+
+Models the reference's synthetic source connector (rate-controlled
+insert/update/delete generator, reference: ``connectors/dummy-connector/.../
+DummyConnector.java:146-234``) and the CDC fixture requirements of
+FIXTURES.md §2:
+
+- seeded RNG (seed=42 convention) -> byte-stable across runs;
+- insert -> update -> delete lifecycles per key with a configurable op mix;
+- **duplicate-LSN replays**: a fraction of events re-emitted verbatim
+  (exercises idempotent dedup / exactly-once);
+- **bounded disorder**: file row order is permuted within a window relative
+  to LSN order (exercises order-insensitive LWW-by-LSN apply);
+- **hot-key skew**: Zipfian conv_id popularity (exercises the salted-shuffle
+  path demanded by the north rule);
+- **schema evolution**: DDL rows interleaved at fixed LSN fractions
+  (ADD tool_meta @ v2, RENAME tool->tool_name @ v3, WIDEN turn_score
+  int32->int64 @ v4), mirroring the MySQL DDL wrapper cases (reference:
+  ``connectors-common/mysql-core/.../ddl/ccj/*``, survey §2.3).
+
+Everything is vectorized numpy/pandas; generation is cached on disk keyed by
+a parameter fingerprint so repeated test/bench runs are free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tapdata_connectors_ray.schema import EVENT_LOG_SCHEMA, TRANSCRIPTS_SCHEMA
+
+FIXTURE_VERSION = 4  # bump to invalidate cached fixtures
+
+_EPOCH_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in microseconds
+
+
+@dataclass(frozen=True)
+class FixtureSpec:
+    n_convs: int = 400
+    mean_turns: int = 8
+    n_events: int = 12_000
+    seed: int = 42
+    dup_frac: float = 0.05       # fraction of events re-emitted verbatim
+    disorder_window: int = 512   # file-order permutation window vs LSN order
+    zipf_s: float = 1.1          # conv popularity skew exponent
+    with_ddl: bool = True
+    op_mix: tuple[float, float, float] = (0.35, 0.5, 0.15)  # I / U / D
+
+    def fingerprint(self) -> str:
+        payload = json.dumps(
+            {"v": FIXTURE_VERSION, **asdict(self)}, sort_keys=True, default=list
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+SCALE_PRESETS: dict[str, FixtureSpec] = {
+    # t1 smoke — fast pytest path
+    "sf0.001": FixtureSpec(n_convs=400, mean_turns=8, n_events=12_000),
+    # t2 correctness — driver oracle comparison scale
+    "sf0.01": FixtureSpec(n_convs=3_000, mean_turns=10, n_events=120_000),
+    # bench
+    "sf0.1": FixtureSpec(n_convs=20_000, mean_turns=12, n_events=1_200_000),
+    "sf1": FixtureSpec(n_convs=120_000, mean_turns=12, n_events=12_000_000),
+}
+
+DEFAULT_FIXTURE_ROOT = "/tmp/tcr_fixtures"
+
+# DDL schedule: (lsn_fraction, new_version, payload) — FIXTURES.md §3
+DDL_SCHEDULE = (
+    (0.25, 2, {"kind": "add_field", "name": "tool_meta", "type": "string"}),
+    (0.50, 3, {"kind": "rename_field", "from": "tool", "to": "tool_name"}),
+    (0.75, 4, {"kind": "widen_field", "name": "turn_score",
+               "from_type": "int32", "to_type": "int64"}),
+)
+
+_ROLES = np.array(["user", "assistant", "system", "tool"])
+_TOOL_POOL = np.array(["search", "python", "browser", "calculator", "retrieval"])
+
+
+def _conv_ids(n: int) -> np.ndarray:
+    return np.char.add("conv-", np.char.zfill(np.arange(n).astype(str), 8))
+
+
+def _texts(conv_idx: np.ndarray, turn_idx: np.ndarray, version: np.ndarray) -> np.ndarray:
+    """Deterministic per-(key, version) text; the per-row equality oracle column."""
+    body = np.char.add(
+        np.char.add(np.char.add("c", conv_idx.astype(str)), "-t"),
+        turn_idx.astype(str),
+    )
+    tail = np.char.add("-v", version.astype(str))
+    base = np.char.add(body, tail)
+    # pad to a realistic turn length without per-row Python
+    filler = np.char.add(" ", np.char.multiply("lorem ipsum dolor sit amet ", 3))
+    return np.char.add(base, filler)
+
+
+def generate_base(spec: FixtureSpec, rng: np.random.Generator) -> pa.Table:
+    """The initial lake snapshot (schema v1) — the ``batchRead`` phase output
+    (reference: ``CommonDbConnector.java:579-606``)."""
+    n_turns = 1 + rng.poisson(spec.mean_turns - 1, size=spec.n_convs)
+    conv_rep = np.repeat(np.arange(spec.n_convs), n_turns)
+    turn = np.concatenate([np.arange(k) for k in n_turns]).astype(np.int32)
+    n = len(conv_rep)
+    conv_id = _conv_ids(spec.n_convs)[conv_rep]
+    role = _ROLES[turn % 4]
+    text = _texts(conv_rep, turn, np.zeros(n, dtype=np.int64))
+    tool = np.where(
+        rng.random(n) < 0.3, _TOOL_POOL[rng.integers(0, len(_TOOL_POOL), n)], None
+    )
+    score = rng.integers(0, 1000, n).astype(np.int64)
+    ts = _EPOCH_US + conv_rep.astype(np.int64) * 3_600_000_000 + turn.astype(np.int64) * 60_000_000
+    return pa.table(
+        {
+            "conv_id": conv_id,
+            "turn_idx": turn,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "turn_score": score.astype(np.int32),
+            "ts": ts.view("datetime64[us]"),
+        },
+        schema=TRANSCRIPTS_SCHEMA,
+    )
+
+
+def _zipf_conv_choice(spec: FixtureSpec, rng: np.random.Generator, size: int) -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, spec.n_convs + 1, dtype=np.float64), spec.zipf_s)
+    w /= w.sum()
+    # permute so hot conversations aren't simply the lowest ids
+    perm = rng.permutation(spec.n_convs)
+    cdf = np.cumsum(w)
+    ranks = np.searchsorted(cdf, rng.random(size), side="right")
+    return perm[np.clip(ranks, 0, spec.n_convs - 1)]
+
+
+def generate_events(
+    spec: FixtureSpec, rng: np.random.Generator, base_turns: np.ndarray
+) -> pa.Table:
+    """The ordered change-event log (the ``streamRead`` phase, serialized).
+
+    ``base_turns[c]`` = number of base-snapshot turns of conversation ``c``.
+    LSNs start at 1 (the base snapshot is LSN 0).  Row order in the returned
+    table is LSN order permuted within ``disorder_window``; duplicate events
+    are appended near their originals.
+    """
+    n = spec.n_events
+    p_i, p_u, p_d = spec.op_mix
+    op_draw = rng.random(n)
+    op = np.where(op_draw < p_i, "I", np.where(op_draw < p_i + p_u, "U", "D"))
+
+    conv = _zipf_conv_choice(spec, rng, n)
+    max_turn = base_turns[conv]
+    # inserts append new turns: turn_idx >= base_turns (collisions across
+    # inserts of the same conv are fine — LWW treats the later as an upsert)
+    ins_extra = rng.integers(0, 6, n)
+    upd_turn = (rng.random(n) * np.maximum(max_turn, 1)).astype(np.int64)
+    turn = np.where(op == "I", max_turn + ins_extra, upd_turn).astype(np.int32)
+
+    lsn = np.arange(1, n + 1, dtype=np.int64)
+
+    # schema version per LSN from the DDL schedule
+    ver = np.full(n, 1, dtype=np.int32)
+    ddl_rows = []
+    if spec.with_ddl:
+        for frac, new_ver, payload in DDL_SCHEDULE:
+            at = int(n * frac)
+            ver[lsn > at] = new_ver
+            ddl_rows.append((at, new_ver, json.dumps(payload, sort_keys=True)))
+
+    role = _ROLES[turn % 4]
+    text = _texts(conv, turn.astype(np.int64), lsn)
+    have_tool = rng.random(n) < 0.4
+    tool_vals = _TOOL_POOL[rng.integers(0, len(_TOOL_POOL), n)]
+    tool = np.where(have_tool & (ver < 3), tool_vals, None)
+    tool_name = np.where(have_tool & (ver >= 3), tool_vals, None)
+    tool_meta = np.where(
+        (rng.random(n) < 0.5) & (ver >= 2),
+        np.char.add("meta-", lsn.astype(str)),
+        None,
+    )
+    # int32 range until the widen DDL, then values that overflow int32
+    score = rng.integers(0, 1000, n).astype(np.int64)
+    score = np.where(ver >= 4, score + 5_000_000_000, score)
+    ts = _EPOCH_US + 10_000_000_000 + lsn * 1_000_000
+
+    df = pd.DataFrame(
+        {
+            "lsn": lsn,
+            "op": op,
+            "conv_id": _conv_ids(spec.n_convs)[conv],
+            "turn_idx": turn,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "tool_name": tool_name,
+            "tool_meta": tool_meta,
+            "turn_score": score,
+            "ts": ts.view("datetime64[us]"),
+            "schema_ver": ver,
+            "ddl_payload": None,
+        }
+    )
+    # deletes / DDL carry no after-image payload
+    is_d = df["op"].to_numpy() == "D"
+    for col in ("role", "text", "tool", "tool_name", "tool_meta"):
+        df.loc[is_d, col] = None
+    df.loc[is_d, "turn_score"] = np.nan
+
+    if ddl_rows:
+        ddl_df = pd.DataFrame(
+            {
+                "lsn": [at for at, _, _ in ddl_rows],
+                "op": "DDL",
+                "conv_id": None,
+                "turn_idx": np.nan,
+                "role": None,
+                "text": None,
+                "tool": None,
+                "tool_name": None,
+                "tool_meta": None,
+                "turn_score": np.nan,
+                "ts": pd.Series([pd.NaT] * len(ddl_rows), dtype="datetime64[us]"),
+                "schema_ver": [v for _, v, _ in ddl_rows],
+                "ddl_payload": [p for _, _, p in ddl_rows],
+            }
+        )
+        # DDL events take the LSN slot of the DML event at that position;
+        # shift the colliding DML event by +0 is avoided by giving DDL the
+        # half-step below: multiply all LSNs by 2, DDL gets odd slots.
+        df["lsn"] = df["lsn"] * 2
+        ddl_df["lsn"] = ddl_df["lsn"] * 2 + 1
+        df = pd.concat([df, ddl_df], ignore_index=True)
+        df = df.sort_values("lsn", kind="stable", ignore_index=True)
+
+    m = len(df)
+    # duplicate-LSN replays: re-emit a sample of rows verbatim
+    n_dup = int(m * spec.dup_frac)
+    if n_dup:
+        dup_idx = rng.choice(m, size=n_dup, replace=False)
+        dup = df.iloc[dup_idx]
+        df = pd.concat([df, dup], ignore_index=True)
+
+    # bounded disorder: sort by (lsn-order rank + jitter(window)) — each row
+    # lands within disorder_window positions of its LSN-order slot
+    jitter = rng.integers(0, max(spec.disorder_window, 1), len(df))
+    rank = np.argsort(np.argsort(df["lsn"].to_numpy(), kind="stable"), kind="stable")
+    order = np.argsort(rank + jitter, kind="stable")
+    df = df.iloc[order].reset_index(drop=True)
+
+    df["turn_idx"] = df["turn_idx"].astype("Int32")
+    df["turn_score"] = df["turn_score"].astype("Int64")
+    df["schema_ver"] = df["schema_ver"].astype("int32")
+    return pa.Table.from_pandas(df, schema=EVENT_LOG_SCHEMA, preserve_index=False)
+
+
+def generate_fixture_tables(spec: FixtureSpec) -> tuple[pa.Table, pa.Table]:
+    rng = np.random.default_rng(spec.seed)
+    base = generate_base(spec, rng)
+    n_turns = np.zeros(spec.n_convs, dtype=np.int64)
+    counts = (
+        pd.Series(base["conv_id"].to_numpy(zero_copy_only=False)).value_counts()
+    )
+    idx = np.array([int(c.split("-")[1]) for c in counts.index])
+    n_turns[idx] = counts.to_numpy()
+    events = generate_events(spec, rng, n_turns)
+    return base, events
+
+
+def ensure_fixtures(
+    sf: str = "sf0.001",
+    root: str = DEFAULT_FIXTURE_ROOT,
+    spec: FixtureSpec | None = None,
+) -> str:
+    """Generate (or reuse cached) fixture parquet files; returns the directory.
+
+    Layout: ``<root>/<sf>/{transcripts.parquet,events.parquet,meta.json}``.
+    Cache key = parameter fingerprint, so spec changes regenerate.
+    """
+    spec = spec or SCALE_PRESETS[sf]
+    out = os.path.join(root, sf)
+    meta_path = os.path.join(out, "meta.json")
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                if json.load(f).get("fingerprint") == spec.fingerprint():
+                    return out
+        except (json.JSONDecodeError, OSError):
+            pass
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    base, events = generate_fixture_tables(spec)
+    # many row groups -> parallel Ray read tasks
+    pq.write_table(base, os.path.join(tmp, "transcripts.parquet"), row_group_size=64 * 1024)
+    pq.write_table(events, os.path.join(tmp, "events.parquet"), row_group_size=64 * 1024)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(
+            {"fingerprint": spec.fingerprint(), "spec": asdict(spec),
+             "base_rows": base.num_rows, "event_rows": events.num_rows},
+            f, indent=2, default=list,
+        )
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
+def sf_label_from_dir(sf_dir: str) -> str:
+    """Map a driver sf dir like /root/testdata/sf0.01 to a fixture preset label."""
+    label = os.path.basename(os.path.normpath(sf_dir))
+    return label if label in SCALE_PRESETS else "sf0.01"

@@ -1,0 +1,156 @@
+"""Replay pipeline: ordered change-event log -> final lake table.
+
+The Ray-Data translation of the reference's engine loop (survey §3.1):
+snapshot ``batchRead`` + CDC ``streamRead`` -> normalize -> ONE hash shuffle
+on the key -> per-partition LWW merge.  Streaming end-to-end: no stage
+materializes the full dataset; the only all-to-all is the keyed groupby
+(survey §7.3).
+
+Scale notes (100 TB design):
+- the DDL scan reads 3 narrow columns with predicate pushdown — metadata
+  scale, not data scale;
+- normalize is stateless ``map_batches`` over zero-copy Arrow with a
+  within-batch pre-reduce combiner, so the shuffle moves at most one row per
+  (key, block) instead of one per event;
+- ``salt_buckets > 0`` inserts a salted pre-merge (groupby on
+  ``(partition_id, salt)``) before the final partition merge, bounding any
+  single group by live-keys/salt even under Zipfian conv_id skew;
+- ``num_partitions`` is the lake's fixed logical partition count (decoupled
+  from cluster size; many partitions per worker for dynamic balancing).
+"""
+
+from __future__ import annotations
+
+import pyarrow.dataset as pads
+import ray
+import ray.data
+
+from tapdata_connectors_ray.stages.merge import (
+    lww_merge_group,
+    lww_premerge_group,
+    merged_to_final,
+    write_counters_group,
+)
+from tapdata_connectors_ray.stages.normalize import BaseSnapshotToEvents, NormalizeEvents
+from tapdata_connectors_ray.state.registry import EvolutionPlan
+
+DEFAULT_NUM_PARTITIONS = 64
+DEFAULT_BATCH_SIZE = 64 * 1024
+
+
+def scan_evolution_plan_distributed(events_path: str | list[str]) -> EvolutionPlan:
+    """Pruned distributed scan of DDL rows (op == "DDL"): column projection +
+    row-group predicate pushdown at the read, tiny result to the driver."""
+    ddl = ray.data.read_parquet(
+        events_path,
+        columns=["lsn", "op", "schema_ver", "ddl_payload"],
+        filter=(pads.field("op") == "DDL"),
+    )
+    rows = ddl.take_all()  # DDL events are metadata-scale (a handful)
+    import pyarrow as pa
+
+    table = (
+        pa.Table.from_pylist(rows)
+        if rows
+        else pa.table({"lsn": [], "schema_ver": [], "ddl_payload": []})
+    )
+    return EvolutionPlan.from_ddl_table(table)
+
+
+def normalized_events(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    plan: EvolutionPlan | None = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    salt_buckets: int = 0,
+    prereduce: bool = True,
+    watermarks=None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> ray.data.Dataset:
+    """read -> normalize(+pre-reduce) [-> union base snapshot] as one lazy Dataset."""
+    plan = plan or scan_evolution_plan_distributed(events_path)
+    ev = ray.data.read_parquet(events_path)
+    ev = ev.map_batches(
+        NormalizeEvents(
+            plan,
+            num_partitions,
+            watermarks=watermarks,
+            prereduce=prereduce,
+            salt_buckets=salt_buckets,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    if base_path is not None:
+        base = ray.data.read_parquet(base_path).map_batches(
+            BaseSnapshotToEvents(plan, num_partitions, salt_buckets=salt_buckets),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        ev = ev.union(base)
+    return ev
+
+
+def replay_merged(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    plan: EvolutionPlan | None = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    salt_buckets: int = 0,
+    prereduce: bool = True,
+    watermarks=None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> ray.data.Dataset:
+    """Full replay -> merged per-partition state (latest schema + lsn +
+    partition_id), sorted by key within each partition."""
+    ev = normalized_events(
+        events_path,
+        base_path,
+        plan=plan,
+        num_partitions=num_partitions,
+        salt_buckets=salt_buckets,
+        prereduce=prereduce,
+        watermarks=watermarks,
+        batch_size=batch_size,
+    )
+    if salt_buckets:
+        ev = ev.groupby(["partition_id", "salt"]).map_groups(
+            lww_premerge_group, batch_format="pandas"
+        )
+    merged = ev.groupby("partition_id").map_groups(lww_merge_group, batch_format="pandas")
+    return merged
+
+
+def replay_final_state(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Final lake table in the latest schema (the user-facing result)."""
+    return replay_merged(events_path, base_path, **kwargs).map_batches(
+        merged_to_final, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def replay_write_counters(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Per-partition write counters (WriteListResult analogue).  Pre-reduce is
+    disabled: counters are defined over every effective (deduped) event."""
+    ev = normalized_events(
+        events_path,
+        base_path,
+        num_partitions=num_partitions,
+        prereduce=False,
+        salt_buckets=0,
+        **kwargs,
+    )
+    return ev.groupby("partition_id").map_groups(write_counters_group, batch_format="pandas")

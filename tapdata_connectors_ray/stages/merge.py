@@ -1,0 +1,119 @@
+"""Merge stage: per-partition last-writer-wins upsert apply.
+
+The distributed analogue of the reference's ordered target writer
+(``NormalRecordWriter.java:66-153``) under the LWW-by-version merge rule the
+survey maps it onto (ClickHouse ``ReplacingMergeTree`` + version column,
+``ClickhouseConnector.java:265-287``; Hudi upsert client,
+``HuDiWriteBySparkClient.java:210-268``):
+
+- one group = one hash partition of the key space (all events of a key are
+  co-located by the single shuffle, survey §7.3);
+- within the group: exact-duplicate replays are dropped (idempotent dedup on
+  the ``exactlyOnceId``/LSN, survey §2.7), then each key keeps its max-LSN
+  event (LWW), then tombstones (op == "D") are dropped;
+- output is sorted by (conv_id, turn_idx) — global order is unnecessary
+  because partitions are disjoint by conv_id hash (survey §7.2).
+
+Everything is vectorized pandas on narrow sort/dedup columns; the functions
+run inside ``groupby(...).map_groups`` tasks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tapdata_connectors_ray.schema import (
+    KEY_COLUMNS,
+    LATEST_COLUMNS,
+    LATEST_TRANSCRIPTS_SCHEMA,
+)
+
+KEYS = list(KEY_COLUMNS)
+
+# final-state schema carried through merge (partition_id kept for the sink)
+MERGED_SCHEMA = pa.schema(
+    list(LATEST_TRANSCRIPTS_SCHEMA)
+    + [pa.field("lsn", pa.int64()), pa.field("partition_id", pa.int32())]
+)
+
+COUNTER_SCHEMA = pa.schema(
+    [
+        pa.field("partition_id", pa.int32()),
+        pa.field("inserted", pa.int64()),
+        pa.field("modified", pa.int64()),
+        pa.field("removed", pa.int64()),
+        pa.field("skipped_duplicates", pa.int64()),
+    ]
+)
+
+
+def _dedup_replays(df: pd.DataFrame) -> pd.DataFrame:
+    """Drop verbatim duplicate-LSN replays.  Key included because the base
+    snapshot legitimately shares LSN 0 across keys."""
+    return df.drop_duplicates(["lsn", *KEYS], keep="first")
+
+
+def _to_merged_table(df: pd.DataFrame) -> pa.Table:
+    df = df.sort_values(KEYS, kind="stable")
+    out = {}
+    for f in MERGED_SCHEMA:
+        col = df[f.name]
+        if f.type == pa.int64() and col.dtype.kind == "f":
+            col = col.astype("Int64")
+        out[f.name] = pa.array(col, type=f.type, from_pandas=True)
+    return pa.Table.from_arrays(list(out.values()), schema=MERGED_SCHEMA)
+
+
+def lww_merge_group(df: pd.DataFrame) -> pa.Table:
+    """Final merge for one partition: dedup -> LWW per key -> drop tombstones."""
+    df = _dedup_replays(df)
+    df = df.sort_values("lsn", kind="stable").drop_duplicates(KEYS, keep="last")
+    df = df[df["op"] != "D"]
+    return _to_merged_table(df)
+
+
+def lww_premerge_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Salted pre-merge: same LWW collapse but tombstones are RETAINED — a
+    delete must survive to the final merge to beat older upserts (the
+    ClickHouse ``is_deleted``-row precedent; dropping it early would resurrect
+    rows).  Output keeps the merge input layout minus the salt column."""
+    df = _dedup_replays(df)
+    df = df.sort_values("lsn", kind="stable").drop_duplicates(KEYS, keep="last")
+    return df.drop(columns=["salt"], errors="ignore")
+
+
+def write_counters_group(df: pd.DataFrame) -> pa.Table:
+    """Per-partition write counters (``WriteListResult`` analogue,
+    ``NormalRecordWriter.java:120-153``), replayed exactly: per key in LSN
+    order, I/U on a missing key counts as inserted, on a live key as
+    modified; D on a live key as removed.  Order-sensitive per key only, so
+    a partition-local vectorized pass reproduces the sequential counters."""
+    pid = int(df["partition_id"].iloc[0]) if len(df) else -1
+    before = len(df)
+    d = _dedup_replays(df)
+    skipped = before - len(d)
+    d = d.sort_values([*KEYS, "lsn"], kind="stable")
+    prev_op = d.groupby(KEYS, sort=False)["op"].shift()
+    prev_alive = prev_op.notna() & (prev_op != "D")
+    is_dml = d["op"] != "D"
+    return pa.Table.from_pydict(
+        {
+            "partition_id": [pid],
+            "inserted": [int((is_dml & ~prev_alive).sum())],
+            "modified": [int((is_dml & prev_alive).sum())],
+            "removed": [int((~is_dml & prev_alive).sum())],
+            "skipped_duplicates": [int(skipped)],
+        },
+        schema=COUNTER_SCHEMA,
+    )
+
+
+def merged_to_final(batch: pa.Table) -> pa.Table:
+    """Strip engine columns -> the user-facing latest-schema lake table."""
+    return batch.select(LATEST_COLUMNS)
+
+
+def max_lsn_of_group(df: pd.DataFrame) -> np.int64:
+    return np.int64(df["lsn"].max()) if len(df) else np.int64(-1)

@@ -1,0 +1,155 @@
+"""Schema registry: versioned schema evolution from DDL events.
+
+The reference parses DDL strings from the log into typed field-delta events
+(``TapNewFieldEvent`` / ``TapAlterFieldNameEvent`` / ... via
+``connectors-common/sql-core/.../ddl/DDLFactory.java:63-88``) and re-applies
+them on the target (``CommonDbConnector.java:445-488``).  Here a DDL event is
+a JSON field-delta row in the event log; the registry folds them (in LSN
+order) into an :class:`EvolutionPlan` that can rewrite any batch emitted
+under an older ``schema_ver`` to the latest schema, fully vectorized:
+
+- ``add_field``    -> column is null for rows older than the DDL's version
+- ``rename_field`` -> value carried from the old column name for older rows
+- ``widen_field``  -> safe upcast (e.g. int32 -> int64)
+
+For *replay* mode the event log is complete up front, so the plan is plain
+data built once on the driver from a pruned DDL-only scan and shipped into
+``map_batches`` tasks by closure capture (tiny, serialized once per task —
+the broadcast pattern).  For *live-tail* mode the same fold logic backs the
+:class:`SchemaRegistryActor` singleton, whose version counter lets writer
+stages detect drift mid-stream (the analogue of the write-path structure
+re-check, reference: ``TapEventCollector.java:182-198``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from tapdata_connectors_ray.schema import LATEST_COLUMNS
+
+_WIDEN_OK = {
+    ("int8", "int16"), ("int8", "int32"), ("int8", "int64"),
+    ("int16", "int32"), ("int16", "int64"),
+    ("int32", "int64"),
+    ("float", "double"),
+}
+
+
+@dataclass(frozen=True)
+class DDLChange:
+    lsn: int
+    version: int  # schema version AFTER this change
+    kind: str     # add_field | rename_field | widen_field
+    payload: dict
+
+    @classmethod
+    def from_row(cls, lsn: int, version: int, ddl_payload: str) -> "DDLChange":
+        p = json.loads(ddl_payload)
+        kind = p["kind"]
+        if kind == "widen_field":
+            pair = (p["from_type"], p["to_type"])
+            if pair not in _WIDEN_OK:
+                raise ValueError(f"unsafe type change {pair} at lsn={lsn}")
+        return cls(lsn=lsn, version=version, kind=kind, payload=p)
+
+
+@dataclass
+class EvolutionPlan:
+    """Ordered DDL changes; knows how to rewrite old-version batches."""
+
+    changes: list[DDLChange] = field(default_factory=list)
+    base_version: int = 1
+
+    @property
+    def latest_version(self) -> int:
+        return self.changes[-1].version if self.changes else self.base_version
+
+    @classmethod
+    def from_ddl_table(cls, ddl: pa.Table, base_version: int = 1) -> "EvolutionPlan":
+        """Build from the op=="DDL" rows (columns: lsn, schema_ver, ddl_payload)."""
+        rows = sorted(ddl.to_pylist(), key=lambda r: r["lsn"])
+        seen: set[int] = set()
+        changes = []
+        for r in rows:
+            if r["lsn"] in seen:  # duplicate-LSN replay of a DDL event: no-op
+                continue
+            seen.add(r["lsn"])
+            changes.append(DDLChange.from_row(r["lsn"], r["schema_ver"], r["ddl_payload"]))
+        return cls(changes=changes, base_version=base_version)
+
+    def rewrite_to_latest(self, batch: pa.Table, ver_col: str = "schema_ver") -> pa.Table:
+        """Rewrite a mixed-version batch to the latest logical schema.
+
+        Vectorized per change: the per-row ``schema_ver`` selects whether a
+        row predates the change (null backfill / old-name carry) or not.
+        Physical event-log columns are a superset of all versions, so every
+        referenced column exists.
+        """
+        ver = batch[ver_col]
+        for ch in self.changes:
+            older = pc.less(ver, ch.version)
+            if ch.kind == "add_field":
+                name = ch.payload["name"]
+                col = pc.if_else(older, pa.nulls(len(batch), batch[name].type), batch[name])
+                batch = batch.set_column(batch.schema.get_field_index(name), name, col)
+            elif ch.kind == "rename_field":
+                src, dst = ch.payload["from"], ch.payload["to"]
+                col = pc.if_else(older, batch[src], batch[dst])
+                batch = batch.set_column(batch.schema.get_field_index(dst), dst, col)
+                batch = batch.drop_columns([src])
+            elif ch.kind == "widen_field":
+                name = ch.payload["name"]
+                target = pa.type_for_alias(ch.payload["to_type"])
+                col = batch[name].cast(target, safe=True)
+                batch = batch.set_column(batch.schema.get_field_index(name), name, col)
+            else:
+                raise ValueError(f"unknown DDL kind {ch.kind}")
+        return batch
+
+
+def scan_evolution_plan(events_path: str | list[str]) -> EvolutionPlan:
+    """Driver-side pruned scan of DDL rows only (column + predicate pushdown
+    — reads three narrow columns, filters op=="DDL" at the row-group level)."""
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(events_path, format="parquet")
+    ddl = dataset.to_table(
+        columns=["lsn", "schema_ver", "ddl_payload"],
+        filter=pads.field("op") == "DDL",
+    )
+    return EvolutionPlan.from_ddl_table(ddl)
+
+
+@ray.remote
+class SchemaRegistryActor:
+    """Named singleton for live-tail mode: holds the evolving plan; stages
+    poll ``version()`` per batch and refetch the plan on drift."""
+
+    def __init__(self, base_version: int = 1):
+        self.plan = EvolutionPlan(base_version=base_version)
+
+    def apply_ddl_rows(self, rows: list[dict]) -> int:
+        seen = {c.lsn for c in self.plan.changes}
+        for r in sorted(rows, key=lambda r: r["lsn"]):
+            if r["lsn"] in seen:
+                continue
+            self.plan.changes.append(
+                DDLChange.from_row(r["lsn"], r["schema_ver"], r["ddl_payload"])
+            )
+            seen.add(r["lsn"])
+        return self.plan.latest_version
+
+    def version(self) -> int:
+        return self.plan.latest_version
+
+    def get_plan(self) -> EvolutionPlan:
+        return self.plan
+
+
+def latest_output_columns() -> list[str]:
+    return list(LATEST_COLUMNS)

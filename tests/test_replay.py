@@ -1,0 +1,83 @@
+"""End-to-end replay pipeline vs the oracle reducer (the FIXTURES.md §4
+correctness cases: read-back equality, write counters, exactly-once replay,
+salted-shuffle equivalence)."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from tapdata_connectors_ray.oracle import expected_counters, expected_final_state
+from tapdata_connectors_ray.pipelines.replay import (
+    replay_final_state,
+    replay_write_counters,
+)
+
+
+@pytest.fixture(scope="module")
+def paths(smoke_fixture_dir):
+    return (
+        smoke_fixture_dir + "/events.parquet",
+        smoke_fixture_dir + "/transcripts.parquet",
+    )
+
+
+@pytest.fixture(scope="module")
+def expected(paths):
+    ev, base = paths
+    return expected_final_state(pq.read_table(base), pq.read_table(ev))
+
+
+def _as_sorted_df(ds_or_table) -> pd.DataFrame:
+    df = ds_or_table.to_pandas()
+    df = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    df["turn_score"] = df["turn_score"].astype("Int64")
+    return df
+
+
+def assert_matches(ds, expected):
+    got = _as_sorted_df(ds)
+    exp = _as_sorted_df(expected)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_replay_matches_oracle(paths, expected):
+    ev, base = paths
+    assert_matches(replay_final_state(ev, base, num_partitions=16), expected)
+
+
+def test_replay_without_prereduce(paths, expected):
+    ev, base = paths
+    assert_matches(replay_final_state(ev, base, num_partitions=16, prereduce=False), expected)
+
+
+def test_replay_salted(paths, expected):
+    ev, base = paths
+    assert_matches(
+        replay_final_state(ev, base, num_partitions=8, salt_buckets=4), expected
+    )
+
+
+def test_replay_events_only(paths):
+    ev, base = paths
+    expected = expected_final_state(
+        pq.read_table(base).slice(0, 0), pq.read_table(ev)
+    )
+    assert_matches(replay_final_state(ev, None, num_partitions=16), expected)
+
+
+def test_exactly_once_double_replay(paths, expected):
+    """Replaying the log twice (union with itself) must be a no-op — the
+    idempotent dedup / LWW contract (FIXTURES.md §4.5)."""
+    ev, base = paths
+    assert_matches(replay_final_state([ev, ev], base, num_partitions=16), expected)
+
+
+def test_write_counters_match_oracle(paths):
+    ev, base = paths
+    got = replay_write_counters(ev, base, num_partitions=16).to_pandas()
+    totals = got.drop(columns=["partition_id"]).sum()
+    exp = expected_counters(pq.read_table(base), pq.read_table(ev))
+    assert totals["inserted"] == exp["inserted"]
+    assert totals["modified"] == exp["modified"]
+    assert totals["removed"] == exp["removed"]
+    assert totals["skipped_duplicates"] == exp["skipped_duplicates"]
