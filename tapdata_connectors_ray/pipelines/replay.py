@@ -26,9 +26,8 @@ import ray
 import ray.data
 
 from tapdata_connectors_ray.stages.merge import (
-    lww_merge_group,
     lww_premerge_group,
-    merged_to_final,
+    make_lww_merge,
     write_counters_group,
 )
 from tapdata_connectors_ray.stages.normalize import BaseSnapshotToEvents, NormalizeEvents
@@ -67,10 +66,18 @@ def normalized_events(
     prereduce: bool = True,
     watermarks=None,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    max_lsn: int | None = None,
 ) -> ray.data.Dataset:
-    """read -> normalize(+pre-reduce) [-> union base snapshot] as one lazy Dataset."""
+    """read -> normalize(+pre-reduce) [-> union base snapshot] as one lazy Dataset.
+
+    ``max_lsn`` bounds the epoch (row-group predicate pushdown at the read) —
+    the log-truncation / periodic-checkpoint path of incremental ingest.
+    """
     plan = plan or scan_evolution_plan_distributed(events_path)
-    ev = ray.data.read_parquet(events_path)
+    read_kwargs = {}
+    if max_lsn is not None:
+        read_kwargs["filter"] = pads.field("lsn") <= max_lsn
+    ev = ray.data.read_parquet(events_path, **read_kwargs)
     ev = ev.map_batches(
         NormalizeEvents(
             plan,
@@ -85,7 +92,9 @@ def normalized_events(
     )
     if base_path is not None:
         base = ray.data.read_parquet(base_path).map_batches(
-            BaseSnapshotToEvents(plan, num_partitions, salt_buckets=salt_buckets),
+            BaseSnapshotToEvents(
+                plan, num_partitions, salt_buckets=salt_buckets, watermarks=watermarks
+            ),
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
@@ -107,6 +116,7 @@ def replay_merged(
 ) -> ray.data.Dataset:
     """Full replay -> merged per-partition state (latest schema + lsn +
     partition_id), sorted by key within each partition."""
+    plan = plan or scan_evolution_plan_distributed(events_path)
     ev = normalized_events(
         events_path,
         base_path,
@@ -121,17 +131,26 @@ def replay_merged(
         ev = ev.groupby(["partition_id", "salt"]).map_groups(
             lww_premerge_group, batch_format="pandas"
         )
-    merged = ev.groupby("partition_id").map_groups(lww_merge_group, batch_format="pandas")
+    merge_fn = make_lww_merge(plan.schema_at())
+    merged = ev.groupby("partition_id").map_groups(merge_fn, batch_format="pandas")
     return merged
 
 
 def replay_final_state(
     events_path: str | list[str],
     base_path: str | list[str] | None = None,
+    *,
+    plan: EvolutionPlan | None = None,
     **kwargs,
 ) -> ray.data.Dataset:
-    """Final lake table in the latest schema (the user-facing result)."""
-    return replay_merged(events_path, base_path, **kwargs).map_batches(
+    """Final lake table in the (plan-latest) logical schema."""
+    plan = plan or scan_evolution_plan_distributed(events_path)
+    payload_names = plan.schema_at().names
+
+    def merged_to_final(batch):
+        return batch.select(payload_names)
+
+    return replay_merged(events_path, base_path, plan=plan, **kwargs).map_batches(
         merged_to_final, batch_format="pyarrow", zero_copy_batch=True
     )
 

@@ -48,8 +48,9 @@ TRANSCRIPTS_SCHEMA = pa.schema(
     ]
 )
 
-# v4 (latest): after ADD tool_meta (v2), RENAME tool->tool_name (v3),
-# WIDEN turn_score int32->int64 (v4)
+# v4 (latest): after ADD tool_meta (v2, appended), RENAME tool->tool_name
+# (v3, in place), WIDEN turn_score int32->int64 (v4, in place) — the order is
+# exactly what folding the DDL deltas over the v1 schema produces
 LATEST_TRANSCRIPTS_SCHEMA = pa.schema(
     [
         pa.field("conv_id", pa.string()),
@@ -57,9 +58,9 @@ LATEST_TRANSCRIPTS_SCHEMA = pa.schema(
         pa.field("role", pa.string()),
         pa.field("text", pa.string()),
         pa.field("tool_name", pa.string()),
-        pa.field("tool_meta", pa.string()),
         pa.field("turn_score", pa.int64()),
         pa.field("ts", pa.timestamp("us")),
+        pa.field("tool_meta", pa.string()),
     ]
 )
 

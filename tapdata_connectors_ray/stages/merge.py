@@ -14,29 +14,23 @@ survey maps it onto (ClickHouse ``ReplacingMergeTree`` + version column,
 - output is sorted by (conv_id, turn_idx) — global order is unnecessary
   because partitions are disjoint by conv_id hash (survey §7.2).
 
-Everything is vectorized pandas on narrow sort/dedup columns; the functions
-run inside ``groupby(...).map_groups`` tasks.
+The merged-row schema is *plan-driven* (the lake's schema as of the epoch
+being applied), so the merge functions are factories over a payload schema.
+Everything is vectorized pandas; the functions run inside
+``groupby(...).map_groups`` tasks.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from tapdata_connectors_ray.schema import (
-    KEY_COLUMNS,
-    LATEST_COLUMNS,
-    LATEST_TRANSCRIPTS_SCHEMA,
-)
+from tapdata_connectors_ray.schema import KEY_COLUMNS
 
 KEYS = list(KEY_COLUMNS)
-
-# final-state schema carried through merge (partition_id kept for the sink)
-MERGED_SCHEMA = pa.schema(
-    list(LATEST_TRANSCRIPTS_SCHEMA)
-    + [pa.field("lsn", pa.int64()), pa.field("partition_id", pa.int32())]
-)
 
 COUNTER_SCHEMA = pa.schema(
     [
@@ -49,39 +43,56 @@ COUNTER_SCHEMA = pa.schema(
 )
 
 
+def merged_schema(payload_schema: pa.Schema) -> pa.Schema:
+    """Lake partition file schema: payload + engine columns (lsn keeps LWW
+    comparable across epochs; partition_id keeps the file self-describing)."""
+    return pa.schema(
+        list(payload_schema)
+        + [pa.field("lsn", pa.int64()), pa.field("partition_id", pa.int32())]
+    )
+
+
 def _dedup_replays(df: pd.DataFrame) -> pd.DataFrame:
     """Drop verbatim duplicate-LSN replays.  Key included because the base
     snapshot legitimately shares LSN 0 across keys."""
     return df.drop_duplicates(["lsn", *KEYS], keep="first")
 
 
-def _to_merged_table(df: pd.DataFrame) -> pa.Table:
+def _to_table(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
     df = df.sort_values(KEYS, kind="stable")
-    out = {}
-    for f in MERGED_SCHEMA:
+    arrays = []
+    for f in schema:
         col = df[f.name]
-        if f.type == pa.int64() and col.dtype.kind == "f":
+        if pa.types.is_integer(f.type) and col.dtype.kind == "f":
             col = col.astype("Int64")
-        out[f.name] = pa.array(col, type=f.type, from_pandas=True)
-    return pa.Table.from_arrays(list(out.values()), schema=MERGED_SCHEMA)
+        arrays.append(pa.array(col, type=f.type, from_pandas=True))
+    return pa.Table.from_arrays(arrays, schema=schema)
 
 
-def lww_merge_group(df: pd.DataFrame) -> pa.Table:
-    """Final merge for one partition: dedup -> LWW per key -> drop tombstones."""
+def lww_collapse(df: pd.DataFrame, drop_tombstones: bool = True) -> pd.DataFrame:
     df = _dedup_replays(df)
     df = df.sort_values("lsn", kind="stable").drop_duplicates(KEYS, keep="last")
-    df = df[df["op"] != "D"]
-    return _to_merged_table(df)
+    if drop_tombstones:
+        df = df[df["op"] != "D"]
+    return df
+
+
+def make_lww_merge(payload_schema: pa.Schema) -> Callable[[pd.DataFrame], pa.Table]:
+    """Final merge for one partition: dedup -> LWW per key -> drop tombstones."""
+    out_schema = merged_schema(payload_schema)
+
+    def lww_merge_group(df: pd.DataFrame) -> pa.Table:
+        return _to_table(lww_collapse(df), out_schema)
+
+    return lww_merge_group
 
 
 def lww_premerge_group(df: pd.DataFrame) -> pd.DataFrame:
     """Salted pre-merge: same LWW collapse but tombstones are RETAINED — a
     delete must survive to the final merge to beat older upserts (the
-    ClickHouse ``is_deleted``-row precedent; dropping it early would resurrect
-    rows).  Output keeps the merge input layout minus the salt column."""
-    df = _dedup_replays(df)
-    df = df.sort_values("lsn", kind="stable").drop_duplicates(KEYS, keep="last")
-    return df.drop(columns=["salt"], errors="ignore")
+    ClickHouse ``is_deleted``-row precedent; dropping it early would
+    resurrect rows).  Output keeps the merge input layout minus the salt."""
+    return lww_collapse(df, drop_tombstones=False).drop(columns=["salt"], errors="ignore")
 
 
 def write_counters_group(df: pd.DataFrame) -> pa.Table:
@@ -108,11 +119,6 @@ def write_counters_group(df: pd.DataFrame) -> pa.Table:
         },
         schema=COUNTER_SCHEMA,
     )
-
-
-def merged_to_final(batch: pa.Table) -> pa.Table:
-    """Strip engine columns -> the user-facing latest-schema lake table."""
-    return batch.select(LATEST_COLUMNS)
 
 
 def max_lsn_of_group(df: pd.DataFrame) -> np.int64:

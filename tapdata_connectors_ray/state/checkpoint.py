@@ -1,0 +1,124 @@
+"""Checkpoint manifest: per-partition high-watermark LSN + file lineage.
+
+The reference's offset objects (``MysqlStreamOffset``/``PostgresOffset``/
+``CommonDbOffset``, survey §1.4) are persisted engine-side after every
+consumed batch; sinks get idempotency from labels/commits (Doris per-batch
+UUID label ``DorisStreamLoader.java:149-168``; Hudi startCommit/commit/
+rollback ``HuDiWriteBySparkClient.java:210-268``).  Here both roles collapse
+into ONE atomic artifact: a JSON manifest recording, per lake partition,
+
+    {applied_lsn, files, rows, lineage:{min_lsn, max_lsn, event_rows, epoch}}
+
+Commit protocol (the only externally-visible commit in the engine):
+  1. workers write partition data files to their final names (epoch-stamped,
+     deterministic -> a retried task overwrites with identical content);
+  2. the driver writes ``manifest.json.tmp``, fsyncs, then atomically
+     ``os.replace``s it over ``manifest.json``.
+A crash before step 2 leaves the old manifest authoritative; orphan data
+files are invisible (reads go through the manifest) and get overwritten by
+the re-run.  Resume = load manifest, filter the log to
+``lsn > applied_lsn[partition]`` per partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class PartitionState:
+    applied_lsn: int = -1
+    files: list[str] = field(default_factory=list)
+    rows: int = 0
+    schema_version: int = 1  # the schema the partition's files are laid out in
+    lineage: dict = field(default_factory=dict)
+
+
+@dataclass
+class Manifest:
+    num_partitions: int
+    epoch: int = 0
+    schema_version: int = 1
+    ddl_history: list = field(default_factory=list)  # EvolutionPlan.to_json()
+    partitions: dict[int, PartitionState] = field(default_factory=dict)
+
+    def watermarks(self) -> np.ndarray:
+        """np.int64[num_partitions]: applied LSN per partition (-1 = empty)."""
+        wm = np.full(self.num_partitions, -1, dtype=np.int64)
+        for pid, st in self.partitions.items():
+            wm[pid] = st.applied_lsn
+        return wm
+
+    def files_by_partition(self) -> dict[int, list[str]]:
+        return {pid: list(st.files) for pid, st in self.partitions.items()}
+
+    def all_files(self) -> list[str]:
+        return [f for st in self.partitions.values() for f in st.files]
+
+    def to_json(self) -> dict:
+        return {
+            "num_partitions": self.num_partitions,
+            "epoch": self.epoch,
+            "schema_version": self.schema_version,
+            "ddl_history": self.ddl_history,
+            "partitions": {
+                str(pid): {
+                    "applied_lsn": st.applied_lsn,
+                    "files": st.files,
+                    "rows": st.rows,
+                    "schema_version": st.schema_version,
+                    "lineage": st.lineage,
+                }
+                for pid, st in self.partitions.items()
+            },
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Manifest":
+        m = cls(
+            num_partitions=d["num_partitions"],
+            epoch=d["epoch"],
+            schema_version=d.get("schema_version", 1),
+            ddl_history=list(d.get("ddl_history", [])),
+        )
+        for pid, st in d.get("partitions", {}).items():
+            m.partitions[int(pid)] = PartitionState(
+                applied_lsn=st["applied_lsn"],
+                files=list(st["files"]),
+                rows=st["rows"],
+                schema_version=st.get("schema_version", 1),
+                lineage=dict(st.get("lineage", {})),
+            )
+        return m
+
+
+def manifest_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "manifest.json")
+
+
+def load_manifest(lake_dir: str) -> Manifest | None:
+    path = manifest_path(lake_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return Manifest.from_json(json.load(f))
+
+
+def commit_manifest(lake_dir: str, manifest: Manifest) -> None:
+    """Atomic swap: tmp write + fsync + rename — the single commit point."""
+    os.makedirs(lake_dir, exist_ok=True)
+    path = manifest_path(lake_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest.to_json(), f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def partition_dir(lake_dir: str, pid: int) -> str:
+    return os.path.join(lake_dir, "partitions", f"p={pid:05d}")

@@ -69,6 +69,26 @@ class EvolutionPlan:
     def latest_version(self) -> int:
         return self.changes[-1].version if self.changes else self.base_version
 
+    def to_json(self) -> list[dict]:
+        """Serializable DDL history — persisted with the checkpoint manifest
+        (the analogue of Debezium schema history saved in the stateMap,
+        ``MysqlReader.java:423-469``)."""
+        return [
+            {"lsn": c.lsn, "version": c.version, "kind": c.kind, "payload": c.payload}
+            for c in self.changes
+        ]
+
+    @classmethod
+    def from_json(cls, data: list[dict], base_version: int = 1) -> "EvolutionPlan":
+        return cls(
+            changes=[
+                DDLChange(lsn=d["lsn"], version=d["version"], kind=d["kind"],
+                          payload=dict(d["payload"]))
+                for d in data
+            ],
+            base_version=base_version,
+        )
+
     @classmethod
     def from_ddl_table(cls, ddl: pa.Table, base_version: int = 1) -> "EvolutionPlan":
         """Build from the op=="DDL" rows (columns: lsn, schema_ver, ddl_payload)."""
@@ -81,6 +101,59 @@ class EvolutionPlan:
             seen.add(r["lsn"])
             changes.append(DDLChange.from_row(r["lsn"], r["schema_ver"], r["ddl_payload"]))
         return cls(changes=changes, base_version=base_version)
+
+    def schema_at(self, version: int | None = None) -> pa.Schema:
+        """The logical lake payload schema at ``version`` (default: latest),
+        obtained by folding the DDL deltas over the base v1 schema — the
+        TapTable-after-ALTERs analogue (``CommonDbConnector.java:445-488``)."""
+        from tapdata_connectors_ray.schema import TRANSCRIPTS_SCHEMA
+
+        if version is None:
+            version = self.latest_version
+        fields = list(TRANSCRIPTS_SCHEMA)
+        for ch in self.changes:
+            if ch.version > version:
+                break
+            if ch.kind == "add_field":
+                fields.append(pa.field(ch.payload["name"], pa.type_for_alias(ch.payload["type"])))
+            elif ch.kind == "rename_field":
+                src, dst = ch.payload["from"], ch.payload["to"]
+                fields = [pa.field(dst, f.type) if f.name == src else f for f in fields]
+            elif ch.kind == "widen_field":
+                name = ch.payload["name"]
+                t = pa.type_for_alias(ch.payload["to_type"])
+                fields = [pa.field(name, t) if f.name == name else f for f in fields]
+        return pa.schema(fields)
+
+    def migrate_table(self, table: pa.Table, from_version: int) -> pa.Table:
+        """Structurally migrate a whole table written under an older schema
+        version to the current one (add -> null column, rename, widen cast).
+        Used when merging/reading lake partition files that predate a DDL —
+        the deferred form of the reference's target-side ALTER TABLE."""
+        for ch in self.changes:
+            if ch.version <= from_version:
+                continue
+            if ch.kind == "add_field":
+                name = ch.payload["name"]
+                if name not in table.column_names:
+                    table = table.append_column(
+                        name, pa.nulls(len(table), pa.type_for_alias(ch.payload["type"]))
+                    )
+            elif ch.kind == "rename_field":
+                src, dst = ch.payload["from"], ch.payload["to"]
+                if src in table.column_names:
+                    table = table.rename_columns(
+                        [dst if c == src else c for c in table.column_names]
+                    )
+            elif ch.kind == "widen_field":
+                name = ch.payload["name"]
+                if name in table.column_names:
+                    idx = table.schema.get_field_index(name)
+                    table = table.set_column(
+                        idx, name,
+                        table[name].cast(pa.type_for_alias(ch.payload["to_type"]), safe=True),
+                    )
+        return table
 
     def rewrite_to_latest(self, batch: pa.Table, ver_col: str = "schema_ver") -> pa.Table:
         """Rewrite a mixed-version batch to the latest logical schema.

@@ -1,0 +1,116 @@
+"""Checkpointed incremental ingest: exactly-once, resume, crash recovery
+(FIXTURES.md §4.5/4.6; models ``BatchReadPauseAndStreamReadTest``)."""
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from tapdata_connectors_ray.oracle import expected_final_state
+from tapdata_connectors_ray.pipelines.incremental import CheckpointedIngest
+from tapdata_connectors_ray.state.checkpoint import load_manifest
+
+
+@pytest.fixture(scope="module")
+def paths(smoke_fixture_dir):
+    return (
+        smoke_fixture_dir + "/events.parquet",
+        smoke_fixture_dir + "/transcripts.parquet",
+    )
+
+
+@pytest.fixture(scope="module")
+def expected(paths):
+    ev, base = paths
+    return expected_final_state(pq.read_table(base), pq.read_table(ev))
+
+
+@pytest.fixture()
+def lake_dir():
+    d = tempfile.mkdtemp(prefix="lake_", dir="/tmp")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _as_sorted_df(ds_or_table) -> pd.DataFrame:
+    df = ds_or_table.to_pandas()
+    df = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    df["turn_score"] = df["turn_score"].astype("Int64")
+    return df
+
+
+def assert_lake_matches(ingest, expected):
+    pd.testing.assert_frame_equal(
+        _as_sorted_df(ingest.final_dataset()), _as_sorted_df(expected)
+    )
+
+
+def test_single_epoch(paths, expected, lake_dir):
+    ev, base = paths
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing.ingest(ev, base)
+    assert_lake_matches(ing, expected)
+    m = load_manifest(lake_dir)
+    assert m is not None and m.epoch == 1
+    assert all(st.applied_lsn >= 0 for st in m.partitions.values())
+
+
+def test_multi_epoch(paths, expected, lake_dir):
+    ev, base = paths
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing.ingest_in_epochs(ev, base, n_epochs=4)
+    assert_lake_matches(ing, expected)
+    assert ing.manifest.epoch == 4
+
+
+def test_resume_from_checkpoint(paths, expected, lake_dir):
+    """Stop after a mid-log checkpoint, open a fresh coordinator from the
+    manifest, finish the log — identical to an uninterrupted run."""
+    ev, base = paths
+    mid = pq.read_metadata(ev).num_rows  # any LSN inside the log works
+    ing1 = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing1.ingest(ev, base, end_lsn=mid // 2)
+    del ing1
+    ing2 = CheckpointedIngest(lake_dir, num_partitions=16)  # resumes manifest
+    assert ing2.manifest.epoch == 1
+    ing2.ingest(ev)
+    assert_lake_matches(ing2, expected)
+
+
+def test_crash_before_commit(paths, expected, lake_dir):
+    """Data files written but manifest swap never happened: the lake must
+    still converge on re-run (orphan files are invisible)."""
+    ev, base = paths
+    ing1 = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing1.ingest(ev, base, end_lsn=5000, commit=False)
+    assert load_manifest(lake_dir) is None  # nothing visible committed
+    ing2 = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing2.ingest(ev, base)
+    assert_lake_matches(ing2, expected)
+
+
+def test_reingest_is_noop(paths, expected, lake_dir):
+    ev, base = paths
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing.ingest(ev, base)
+    rows_before = ing.metrics()["rows"]
+    m = ing.ingest(ev, base)  # full log again — everything below watermark
+    assert ing.metrics()["rows"] == rows_before
+    assert_lake_matches(ing, expected)
+    assert m.epoch == 2
+
+
+def test_point_lookup_and_metrics(paths, expected, lake_dir):
+    ev, base = paths
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing.ingest(ev, base)
+    exp = expected.to_pylist()
+    probe = exp[len(exp) // 2]
+    got = ing.query_by_key(probe["conv_id"], probe["turn_idx"])
+    assert got is not None and got["text"] == probe["text"]
+    assert ing.query_by_key("conv-does-not-exist", 0) is None
+    m = ing.metrics()
+    assert m["rows"] == len(exp)
+    assert m["schema_version"] == 4

@@ -117,6 +117,6 @@ def test_final_table_sorted_latest_schema():
     red = run([ev(2, "I", conv="z", text="zz"), ev(1, "I", conv="a", text="aa")])
     t = red.final_table()
     assert t.column_names == [
-        "conv_id", "turn_idx", "role", "text", "tool_name", "tool_meta", "turn_score", "ts",
+        "conv_id", "turn_idx", "role", "text", "tool_name", "turn_score", "ts", "tool_meta",
     ]
     assert t["conv_id"].to_pylist() == ["a", "z"]
