@@ -1,0 +1,91 @@
+"""Consistency aggregates (survey §2.4): count, filtered count, min/max,
+whole-table hash checksum, table stats.
+
+The reference's aggregation surface is exactly these — they drive partition
+planning (`min/max`, ``MysqlConnector.java:279-315``), progress accounting
+(``batchCount``, ``CommonDbConnector.java:364-374``) and cross-store
+consistency verification (the md5 row-hash sum, ``MysqlConnector.buildHashSql``
+``:782-827``).  All are distributed: per-batch partials inside
+``map_batches`` then a tiny global reduce — no full-table shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from tapdata_connectors_ray.functions.hashing import md5_number_lower
+from tapdata_connectors_ray.functions.query import AdvanceFilter, predicate_mask
+
+HASH_MOD = 1_000_000_007  # per-row modulus keeps the global sum inside int64
+NULL_SENTINEL = "∅"  # matches COALESCE(CAST(col AS VARCHAR), '∅') in SQL
+
+
+def batch_count(ds: ray.data.Dataset) -> int:
+    """``batchCount`` — Ray Data counts from metadata when possible."""
+    return ds.count()
+
+
+def count_by_filter(ds: ray.data.Dataset, flt: AdvanceFilter) -> int:
+    """``countByAdvanceFilter`` — vectorized predicate, metadata-free count."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(predicate_mask(batch, flt))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True).count()
+
+
+def min_max(ds: ray.data.Dataset, column: str) -> tuple:
+    from ray.data.aggregate import Max, Min
+
+    row = ds.aggregate(Min(column, alias_name="mn"), Max(column, alias_name="mx"))
+    return row["mn"], row["mx"]
+
+
+def canonical_row_strings(batch: pa.Table, columns: list[str]) -> pd.Series:
+    """'|'-joined stringification matching the oracle SQL's
+    ``concat_ws('|', coalesce(cast(c as varchar), '∅'), ...)`` — DuckDB and
+    Python both print shortest-roundtrip doubles, so the strings agree."""
+    parts = []
+    for c in columns:
+        col = batch[c].to_pandas()
+        s = col.map(lambda v: NULL_SENTINEL if pd.isna(v) else str(v))
+        parts.append(s)
+    out = parts[0]
+    for s in parts[1:]:
+        out = out + "|" + s
+    return out
+
+
+def table_hash(ds: ray.data.Dataset, columns: list[str]) -> int:
+    """Order-insensitive table checksum: sum over rows of
+    ``md5_number_lower(canonical_row) % HASH_MOD``.  A checksum operator —
+    md5 is inherently per-row; it runs as batch partials, not a hot-path
+    transform (same role as the server-side md5 SQL in the reference)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        strs = canonical_row_strings(batch, columns)
+        h = md5_number_lower(strs.tolist()) % np.uint64(HASH_MOD)
+        return pa.table({"partial": [int(h.sum(dtype=np.uint64))]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    total = parts.sum("partial")
+    return int(total)
+
+
+def table_stats(path: str | list[str]) -> dict:
+    """Rows + storage bytes from Parquet metadata only (no data read) —
+    the catalog-stats analogue (``MysqlConnector.java:774-780``)."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(path, format="parquet")
+    rows = 0
+    byte_size = 0
+    for frag in ds.get_fragments():
+        md = frag.metadata
+        rows += md.num_rows
+        for i in range(md.num_row_groups):
+            byte_size += md.row_group(i).total_byte_size
+    return {"num_rows": rows, "storage_bytes": byte_size}

@@ -1,0 +1,236 @@
+"""Driver-table query pipelines: the advance-filter algebra, consistency
+aggregates, partition planning and windowed aggregates over the testdata
+tables — each paired with a DuckDB oracle in entrypoints.py.
+
+These are the conformance surface for survey §2.4/§2.5 (plus the
+training-pipeline windowed aggregate the reference lacks), expressed
+Ray-Data-first: pruned reads, vectorized predicates, partial aggregation
+before any shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from tapdata_connectors_ray.functions.aggregates import (
+    batch_count,
+    count_by_filter,
+    min_max,
+    table_hash,
+)
+from tapdata_connectors_ray.functions.partition_planner import pk_range_boundaries
+from tapdata_connectors_ray.functions.query import (
+    AdvanceFilter,
+    QueryOperator,
+    SortOn,
+    apply_advance_filter,
+)
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# -- advance-filter algebra --------------------------------------------------
+
+
+def q_af_lineitem_filter_sort_limit(sf_dir: str):
+    """Predicate + projection + multi-key sort + skip/limit paging
+    (``CommonDbConnector.java:681-735``).  Sort keys are a unique composite
+    so paging is deterministic for the oracle comparison."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    flt = AdvanceFilter(
+        operators=[
+            QueryOperator("l_quantity", "gte", 30.0),
+            QueryOperator("l_shipdate", "lt", pd.Timestamp("1997-01-01")),
+        ],
+        projection=["l_orderkey", "l_linenumber", "l_extendedprice"],
+        sort_on=[
+            SortOn("l_extendedprice", descending=True),
+            SortOn("l_orderkey"),
+            SortOn("l_linenumber"),
+        ],
+        skip=10,
+        limit=100,
+    )
+    return apply_advance_filter(ds, flt)
+
+
+def q_af_customer_match(sf_dir: str):
+    """Conjunctive equality match + projection (``buildKeyAndValue``)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "customer"))
+    flt = AdvanceFilter(
+        match={"c_mktsegment": "BUILDING"},
+        projection=["c_custkey", "c_name", "c_acctbal"],
+    )
+    return apply_advance_filter(ds, flt)
+
+
+# -- consistency aggregates --------------------------------------------------
+
+
+def q_batch_count_orders(sf_dir: str):
+    n = batch_count(ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"]))
+    return pd.DataFrame({"n": [n]})
+
+
+def q_count_by_filter_events(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    flt = AdvanceFilter(
+        match={"event_type": "click"}, operators=[QueryOperator("value", "gte", 50.0)]
+    )
+    return pd.DataFrame({"n": [count_by_filter(ds, flt)]})
+
+
+def q_min_max_lineitem(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
+    mn, mx = min_max(ds, "l_extendedprice")
+    return pd.DataFrame({"mn": [round(float(mn), 6)], "mx": [round(float(mx), 6)]})
+
+
+CUSTOMER_HASH_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def q_table_hash_customer(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "customer"), columns=CUSTOMER_HASH_COLS)
+    return pd.DataFrame({"table_hash": [table_hash(ds, CUSTOMER_HASH_COLS)]})
+
+
+def q_hash_split_shard(sf_dir: str):
+    """One mod-shard of the hash-split parallel snapshot read
+    (``mod(pk, maxSplit) = i``, ``CommonDbConnector.java:621-674``)."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    )
+
+    def shard(batch: pa.Table) -> pa.Table:
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keys % 20 == 3))
+
+    sharded = ds.map_batches(shard, batch_format="pyarrow", zero_copy_batch=True)
+    row = sharded.aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+    )
+    return pd.DataFrame({"n": [int(row["n"])], "sum_qty": [round(float(row["sum_qty"]), 6)]})
+
+
+def q_pk_range_boundaries_orders(sf_dir: str):
+    return pk_range_boundaries(_t(sf_dir, "orders"), "o_orderkey", every=5000)
+
+
+def q_distinct_segments(sf_dir: str):
+    vals = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_mktsegment"]
+    ).unique("c_mktsegment")
+    return pd.DataFrame({"c_mktsegment": sorted(vals)})
+
+
+# -- windowed aggregate (training-pipeline op; reference has no windows) -----
+
+
+def q_events_tumbling_window(sf_dir: str):
+    """Per-user 1-hour tumbling window: event count + value sum.  Windowing =
+    vectorized bucket column inside map_batches, then grouped aggregate over
+    (user, window) — partial aggregation happens inside Ray's hash aggregate."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        win = pc.divide(us, 3_600_000_000)
+        return batch.append_column("win_hour", win).drop_columns(["ts"])
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "win_hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("sum_value")
+        return batch.set_column(idx, "sum_value", pc.round(batch["sum_value"], 6))
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -- DuckDB oracles ----------------------------------------------------------
+
+RELATIONAL_SQL: dict[str, str] = {
+    "af_lineitem_filter_sort_limit": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity >= 30.0 AND l_shipdate < TIMESTAMP '1997-01-01'
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 100 OFFSET 10
+    """,
+    "af_customer_match": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    "batch_count_orders": "SELECT count(*) AS n FROM orders",
+    "count_by_filter_events": """
+        SELECT count(*) AS n FROM events
+        WHERE event_type = 'click' AND value >= 50.0
+    """,
+    "min_max_lineitem": """
+        SELECT round(min(l_extendedprice), 6) AS mn,
+               round(max(l_extendedprice), 6) AS mx
+        FROM lineitem
+    """,
+    "table_hash_customer": f"""
+        SELECT CAST(SUM(md5_number_lower(
+            concat_ws('|',
+                coalesce(CAST(c_custkey AS VARCHAR), '∅'),
+                coalesce(CAST(c_name AS VARCHAR), '∅'),
+                coalesce(CAST(c_nationkey AS VARCHAR), '∅'),
+                coalesce(CAST(c_acctbal AS VARCHAR), '∅'),
+                coalesce(CAST(c_mktsegment AS VARCHAR), '∅'))
+        ) % {1_000_000_007}) AS BIGINT) AS table_hash
+        FROM customer
+    """,
+    "hash_split_shard": """
+        SELECT count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+        FROM lineitem WHERE l_orderkey % 20 = 3
+    """,
+    "pk_range_boundaries_orders": """
+        SELECT o_orderkey AS boundary FROM (
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_orderkey) AS rn
+            FROM orders
+        ) WHERE (rn - 1) % 5000 = 0
+        ORDER BY boundary
+    """,
+    "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1",
+    "events_tumbling_window": """
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win_hour,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+}
+
+
+def relational_queries():
+    return {
+        "af_lineitem_filter_sort_limit": q_af_lineitem_filter_sort_limit,
+        "af_customer_match": q_af_customer_match,
+        "batch_count_orders": q_batch_count_orders,
+        "count_by_filter_events": q_count_by_filter_events,
+        "min_max_lineitem": q_min_max_lineitem,
+        "table_hash_customer": q_table_hash_customer,
+        "hash_split_shard": q_hash_split_shard,
+        "pk_range_boundaries_orders": q_pk_range_boundaries_orders,
+        "distinct_segments": q_distinct_segments,
+        "events_tumbling_window": q_events_tumbling_window,
+    }
