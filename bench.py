@@ -1,0 +1,190 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline CDC replay pipeline plus a panel of representative query
+pipelines over ``$GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) and
+prints ONE JSON line::
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "events_per_sec": ..., ...}
+
+``--scaling`` runs the headline replay twice in FRESH processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input and reports both
+throughputs plus scaling efficiency ``(T_8 * 8) / (T_32 * 32)`` (the
+sandbox analogue of the north rule's N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+METRIC = (
+    "change-events/sec applied end-to-end (CDC replay: snapshot + log -> "
+    "normalize/evolve -> salted shuffle -> LWW merge -> parquet lake)"
+)
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+
+
+def run_headline(sf_label: str, num_cpus: int) -> dict:
+    """Full replay at the fixture tier matching $GRAFT_SF_DIR, consumed by a
+    real parquet sink (the end-to-end path the north rule measures)."""
+    from tapdata_connectors_ray.fixtures import ensure_fixtures
+    from tapdata_connectors_ray.pipelines.replay import replay_final_state
+
+    d = ensure_fixtures(sf_label)
+    ev = os.path.join(d, "events.parquet")
+    base = os.path.join(d, "transcripts.parquet")
+    import pyarrow.parquet as pq
+
+    n_events = pq.read_metadata(ev).num_rows + pq.read_metadata(base).num_rows
+
+    _init_ray(num_cpus)
+    out_dir = tempfile.mkdtemp(prefix="bench_lake_", dir="/tmp")
+    t0 = time.perf_counter()
+    ds = replay_final_state(ev, base, num_partitions=256, salt_buckets=8)
+    ds.write_parquet(out_dir)
+    sec = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": sec, "events": n_events, "events_per_sec": n_events / sec}
+
+
+def run_query_panel(sf_dir: str) -> dict[str, float]:
+    """Wall-time per representative query pipeline over the driver tables."""
+    import importlib
+
+    entry = importlib.import_module("__ray_entry__")
+    qs = entry.queries()
+    panel = [
+        "cdc_replay_final_state",
+        "cdc_replay_salted",
+        "cdc_write_counters",
+        "cdc_incremental_multi_epoch",
+        "af_lineitem_filter_sort_limit",
+        "table_hash_customer",
+        "events_tumbling_window",
+        "hash_split_shard",
+        # training-data ops (present from the point they are implemented)
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "text_quality_scores",
+        "text_language_id",
+    ]
+    out: dict[str, float] = {}
+    for name in panel:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        # consume lazily-built datasets so we time execution, not graph build
+        if hasattr(res, "count") and not hasattr(res, "columns"):
+            res.count()
+        elif hasattr(res, "to_pandas") and not isinstance(res, __import__("pandas").DataFrame):
+            res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _headline_subprocess(num_cpus: int, sf_label: str) -> dict:
+    """Fresh-process headline run (clean ray session at the given CPU count)."""
+    env = dict(os.environ)
+    env["RAY_GRAFT_CPUS"] = str(num_cpus)
+    env["GRAFT_SF_DIR"] = SF_DIR
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--headline-only"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"headline subprocess failed:\n{proc.stderr[-4000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def run_scaling(sf_label: str) -> dict:
+    lo, hi = 8, 32
+    r_lo = _headline_subprocess(lo, sf_label)
+    r_hi = _headline_subprocess(hi, sf_label)
+    # efficiency: throughput gain vs resource gain (1.0 = perfect linear)
+    eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
+    return {
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "events_per_sec_lo": round(r_lo["events_per_sec"], 1),
+        "events_per_sec_hi": round(r_hi["events_per_sec"], 1),
+        "sec_lo": round(r_lo["sec"], 3),
+        "sec_hi": round(r_hi["sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--no-panel", action="store_true")
+    args = ap.parse_args()
+
+    from tapdata_connectors_ray.fixtures import sf_label_from_dir
+
+    sf_label = sf_label_from_dir(SF_DIR)
+
+    import ray
+
+    if args.headline_only:
+        h = run_headline(sf_label, NUM_CPUS)
+        print(json.dumps({**h, "num_cpus": NUM_CPUS, "sf": sf_label}))
+        ray.shutdown()
+        return
+
+    if args.scaling:
+        result = run_scaling(sf_label)
+        result.update({"metric": METRIC + " [scaling N->4N]", "sf": sf_label, "unit": "sec"})
+        print(json.dumps(result))
+        return
+
+    h = run_headline(sf_label, NUM_CPUS)
+    queries = {} if args.no_panel else run_query_panel(SF_DIR)
+    print(
+        json.dumps(
+            {
+                "metric": METRIC,
+                "value": round(h["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_label,
+                "num_cpus": NUM_CPUS,
+                "events": h["events"],
+                "events_per_sec": round(h["events_per_sec"], 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
