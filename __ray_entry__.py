@@ -26,18 +26,22 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from tapdata_connectors_ray.pipelines.entrypoints import cdc_queries
     from tapdata_connectors_ray.pipelines.relational import relational_queries
+    from tapdata_connectors_ray.pipelines.training import training_queries
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(cdc_queries())
     out.update(relational_queries())
+    out.update(training_queries())
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from tapdata_connectors_ray.pipelines.entrypoints import cdc_oracle_sql
     from tapdata_connectors_ray.pipelines.relational import RELATIONAL_SQL
+    from tapdata_connectors_ray.pipelines.training import training_oracle_sql
 
     out: dict[str, str] = {}
     out.update(cdc_oracle_sql())
     out.update(RELATIONAL_SQL)
+    out.update(training_oracle_sql())
     return out

@@ -49,15 +49,13 @@ def _init_ray(num_cpus: int) -> None:
 def run_headline(sf_label: str, num_cpus: int) -> dict:
     """Full replay at the fixture tier matching $GRAFT_SF_DIR, consumed by a
     real parquet sink (the end-to-end path the north rule measures)."""
-    from tapdata_connectors_ray.fixtures import ensure_fixtures
+    from tapdata_connectors_ray.fixtures import ensure_fixtures, parquet_num_rows
     from tapdata_connectors_ray.pipelines.replay import replay_final_state
 
     d = ensure_fixtures(sf_label)
     ev = os.path.join(d, "events.parquet")
     base = os.path.join(d, "transcripts.parquet")
-    import pyarrow.parquet as pq
-
-    n_events = pq.read_metadata(ev).num_rows + pq.read_metadata(base).num_rows
+    n_events = parquet_num_rows(ev) + parquet_num_rows(base)
 
     _init_ray(num_cpus)
     out_dir = tempfile.mkdtemp(prefix="bench_lake_", dir="/tmp")

@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 
 from tapdata_connectors_ray.schema import EVENT_LOG_SCHEMA, TRANSCRIPTS_SCHEMA
 
-FIXTURE_VERSION = 4  # bump to invalidate cached fixtures
+FIXTURE_VERSION = 5  # bump to invalidate cached fixtures
 
 _EPOCH_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in microseconds
 
@@ -274,6 +274,30 @@ def generate_fixture_tables(spec: FixtureSpec) -> tuple[pa.Table, pa.Table]:
     return base, events
 
 
+_SHARD_ROWS = 64 * 1024
+
+
+def _write_sharded(table: pa.Table, out_dir: str) -> None:
+    """Write a table as a directory of <=64k-row parquet segment files."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = table.num_rows
+    n_shards = max(1, (n + _SHARD_ROWS - 1) // _SHARD_ROWS)
+    for i in range(n_shards):
+        chunk = table.slice(i * _SHARD_ROWS, _SHARD_ROWS)
+        pq.write_table(chunk, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+
+
+def parquet_num_rows(path: str) -> int:
+    """Row count from parquet footer metadata only (file or segment dir)."""
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def ensure_fixtures(
     sf: str = "sf0.001",
     root: str = DEFAULT_FIXTURE_ROOT,
@@ -298,9 +322,10 @@ def ensure_fixtures(
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     base, events = generate_fixture_tables(spec)
-    # many row groups -> parallel Ray read tasks
-    pq.write_table(base, os.path.join(tmp, "transcripts.parquet"), row_group_size=64 * 1024)
-    pq.write_table(events, os.path.join(tmp, "events.parquet"), row_group_size=64 * 1024)
+    # shard into many files (the log-segment layout a 100 TB lake uses):
+    # Ray schedules one read task per file, so sharding parallelizes the read
+    _write_sharded(base, os.path.join(tmp, "transcripts.parquet"))
+    _write_sharded(events, os.path.join(tmp, "events.parquet"))
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(
             {"fingerprint": spec.fingerprint(), "spec": asdict(spec),

@@ -37,11 +37,28 @@ DEFAULT_NUM_PARTITIONS = 64
 DEFAULT_BATCH_SIZE = 64 * 1024
 
 
+def _expand_paths(path: str | list[str]) -> list[str]:
+    """Expand segment directories to file lists (pyarrow needs files when a
+    list is passed, e.g. for the double-replay [log, log] case)."""
+    import os
+
+    paths = [path] if isinstance(path, str) else list(path)
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+        else:
+            out.append(p)
+    return out
+
+
 def scan_evolution_plan_distributed(events_path: str | list[str]) -> EvolutionPlan:
     """Pruned distributed scan of DDL rows (op == "DDL"): column projection +
     row-group predicate pushdown at the read, tiny result to the driver."""
     ddl = ray.data.read_parquet(
-        events_path,
+        _expand_paths(events_path),
         columns=["lsn", "op", "schema_ver", "ddl_payload"],
         filter=(pads.field("op") == "DDL"),
     )
@@ -77,7 +94,7 @@ def normalized_events(
     read_kwargs = {}
     if max_lsn is not None:
         read_kwargs["filter"] = pads.field("lsn") <= max_lsn
-    ev = ray.data.read_parquet(events_path, **read_kwargs)
+    ev = ray.data.read_parquet(_expand_paths(events_path), **read_kwargs)
     ev = ev.map_batches(
         NormalizeEvents(
             plan,
@@ -91,7 +108,7 @@ def normalized_events(
         zero_copy_batch=True,
     )
     if base_path is not None:
-        base = ray.data.read_parquet(base_path).map_batches(
+        base = ray.data.read_parquet(_expand_paths(base_path)).map_batches(
             BaseSnapshotToEvents(
                 plan, num_partitions, salt_buckets=salt_buckets, watermarks=watermarks
             ),

@@ -1,0 +1,708 @@
+"""Training-data pipeline operators over the ``documents`` / ``embeddings`` /
+media tables: dedup family, similarity search, text analysis, multimodal.
+
+Each query is a Ray-Data-first pipeline paired with a DuckDB oracle in
+``TRAINING_SQL`` (driver contract).  The documents table has no natural
+duplicates, so the dedup queries operate over a deterministic augmented
+corpus (verbatim + perturbed copies) constructed identically in Ray
+(``stages/dedup.augment_docs``) and in SQL (``_AUG_CTE``).
+
+Determinism rules for the oracle compare (value-hash over rounded floats):
+- pair outputs carry exact integers (common/union_n, hamming) — no floats;
+- ratio outputs are single IEEE divisions of identical integer operands
+  (bit-identical in numpy and DuckDB);
+- cosine outputs are float64 dot/norm products rounded to 5 decimals.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from tapdata_connectors_ray.fixtures import sf_label_from_dir
+
+NGRAM = 3
+JACCARD_THRESHOLD = 0.6
+MINHASH_THRESHOLD = 0.8
+SIMHASH_MAX_HAMMING = 3
+COSINE_DUP_THRESHOLD = 0.9
+ANN_QUERY_IDS = (0, 1, 2, 3, 4)
+ANN_K = 10
+IVF_NPROBE = 2
+
+
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _emb(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _aug_docs(sf_dir: str):
+    from tapdata_connectors_ray.stages.dedup import augment_docs
+
+    return _docs(sf_dir).map_batches(
+        augment_docs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# The SQL twin of stages/dedup.augment_docs (DuckDB list slicing is 1-based
+# inclusive == Python words[:k]).
+_AUG_CTE = """
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           array_to_string(
+               list_slice(string_split(text, ' '), 1,
+                          greatest(5, len(string_split(text, ' ')) - 7)), ' ') AS text
+    FROM documents WHERE doc_id % 5 = 1
+)
+"""
+
+# word-3-gram sets per augmented doc (lowercased, single-space tokenizer)
+_GRAMS_CTE = (
+    _AUG_CTE
+    + """
+, toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws FROM aug
+), words AS (
+    SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS i FROM toks
+), grams AS (
+    SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+    FROM words a
+    JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+), gcount AS (
+    SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+    FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+), pair_stats AS (
+    SELECT doc_a, doc_b, common,
+           na.n + nb.n - common AS union_n
+    FROM inter
+    JOIN gcount na ON na.doc_id = doc_a
+    JOIN gcount nb ON nb.doc_id = doc_b
+)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str) -> Any:
+    """Exact dedup: content-hash groupby, keep min doc_id per group
+    (hash-partition + per-group-first)."""
+    from tapdata_connectors_ray.stages.dedup import add_text_hash
+
+    aug = _aug_docs(sf_dir).map_batches(
+        add_text_hash, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = (
+        aug.select_columns(["text_hash", "doc_id"])
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    )
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+def _pair_dedupe(ds):
+    """Collapse repeated candidate pairs: coarse-bucket groupby + vectorized
+    per-bucket drop_duplicates (cheaper than a pair-level grouped aggregate,
+    which pays per-group overhead across 10^4+ groups)."""
+    from tapdata_connectors_ray.stages.dedup import add_pair_bucket, pair_dedupe_bucket
+
+    return (
+        ds.map_batches(add_pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pbucket")
+        .map_groups(pair_dedupe_bucket, batch_format="pandas")
+    )
+
+
+def _shingle_side(sf_dir: str):
+    """Driver-side build + ray.put of (doc_id -> shingle-hash set,
+    doc_id -> distinct-gram count).  Small side at conformance scale; the
+    100 TB path replaces the broadcast with a doc-keyed Dataset.join."""
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.stages.dedup import augment_docs, collect_shingle_sets
+
+    raw = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    aug = augment_docs(raw).to_pandas()
+    sets = collect_shingle_sets(aug, NGRAM)
+    counts = {i: len(h) for i, h in sets.items()}
+    return ray.put(sets), ray.put(counts)
+
+
+def q_dedup_ngram_jaccard(sf_dir: str) -> Any:
+    """n-gram Jaccard near-dup via a distributed inverted index: explode
+    distinct gram hashes -> coarse-bucket groupby with a vectorized
+    self-merge per bucket (exact per-pair common counts, Sum over buckets)
+    -> vectorized union/threshold filter against broadcast gram counts."""
+    from tapdata_connectors_ray.stages.dedup import (
+        add_pair_bucket,
+        gram_pair_partials,
+        make_union_filter,
+        ngram_index_rows,
+        pair_sum_bucket,
+    )
+
+    _, counts_ref = _shingle_side(sf_dir)
+    inv = _aug_docs(sf_dir).map_batches(
+        ngram_index_rows(NGRAM), batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = inv.groupby("bucket").map_groups(gram_pair_partials, batch_format="pandas")
+    common = (
+        partials.map_batches(add_pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pbucket")
+        .map_groups(pair_sum_bucket, batch_format="pandas")
+    )
+    filt = make_union_filter(counts_ref, JACCARD_THRESHOLD)
+    return common.map_batches(filt, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_dedup_minhash_lsh(sf_dir: str) -> Any:
+    """MinHash(128) + LSH banding (64 bands x 2 rows: recall ~1 at j>=0.8),
+    candidates exactly verified -> equals brute-force pairs (the oracle)."""
+    from tapdata_connectors_ray.stages.dedup import (
+        MinHashLSH,
+        band_pairs_bucket,
+        make_pair_verifier,
+    )
+
+    sets_ref, _ = _shingle_side(sf_dir)
+    bands = _aug_docs(sf_dir).map_batches(
+        MinHashLSH(ngram=NGRAM, num_perm=128, num_bands=64),
+        batch_format="pyarrow",
+    )
+    pairs = bands.groupby("sbucket").map_groups(band_pairs_bucket, batch_format="pandas")
+    cand = _pair_dedupe(pairs)
+    verifier = make_pair_verifier(sets_ref, MINHASH_THRESHOLD, NGRAM)
+    return cand.map_batches(verifier, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_dedup_simhash(sf_dir: str) -> Any:
+    """SimHash-64 near-dup pairs (hamming <= 3) via 4x16-bit chunk banding
+    (pigeonhole-exact, so output == brute-force pairs == the oracle)."""
+    from tapdata_connectors_ray.stages.dedup import (
+        SimHash,
+        hamming_filter,
+        simhash_chunk_rows,
+        simhash_pairs_bucket,
+    )
+
+    sigs = _aug_docs(sf_dir).map_batches(SimHash(), batch_format="pyarrow")
+    chunks = sigs.map_batches(simhash_chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = chunks.groupby("cbucket").map_groups(simhash_pairs_bucket, batch_format="pandas")
+    survivors = pairs.map_batches(
+        lambda b: hamming_filter(b, SIMHASH_MAX_HAMMING),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # a pair may surface from several chunks/buckets -> collapse (hamming is
+    # identical for every appearance, so drop-duplicates is exact)
+    return _pair_dedupe(survivors)
+
+
+def _aug_embeddings_np(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 matrix) of the augmented embedding corpus: verbatim
+    copies (vec_id%10==0 -> +1e6) and last-8-dims-zeroed copies
+    (vec_id%10==1 -> +2e6). Mirrors the SQL ``eaug`` CTE."""
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.stages.similarity import stack_embeddings
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_numpy()
+    mat = stack_embeddings(t)
+    m0, m1 = ids % 10 == 0, ids % 10 == 1
+    zeroed = mat[m1].copy()
+    zeroed[:, -8:] = 0.0
+    all_ids = np.concatenate([ids, ids[m0] + 1_000_000, ids[m1] + 2_000_000])
+    all_mat = np.concatenate([mat, mat[m0], zeroed])
+    return all_ids, all_mat
+
+
+def q_dedup_embedding_cosine(sf_dir: str) -> Any:
+    """Embedding cosine near-dup pairs over the augmented corpus: each block
+    multiplies against the broadcast normalized corpus (``ray.put`` once)."""
+    from tapdata_connectors_ray.stages.similarity import NearDupPairs, normalize_rows
+
+    ids, mat = _aug_embeddings_np(sf_dir)
+    corpus_ref = ray.put({"ids": ids, "mat": normalize_rows(mat)})
+    # distribute the row side as a dataset of (vec_id, embedding)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(list(mat.astype(np.float32)), type=pa.list_(pa.float32())),
+            }
+        )
+    )
+
+    class Pairs(NearDupPairs):
+        def __init__(self) -> None:
+            super().__init__(corpus_ref, COSINE_DUP_THRESHOLD)
+
+    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_matrix(sf_dir: str, qids=ANN_QUERY_IDS):
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.stages.similarity import stack_embeddings
+
+    t = (
+        pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+        .to_table(filter=pads.field("vec_id").isin(list(qids)))
+        .sort_by("vec_id")
+    )
+    return t["vec_id"].to_numpy(), stack_embeddings(t)
+
+
+def q_ann_cosine_topk(sf_dir: str) -> Any:
+    """Brute-force cosine top-k: per-block top-k against broadcast queries,
+    driver-side final reduce over k x blocks candidate rows."""
+    from tapdata_connectors_ray.stages.similarity import (
+        BruteForceTopK,
+        final_topk,
+        normalize_rows,
+    )
+
+    q_ids, q_mat = _query_matrix(sf_dir)
+    qref = ray.put({"ids": q_ids, "mat": normalize_rows(q_mat)})
+
+    class TopK(BruteForceTopK):
+        def __init__(self) -> None:
+            super().__init__(qref, ANN_K)
+
+    cands = (
+        _emb(sf_dir)
+        .select_columns(["vec_id", "embedding"])
+        .map_batches(TopK, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+    )
+    return final_topk(cands, ANN_K)
+
+
+def q_ann_ivf_topk(sf_dir: str) -> Any:
+    """IVF top-k: cells = label column, centroids = grouped mean (partial
+    aggregation), queries probe the 2 nearest centroids, exact search within
+    probed cells only (pushdown filter on label)."""
+    from tapdata_connectors_ray.stages.similarity import (
+        BruteForceTopK,
+        centroids_by_label,
+        final_topk,
+        normalize_rows,
+    )
+
+    labels, cents = centroids_by_label(_emb(sf_dir))
+    q_ids, q_mat = _query_matrix(sf_dir)
+    qn = normalize_rows(q_mat)
+    cn = normalize_rows(cents)
+    sims = qn @ cn.T  # (n_queries, n_labels)
+    # nprobe nearest cells per query; ties broken by label ascending
+    order = np.lexsort((np.broadcast_to(labels, sims.shape), -sims), axis=1)
+    probes = {int(q): set(labels[order[i, :IVF_NPROBE]].tolist()) for i, q in enumerate(q_ids)}
+    probed_union = sorted(set().union(*probes.values()))
+
+    qref = ray.put({"ids": q_ids, "mat": normalize_rows(q_mat)})
+
+    class IVFTopK(BruteForceTopK):
+        def __init__(self) -> None:
+            super().__init__(qref, ANN_K)
+            self.probes = probes
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from tapdata_connectors_ray.stages.similarity import (
+                normalize_rows as _nr,
+                stack_embeddings as _se,
+            )
+
+            mat = _nr(_se(batch))
+            ids = batch["vec_id"].to_numpy()
+            row_labels = batch["label"].to_numpy()
+            sims = mat @ self.q_mat.T
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(self.q_ids):
+                allowed = np.isin(row_labels, list(self.probes[int(qid)]))
+                mask = allowed & (ids != qid)
+                cand_ids, cand_sims = ids[mask], sims[mask, j]
+                if len(cand_ids) > self.k:
+                    part = np.argpartition(-cand_sims, self.k)[: self.k]
+                    cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+                out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
+                out_n.append(cand_ids)
+                out_s.append(cand_sims)
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                    "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+                }
+            )
+
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        filter=pads.field("label").isin(probed_union),  # prune at the read
+    )
+    cands = ds.map_batches(IVFTopK, batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+    return final_topk(cands, ANN_K)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_counts(sf_dir: str) -> Any:
+    from tapdata_connectors_ray.stages.textqc import token_count_batch
+
+    return _docs(sf_dir).map_batches(
+        token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_text_quality_scores(sf_dir: str) -> Any:
+    from tapdata_connectors_ray.stages.textqc import quality_score_batch
+
+    return _docs(sf_dir).map_batches(
+        quality_score_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_text_language_id(sf_dir: str) -> Any:
+    from tapdata_connectors_ray.stages.textqc import language_id_batch
+
+    return _docs(sf_dir).map_batches(
+        language_id_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_text_fingerprint(sf_dir: str) -> Any:
+    from tapdata_connectors_ray.stages.textqc import Fingerprint
+
+    return _docs(sf_dir).map_batches(Fingerprint, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def _media_path(sf_dir: str) -> str:
+    from tapdata_connectors_ray.sources.media import ensure_media_fixture
+
+    return ensure_media_fixture(sf_label_from_dir(sf_dir))
+
+
+def q_multimodal_payload_stats(sf_dir: str) -> Any:
+    """Typed-metadata pass over opaque binary payloads (no decode)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(_media_path(sf_dir))
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": batch["kind"],
+                "n_bytes": pc.binary_length(batch["payload"]).cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kind")
+        .aggregate(Count(alias_name="n_items"), Sum("n_bytes", alias_name="total_bytes"))
+    )
+
+
+def q_multimodal_decode_features(sf_dir: str) -> Any:
+    """Actor-pool decode stage over binary media (STUBBED codec — see
+    sources/media.py). Small batch_size: payloads are the memory unit."""
+    from tapdata_connectors_ray.sources.media import DecodeMedia
+
+    return ray.data.read_parquet(_media_path(sf_dir)).map_batches(
+        DecodeMedia, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+    )
+
+
+def q_multimodal_resize_pipeline(sf_dir: str) -> Any:
+    """resize (actor pool) -> decode (actor pool) chained over binary
+    payloads: the image-preprocessing layout at scale."""
+    import pyarrow.compute as pc
+
+    from tapdata_connectors_ray.sources.media import DecodeMedia, ResizeImageStub
+
+    ds = ray.data.read_parquet(_media_path(sf_dir))
+    images = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], "image")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    resized = images.map_batches(
+        ResizeImageStub, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+    )
+    return resized.map_batches(
+        DecodeMedia, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _pairs_sql(threshold: float) -> str:
+    return (
+        _GRAMS_CTE
+        + f"""
+SELECT doc_a, doc_b, common, union_n
+FROM pair_stats
+WHERE common * 1.0 / union_n >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+    )
+
+
+_SIMHASH_SQL = (
+    _AUG_CTE
+    + f"""
+, toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws FROM aug
+), words AS (
+    SELECT doc_id, unnest(ws) AS w FROM toks
+), wh AS (
+    SELECT doc_id, md5_number_lower(w) AS h FROM words
+), bits AS (
+    SELECT doc_id, j,
+           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM wh, generate_series(0, 63) AS g(j)
+    GROUP BY doc_id, j
+), sig AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS UBIGINT) << j) ELSE 0 END)
+                AS UBIGINT) AS sh
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+)
+
+_EAUG_CTE = """
+WITH eaug AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 10 = 0
+    UNION ALL
+    SELECT vec_id + 2000000,
+           list_concat(CAST(embedding[1:56] AS DOUBLE[]),
+                       CAST([0,0,0,0,0,0,0,0] AS DOUBLE[]))
+    FROM embeddings WHERE vec_id % 10 = 1
+)
+"""
+
+_CENTROID_CTE = """
+, el AS (
+    SELECT label,
+           unnest(CAST(embedding AS DOUBLE[])) AS v,
+           unnest(range(1, len(embedding) + 1)) AS d
+    FROM embeddings
+), cent AS (
+    SELECT label, d, avg(v) AS cv FROM el GROUP BY label, d
+), centl AS (
+    SELECT label, list(cv ORDER BY d) AS cvec FROM cent GROUP BY label
+)
+"""
+
+TRAINING_SQL: dict[str, str] = {
+    "dedup_exact": _AUG_CTE
+    + """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM aug GROUP BY text ORDER BY doc_id
+""",
+    "dedup_ngram_jaccard": _pairs_sql(JACCARD_THRESHOLD),
+    "dedup_minhash_lsh": _pairs_sql(MINHASH_THRESHOLD),
+    "dedup_simhash": _SIMHASH_SQL,
+    "dedup_embedding_cosine": _EAUG_CTE
+    + f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 5) AS sim
+FROM eaug a JOIN eaug b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 5) >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+""",
+    "ann_cosine_topk": f"""
+WITH q AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE vec_id IN {ANN_QUERY_IDS}
+), cand AS (
+    SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+           list_cosine_similarity(q.v, CAST(t.embedding AS DOUBLE[])) AS sim
+    FROM q JOIN embeddings t ON t.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, round(sim, 5) AS sim FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM cand
+) WHERE rn <= {ANN_K}
+ORDER BY query_id, neighbor_id
+""",
+    "ann_ivf_topk": f"""
+WITH dummy AS (SELECT 1)
+{_CENTROID_CTE.lstrip()}
+, q AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE vec_id IN {ANN_QUERY_IDS}
+), probes AS (
+    SELECT query_id, label FROM (
+        SELECT q.vec_id AS query_id, c.label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.cvec) DESC, c.label) AS rn
+        FROM q, centl c
+    ) WHERE rn <= {IVF_NPROBE}
+), cand AS (
+    SELECT p.query_id, t.vec_id AS neighbor_id,
+           list_cosine_similarity(q.v, CAST(t.embedding AS DOUBLE[])) AS sim
+    FROM probes p
+    JOIN embeddings t ON t.label = p.label
+    JOIN q ON q.vec_id = p.query_id
+    WHERE t.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, round(sim, 5) AS sim FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM cand
+) WHERE rn <= {ANN_K}
+ORDER BY query_id, neighbor_id
+""",
+    "text_token_counts": f"""
+SELECT doc_id,
+       len(string_split(lower(text), ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+""",
+    "text_quality_scores": """
+WITH base AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(lower(text), ' ')) AS n_words,
+           len(regexp_extract_all(lower(text), '[a-z]')) AS n_alpha,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       CASE WHEN n_words > 0
+            THEN (n_chars - (n_words - 1)) * 1.0 / n_words ELSE 0.0 END AS mean_word_len,
+       CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END AS alpha_ratio,
+       CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END AS stopword_ratio
+FROM base ORDER BY doc_id
+""",
+    "text_language_id": """
+WITH hits AS (
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS h_en,
+           len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('der', 'die', 'das', 'und', 'ist'))) AS h_de,
+           len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('el', 'los', 'las', 'y', 'es'))) AS h_es,
+           len(list_filter(string_split(lower(text), ' '),
+               w -> w IN ('le', 'les', 'et', 'est', 'une'))) AS h_fr
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       greatest(h_en, h_de, h_es, h_fr) AS stopword_hits
+FROM hits ORDER BY doc_id
+""",
+    # generate_series takes constants only in DuckDB 1.0 -> join a static
+    # 1..4096 stride-4 series against per-doc length (docs are <=4 KiB here)
+    "text_fingerprint": """
+WITH grams AS (
+    SELECT d.doc_id,
+           md5_number_lower(substr(lower(d.text), g.i, 8)) AS gh
+    FROM documents d
+    JOIN generate_series(1, 4096, 4) AS g(i)
+      ON g.i <= greatest(length(d.text) - 7, 1)
+)
+SELECT doc_id, min(gh) AS fingerprint FROM grams GROUP BY doc_id ORDER BY doc_id
+""",
+}
+
+
+def _payload_stats_sql(sf_dir: str) -> str:
+    media = _media_path(sf_dir).rstrip("/") + "/*.parquet"
+    return f"""
+SELECT kind, count(*) AS n_items,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes
+FROM read_parquet('{media}')
+GROUP BY kind ORDER BY kind
+"""
+
+
+def training_queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_token_counts": q_text_token_counts,
+        "text_quality_scores": q_text_quality_scores,
+        "text_language_id": q_text_language_id,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_payload_stats": q_multimodal_payload_stats,
+        "multimodal_decode_features": q_multimodal_decode_features,
+        "multimodal_resize_pipeline": q_multimodal_resize_pipeline,
+    }
+
+
+def training_oracle_sql() -> dict[str, str]:
+    out = dict(TRAINING_SQL)
+    # media oracle reads the fixture files directly (rendered for the
+    # driver's correctness tier, like the CDC fixture oracles)
+    out["multimodal_payload_stats"] = _payload_stats_sql("/root/testdata/sf0.01")
+    # decode/resize features have no SQL analogue (binary parsing) -> the
+    # driver records the weaker rows-only check for those two on purpose
+    return out

@@ -1,0 +1,150 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The 100 TB training-pipeline pattern: image/audio/video travel as ``binary``
+columns; decode / feature-extract / resize / frame-sample run as actor-pool
+``map_batches`` stages sized for large payloads (small ``batch_size``, one
+actor init per worker).  The image/audio codecs are NOT in this container,
+so the decode core is stubbed (clearly marked) behind a deterministic fake
+container format — the Ray-side plumbing (schema, actor signature, batch
+sizing, output layout) is real and tested.
+
+Fake container format (deterministic, seeded):
+- image: b"IMG1" + u16le width + u16le height + width*height gray bytes
+- audio: b"AUD1" + u32le sample_rate + u32le n_samples + n_samples i8 pcm
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MEDIA_FIXTURE_VERSION = 1
+
+_IMG_MAGIC = b"IMG1"
+_AUD_MAGIC = b"AUD1"
+
+
+def _gen_media_table(n_items: int, seed: int = 7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n_items, dtype=np.int64)
+    kinds = np.where(ids % 3 == 0, "audio", "image")
+    payloads: list[bytes] = []
+    for i, kind in zip(ids, kinds):
+        r = np.random.default_rng(seed * 1_000_003 + int(i))  # per-item stream
+        if kind == "image":
+            w = int(r.integers(8, 64))
+            h = int(r.integers(8, 64))
+            px = r.integers(0, 256, w * h, dtype=np.uint8)
+            payloads.append(_IMG_MAGIC + struct.pack("<HH", w, h) + px.tobytes())
+        else:
+            sr = int(r.choice([8000, 16000]))
+            ns = int(r.integers(64, 2048))
+            pcm = r.integers(-128, 128, ns, dtype=np.int8)
+            payloads.append(_AUD_MAGIC + struct.pack("<II", sr, ns) + pcm.tobytes())
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+MEDIA_COUNTS = {"sf0.001": 200, "sf0.01": 1_000, "sf0.1": 5_000, "sf1": 20_000}
+
+
+def ensure_media_fixture(sf: str, root: str = "/tmp/tcr_fixtures") -> str:
+    """Media parquet segment dir under the fixture root; cached by version."""
+    out = os.path.join(root, sf, "media.parquet")
+    marker = os.path.join(out, f".v{MEDIA_FIXTURE_VERSION}")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    table = _gen_media_table(MEDIA_COUNTS.get(sf, 1_000))
+    shard = 512  # large binary payloads -> small files/blocks
+    for i in range(0, table.num_rows, shard):
+        pq.write_table(
+            table.slice(i, shard), os.path.join(out, f"part-{i // shard:05d}.parquet")
+        )
+    open(marker, "w").close()
+    return out
+
+
+class DecodeMedia:
+    """Actor-pool decode stage.  ``__init__`` is where a real deployment
+    loads codecs (PIL / torchaudio / pyav) once per actor; here it binds the
+    stub decoders for the fake container format.
+
+    Real-codec path is stubbed: constructing with ``require_real_codecs=True``
+    raises ``NotImplementedError`` (the libs are not in this container)."""
+
+    def __init__(self, require_real_codecs: bool = False):
+        if require_real_codecs:
+            raise NotImplementedError(
+                "real image/audio codecs are not available in this environment; "
+                "the deterministic fake-container decoder is used instead"
+            )
+
+    @staticmethod
+    def _decode_one(kind: str, payload: bytes) -> tuple[int, int, float]:
+        """-> (dim_a, dim_b, mean_signal): (w, h, mean_pixel) for images,
+        (sample_rate, n_samples, mean_abs_pcm) for audio."""
+        if kind == "image":
+            assert payload[:4] == _IMG_MAGIC, "bad image magic"
+            w, h = struct.unpack_from("<HH", payload, 4)
+            px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=8)
+            return w, h, float(px.mean())
+        assert payload[:4] == _AUD_MAGIC, "bad audio magic"
+        sr, ns = struct.unpack_from("<II", payload, 4)
+        pcm = np.frombuffer(payload, dtype=np.int8, count=ns, offset=12)
+        return sr, ns, float(np.abs(pcm.astype(np.int32)).mean())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        decoded = [self._decode_one(k, p) for k, p in zip(kinds, payloads)]
+        a, b, m = zip(*decoded) if decoded else ((), (), ())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "dim_a": pa.array(a, type=pa.int64()),
+                "dim_b": pa.array(b, type=pa.int64()),
+                "mean_signal": pa.array(np.round(np.array(m, dtype=np.float64), 6)),
+            }
+        )
+
+
+class ResizeImageStub:
+    """Actor-pool resize stage (images only): nearest-neighbor downscale of
+    the fake gray payload to ``target`` x ``target`` — stands in for a real
+    vectorized resize; the batch plumbing (binary in, binary out, metadata
+    columns preserved) is the production layout."""
+
+    def __init__(self, target: int = 8):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for kind, payload in zip(batch["kind"].to_pylist(), batch["payload"].to_pylist()):
+            if kind != "image":
+                out.append(payload)
+                continue
+            w, h = struct.unpack_from("<HH", payload, 4)
+            px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=8).reshape(h, w)
+            t = self.target
+            yi = (np.arange(t) * h) // t
+            xi = (np.arange(t) * w) // t
+            small = px[np.ix_(yi, xi)]
+            out.append(_IMG_MAGIC + struct.pack("<HH", t, t) + small.tobytes())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(out, type=pa.binary()),
+            }
+        )

@@ -1,0 +1,416 @@
+"""Deduplication stages over a documents table: exact, MinHash+LSH, SimHash.
+
+The reference engine has no dedup operators beyond the exactly-once event
+ledger (survey §2.7) — these are the training-data-pipeline extensions, built
+Ray-Data-first:
+
+- exact dedup: hash(text) -> one groupby -> keep min doc_id per group
+  (hash-partition + per-group-first; the 64-bit group hash never surfaces in
+  output, the oracle groups by the text itself);
+- MinHash+LSH: per-batch vectorized signatures (np.minimum.reduceat over
+  concatenated shingle hashes — no per-shingle Python), banding -> ONE
+  groupby on (band, band_hash) -> candidate pairs -> exact-Jaccard verify.
+  Bands are sized for ~certain recall at the threshold, and every candidate
+  is verified exactly, so the output equals brute-force pairs — which is
+  what the DuckDB oracle computes;
+- SimHash: 64-bit signature per doc (md5-token parity with the oracle),
+  candidates via 4x16-bit chunk banding (pigeonhole-exact for hamming<=3).
+
+Scale notes (100 TB): candidate verification here broadcasts the per-doc
+shingle-hash sets via ``ray.put`` (small at conformance scale); the scale
+path re-shuffles candidate pairs against a doc-keyed dataset (Dataset.join)
+so no driver materialization — the banding/groupby skeleton is unchanged.
+A 64-bit group hash collides at ~2^32 docs; the scale path widens exact-dup
+grouping to a 128-bit digest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tapdata_connectors_ray.functions.texthash import (
+    MERSENNE_31,
+    CachedMd5,
+    distinct_ngram_hashes,
+    hashes_inter_union,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# corpus augmentation (shared with the oracle SQL in pipelines/training.py)
+# ---------------------------------------------------------------------------
+
+EXACT_COPY_OFFSET = 1_000_000
+NEARDUP_COPY_OFFSET = 2_000_000
+
+
+def augment_docs(batch: pa.Table) -> pa.Table:
+    """documents -> (doc_id, text) plus deterministic duplicate copies:
+
+    - every doc_id % 5 == 0: a verbatim copy at doc_id + 1e6;
+    - every doc_id % 5 == 1: a near-dup copy at doc_id + 2e6 keeping the
+      first max(5, n_words - 7) words.
+
+    Mirrored verbatim by the ``aug`` CTE in the oracle SQL (list slicing in
+    DuckDB is 1-based inclusive == Python ``words[:k]``).
+    """
+    doc_id = batch["doc_id"].to_numpy()
+    text = batch["text"].to_pylist()
+
+    out_ids: list[np.ndarray] = [doc_id]
+    out_text: list[list[str]] = [text]
+
+    exact_mask = doc_id % 5 == 0
+    out_ids.append(doc_id[exact_mask] + EXACT_COPY_OFFSET)
+    out_text.append([t for t, m in zip(text, exact_mask) if m])
+
+    near_mask = doc_id % 5 == 1
+    perturbed = []
+    for t, m in zip(text, near_mask):
+        if m:
+            words = t.split(" ")
+            k = max(5, len(words) - 7)
+            perturbed.append(" ".join(words[:k]))
+    out_ids.append(doc_id[near_mask] + NEARDUP_COPY_OFFSET)
+    out_text.append(perturbed)
+
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
+            "text": pa.array([t for chunk in out_text for t in chunk], type=pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_text_hash(batch: pa.Table) -> pa.Table:
+    """64-bit deterministic content hash column (internal grouping key).
+    Reinterpreted as int64: Ray's sort shuffle handles signed ints natively
+    but falls off a slow path on uint64 keys."""
+    h = pd.util.hash_array(np.asarray(batch["text"].to_pylist(), dtype=object))
+    return batch.append_column("text_hash", pa.array(h.view(np.int64), type=pa.int64()))
+
+
+def exact_dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Per content-hash group: keep the smallest doc_id, count the copies."""
+    return pd.DataFrame(
+        {"doc_id": [int(df["doc_id"].min())], "n_copies": [len(df)]}
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+class MinHashLSH:
+    """Stateful map_batches stage: doc -> LSH band rows.
+
+    ``__init__`` (once per actor) materializes the permutation coefficients;
+    ``__call__`` computes, per batch, minhash signatures for every doc with
+    one ``np.minimum.reduceat`` over the concatenated shingle-hash matrix,
+    then emits ``num_bands`` rows per doc keyed by the band digest.
+    """
+
+    def __init__(self, ngram: int = 3, num_perm: int = 128, num_bands: int = 64):
+        assert num_perm % num_bands == 0
+        self.ngram = ngram
+        self.num_perm = num_perm
+        self.num_bands = num_bands
+        self.rows_per_band = num_perm // num_bands
+        rng = np.random.default_rng(0xC0FFEE)
+        self.a = rng.integers(1, MERSENNE_31, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, MERSENNE_31, size=num_perm, dtype=np.uint64)
+
+    def signatures(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (sig[n_docs, num_perm], n_shingles[n_docs])."""
+        hash_arrays = [distinct_ngram_hashes(t, self.ngram) for t in texts]
+        lens = np.array([len(h) for h in hash_arrays], dtype=np.int64)
+        sigs = np.full((len(texts), self.num_perm), MERSENNE_31, dtype=np.uint64)
+        nonempty = lens > 0
+        if nonempty.any():
+            concat = np.concatenate([h for h in hash_arrays if len(h)]) % MERSENNE_31
+            # (n_shingles_total, num_perm) permuted hashes, segment-min per doc
+            perm = (concat[:, None] * self.a[None, :] + self.b[None, :]) % MERSENNE_31
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[nonempty])[:-1]
+            sigs[nonempty] = np.minimum.reduceat(perm, starts, axis=0)
+        return sigs, lens
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        doc_id = batch["doc_id"].to_numpy()
+        sigs, lens = self.signatures(texts)
+        keep = lens > 0  # shingle-less docs can't be near-dups
+        sigs, ids = sigs[keep], doc_id[keep]
+        n = len(ids)
+        band_sigs = sigs.reshape(n, self.num_bands, self.rows_per_band)
+        # digest each band to one uint64 bucket key
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        digest = np.zeros((n, self.num_bands), dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            digest = (digest * mix) ^ band_sigs[:, :, r]
+        band_idx = np.broadcast_to(np.arange(self.num_bands, dtype=np.int32), (n, self.num_bands))
+        return pa.table(
+            {
+                "band": pa.array(band_idx.ravel(), type=pa.int32()),
+                "bucket": pa.array(digest.ravel(), type=pa.uint64()),
+                # coarse shuffle key: O(256) groups, each one vectorized merge
+                "sbucket": pa.array((digest.ravel() & np.uint64(255)).astype(np.int32)),
+                "doc_id": pa.array(np.repeat(ids, self.num_bands), type=pa.int64()),
+            }
+        )
+
+
+def band_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One coarse shuffle bucket of LSH band rows -> distinct candidate
+    pairs, fully vectorized: pandas self-merge on the exact (band, bucket)
+    key.  The coarse bucket (``sbucket``) exists only to keep group count =
+    O(256), not O(#buckets), so the shuffle stays cheap and the per-group
+    work is one vectorized merge."""
+    m = df.merge(df, on=["band", "bucket"], suffixes=("_l", "_r"))
+    m = m[m["doc_id_l"] < m["doc_id_r"]]
+    out = m[["doc_id_l", "doc_id_r"]].drop_duplicates()
+    return out.rename(columns={"doc_id_l": "doc_a", "doc_id_r": "doc_b"})
+
+
+def gram_pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """One coarse bucket of inverted-index rows -> per-pair partial common
+    counts (vectorized merge on the exact gram hash; the global common count
+    is the Sum over buckets because each distinct gram lives in exactly one
+    bucket)."""
+    m = df.merge(df, on="gram", suffixes=("_l", "_r"))
+    m = m[m["doc_id_l"] < m["doc_id_r"]]
+    g = (
+        m.groupby(["doc_id_l", "doc_id_r"], sort=False)
+        .size()
+        .reset_index(name="common_part")
+    )
+    return g.rename(columns={"doc_id_l": "doc_a", "doc_id_r": "doc_b"})
+
+
+def add_pair_bucket(batch: pa.Table) -> pa.Table:
+    """Derived int32 shuffle key for pair-keyed reduces: Ray's grouped
+    aggregate pays per-group overhead, so pair-level groupbys (10^4..10^6
+    groups) go through a coarse 256-bucket groupby with one vectorized
+    pandas reduce per bucket instead."""
+    a = batch["doc_a"].to_numpy()
+    b = batch["doc_b"].to_numpy()
+    h = ((a * 1_000_003 + b) & 255).astype(np.int32)
+    return batch.append_column("pbucket", pa.array(h))
+
+
+def pair_sum_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One pair bucket: sum partial common counts to the exact global count
+    (each (a,b) pair maps to exactly one bucket)."""
+    g = (
+        df.groupby(["doc_a", "doc_b"], sort=False)["common_part"]
+        .sum()
+        .reset_index(name="common")
+    )
+    return g
+
+
+def pair_dedupe_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One pair bucket: drop duplicate candidate pairs (vectorized)."""
+    return df.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pbucket"])
+
+
+def make_union_filter(gram_counts_ref, threshold: float):
+    """Vectorized final jaccard filter: per-doc distinct-gram counts are
+    broadcast once (``ray.put``); union = n_a + n_b - common; keep pairs with
+    the same IEEE division the oracle's WHERE clause performs."""
+    import ray
+
+    class UnionFilter:
+        def __init__(self) -> None:
+            self.counts = pd.Series(ray.get(gram_counts_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["doc_a"].to_numpy()
+            b = batch["doc_b"].to_numpy()
+            common = batch["common"].to_numpy().astype(np.int64)
+            na = self.counts.reindex(a).to_numpy()
+            nb = self.counts.reindex(b).to_numpy()
+            union = na + nb - common
+            keep = (union > 0) & (common / np.maximum(union, 1) >= threshold)
+            return pa.table(
+                {
+                    "doc_a": pa.array(a[keep], type=pa.int64()),
+                    "doc_b": pa.array(b[keep], type=pa.int64()),
+                    "common": pa.array(common[keep], type=pa.int64()),
+                    "union_n": pa.array(union[keep].astype(np.int64), type=pa.int64()),
+                }
+            )
+
+    return UnionFilter
+
+
+def make_pair_verifier(shingle_sets_ref, threshold: float, ngram: int):
+    """map_batches verifier: exact Jaccard over broadcast shingle sets
+    (``ray.put`` once, read per task — never re-shipped per batch)."""
+    import ray
+
+    class VerifyPairs:
+        def __init__(self) -> None:
+            self.sets = ray.get(shingle_sets_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["doc_a"].to_numpy()
+            b = batch["doc_b"].to_numpy()
+            iu = [hashes_inter_union(self.sets[x], self.sets[y]) for x, y in zip(a, b)]
+            common = np.array([c for c, _ in iu], dtype=np.int64)
+            union = np.array([u for _, u in iu], dtype=np.int64)
+            # same IEEE division the oracle's WHERE clause performs
+            keep = (union > 0) & (common / np.maximum(union, 1) >= threshold)
+            return pa.table(
+                {
+                    "doc_a": pa.array(a[keep], type=pa.int64()),
+                    "doc_b": pa.array(b[keep], type=pa.int64()),
+                    "common": pa.array(common[keep], type=pa.int64()),
+                    "union_n": pa.array(union[keep], type=pa.int64()),
+                }
+            )
+
+    return VerifyPairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks: pigeonhole-exact for hamming <= 3
+
+
+class SimHash:
+    """map_batches stage: doc -> (doc_id, simhash, chunk rows).
+
+    Token hash = md5_number_lower (oracle parity, per-actor cached — the
+    vocabulary is bounded so the cache amortizes to O(1) per token).
+    """
+
+    def __init__(self) -> None:
+        self.md5 = CachedMd5()
+
+    def simhash64(self, text: str) -> np.uint64:
+        toks = tokens(text)
+        h = self.md5.many(toks)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        score = (2 * bits - 1).sum(axis=0)
+        return ((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            dtype=np.uint64
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        doc_id = batch["doc_id"].to_numpy()
+        sigs = np.array([self.simhash64(t) for t in texts], dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, type=pa.int64()),
+                "simhash": pa.array(sigs, type=pa.uint64()),
+            }
+        )
+
+
+def simhash_chunk_rows(batch: pa.Table) -> pa.Table:
+    """Explode signatures into (chunk_idx, chunk_value, doc_id, simhash)."""
+    sig = batch["simhash"].to_numpy()
+    doc_id = batch["doc_id"].to_numpy()
+    n = len(sig)
+    chunks = np.empty((n, SIMHASH_CHUNKS), dtype=np.uint64)
+    for c in range(SIMHASH_CHUNKS):
+        chunks[:, c] = (sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+    idx = np.broadcast_to(np.arange(SIMHASH_CHUNKS, dtype=np.int32), (n, SIMHASH_CHUNKS))
+    return pa.table(
+        {
+            "chunk_idx": pa.array(idx.ravel(), type=pa.int32()),
+            "chunk_val": pa.array(chunks.ravel(), type=pa.uint64()),
+            "cbucket": pa.array((chunks.ravel() & np.uint64(255)).astype(np.int32)),
+            "doc_id": pa.array(np.repeat(doc_id, SIMHASH_CHUNKS), type=pa.int64()),
+            "simhash": pa.array(np.repeat(sig, SIMHASH_CHUNKS), type=pa.uint64()),
+        }
+    )
+
+
+def simhash_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One coarse bucket of chunk rows -> candidate pairs with signatures
+    (vectorized merge on the exact (chunk_idx, chunk_val) key)."""
+    m = df.merge(df, on=["chunk_idx", "chunk_val"], suffixes=("_l", "_r"))
+    m = m[m["doc_id_l"] < m["doc_id_r"]]
+    out = m[["doc_id_l", "doc_id_r", "simhash_l", "simhash_r"]].drop_duplicates(
+        ["doc_id_l", "doc_id_r"]
+    )
+    return out.rename(
+        columns={
+            "doc_id_l": "doc_a",
+            "doc_id_r": "doc_b",
+            "simhash_l": "sig_a",
+            "simhash_r": "sig_b",
+        }
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1)
+
+
+def hamming_filter(batch: pa.Table, max_hamming: int = 3) -> pa.Table:
+    a = batch["sig_a"].to_numpy().astype(np.uint64)
+    b = batch["sig_b"].to_numpy().astype(np.uint64)
+    if len(a) == 0:
+        return pa.table(
+            {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64()),
+             "hamming": pa.array([], type=pa.int64())}
+        )
+    ham = _popcount64(a ^ b).astype(np.int64)
+    keep = ham <= max_hamming
+    return pa.table(
+        {
+            "doc_a": pa.array(batch["doc_a"].to_numpy()[keep], type=pa.int64()),
+            "doc_b": pa.array(batch["doc_b"].to_numpy()[keep], type=pa.int64()),
+            "hamming": pa.array(ham[keep], type=pa.int64()),
+        }
+    )
+
+
+def collect_shingle_sets(texts_df: pd.DataFrame, ngram: int) -> dict[int, np.ndarray]:
+    """doc_id -> sorted distinct shingle hashes (broadcast small side)."""
+    return {
+        int(i): distinct_ngram_hashes(t, ngram)
+        for i, t in zip(texts_df["doc_id"], texts_df["text"])
+    }
+
+
+def ngram_index_rows(ngram: int):
+    """map_batches fn: explode docs into (gram_hash, doc_id) inverted-index
+    rows plus implicit distinct-gram counting downstream."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy()
+        all_hashes = [distinct_ngram_hashes(t, ngram) for t in texts]
+        lens = np.array([len(h) for h in all_hashes], dtype=np.int64)
+        grams = (
+            np.concatenate([h for h in all_hashes if len(h)])
+            if lens.sum()
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                "gram": pa.array(grams, type=pa.uint64()),
+                "bucket": pa.array((grams & np.uint64(255)).astype(np.int32)),
+                "doc_id": pa.array(np.repeat(ids, lens), type=pa.int64()),
+            }
+        )
+
+    return explode

@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Training-data-pipeline extension (the reference has no vector ops):
+
+- brute-force cosine top-k: the query matrix is broadcast ONCE via
+  ``ray.put``; each ``map_batches`` task does one float64 matmul of its
+  batch against the queries and emits only its local top-k candidates, so
+  the driver-side final reduce sees k rows per (query, block), not the
+  corpus;
+- IVF top-k: cells = the ``label`` column (a pre-computed clustering);
+  centroids are a metadata-scale grouped mean; queries probe the
+  ``nprobe`` nearest centroids and brute-force only those cells — the
+  classic inverted-file ANN layout, expressed as a filter pushed into the
+  same batched matmul;
+- cosine near-dup pairs: block x broadcast-corpus matmul, emit pairs above
+  a threshold (the embedding analogue of MinHash dedup).  Scale path: the
+  broadcast side becomes LSH-bucketed (random hyperplanes) so each block
+  multiplies against its bucket only.
+
+All arithmetic is float64 after an exact float32->float64 widen, matching
+DuckDB's ``list_cosine_similarity(CAST(...AS DOUBLE[]))`` to ~1 ulp; outputs
+round to 5 decimals before the threshold/compare.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def stack_embeddings(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column (zero-copy flatten)."""
+    arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """map_batches stage: batch-local top-k cosine vs broadcast queries."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref)  # {"ids": (m,), "mat": (m, d) normalized}
+        self.q_ids = q["ids"]
+        self.q_mat = q["mat"]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = normalize_rows(stack_embeddings(batch))
+        ids = batch["vec_id"].to_numpy()
+        sims = mat @ self.q_mat.T  # (n, m)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(self.q_ids):
+            col = sims[:, j]
+            mask = ids != qid  # exclude self-match
+            cand_ids, cand_sims = ids[mask], col[mask]
+            if len(cand_ids) > self.k:
+                part = np.argpartition(-cand_sims, self.k)[: self.k]
+                cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+            out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
+            out_n.append(cand_ids)
+            out_s.append(cand_sims)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+
+def final_topk(candidates: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver-side reduce of per-block candidates (k x blocks rows)."""
+    df = candidates.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True], kind="stable"
+    )
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["sim"] = df["sim"].round(5)
+    return df[["query_id", "neighbor_id", "sim"]]
+
+
+class NearDupPairs:
+    """map_batches stage: pairs (a < b) with cosine >= threshold, batch rows
+    vs the broadcast normalized corpus."""
+
+    def __init__(self, corpus_ref, threshold: float):
+        import ray
+
+        c = ray.get(corpus_ref)
+        self.c_ids = c["ids"]
+        self.c_mat = c["mat"]
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = normalize_rows(stack_embeddings(batch))
+        ids = batch["vec_id"].to_numpy()
+        sims = mat @ self.c_mat.T
+        rounded = np.round(sims, 5)
+        # a < b avoids double emission across blocks
+        pair_mask = (rounded >= self.threshold) & (ids[:, None] < self.c_ids[None, :])
+        ii, jj = np.nonzero(pair_mask)
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ii], type=pa.int64()),
+                "vec_b": pa.array(self.c_ids[jj], type=pa.int64()),
+                "sim": pa.array(rounded[ii, jj], type=pa.float64()),
+            }
+        )
+
+
+def centroids_by_label(ds) -> tuple[np.ndarray, np.ndarray]:
+    """(labels, centroid matrix) — grouped mean over the label column.
+    Sums are accumulated per batch (partial aggregation) so only
+    (n_labels x d) partials reach the driver."""
+    import ray
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        mat = stack_embeddings(batch)
+        labels = batch["label"].to_numpy()
+        uniq = np.unique(labels)
+        sums = np.stack([mat[labels == u].sum(axis=0) for u in uniq])
+        counts = np.array([(labels == u).sum() for u in uniq], dtype=np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq, type=pa.int32()),
+                "sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                "count": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+    agg: dict[int, tuple[np.ndarray, int]] = {}
+    for _, row in parts.iterrows():
+        s, c = agg.get(int(row["label"]), (0.0, 0))
+        agg[int(row["label"])] = (s + np.asarray(row["sum"]), c + int(row["count"]))
+    labels = np.array(sorted(agg), dtype=np.int64)
+    cents = np.stack([agg[int(u)][0] / agg[int(u)][1] for u in labels])
+    return labels, cents

@@ -1,0 +1,136 @@
+"""Text analysis stages: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Training-data-pipeline extensions (the reference's only text handling is
+codec/DDL string work).  Every function here is a stateless ``map_batches``
+transform whose semantics are reproduced verbatim by a DuckDB oracle in
+``pipelines/training.py`` — tokenizer = single-space split of ``lower(text)``,
+regex = RE2-compatible patterns evaluated identically by Python ``re``,
+hashes = md5 parity via ``functions/texthash.py``.
+
+Vectorization: pandas ``.str`` kernels (compiled regex under the hood) for
+counting; the md5 fingerprint path strides over character grams and is the
+one knowingly loop-bound stage (oracle parity requires md5 — a production
+deployment swaps in a vectorized rolling hash).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tapdata_connectors_ray.functions.texthash import CachedMd5
+
+# BPE-ish token regex: letter runs, digit runs, single other non-space chars
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "y", "es"),
+    "fr": ("le", "les", "et", "est", "une"),
+}
+LANG_PRIORITY = ("en", "de", "es", "fr")  # deterministic tie-break order
+
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def _lower_series(batch: pa.Table) -> pd.Series:
+    return pd.Series(batch["text"].to_pylist(), dtype=object).str.lower()
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    s = _lower_series(batch)
+    n_ws = s.str.split(" ").map(len).to_numpy(dtype=np.int64)
+    n_bpe = s.str.count(BPE_PATTERN).to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": pa.array(n_ws, type=pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, type=pa.int64()),
+        }
+    )
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Length / alpha-ratio / stopword-ratio quality heuristics."""
+    raw = pd.Series(batch["text"].to_pylist(), dtype=object)
+    low = raw.str.lower()
+    n_chars = raw.str.len().to_numpy(dtype=np.int64)
+    words = low.str.split(" ")
+    n_words = words.map(len).to_numpy(dtype=np.int64)
+    alpha = low.str.count("[a-z]").to_numpy(dtype=np.float64)
+    stop_hits = words.map(
+        lambda ws: sum(1 for w in ws if w in QUALITY_STOPWORDS)
+    ).to_numpy(dtype=np.float64)
+    mean_wlen = np.where(n_words > 0, (n_chars - (n_words - 1)) / np.maximum(n_words, 1), 0.0)
+    alpha_ratio = np.where(n_chars > 0, alpha / np.maximum(n_chars, 1), 0.0)
+    stop_ratio = np.where(n_words > 0, stop_hits / np.maximum(n_words, 1), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            # unrounded IEEE divisions of identical integer operands match the
+            # oracle bit-for-bit; the driver rounds both sides at hash time
+            "mean_word_len": pa.array(mean_wlen, type=pa.float64()),
+            "alpha_ratio": pa.array(alpha_ratio, type=pa.float64()),
+            "stopword_ratio": pa.array(stop_ratio, type=pa.float64()),
+        }
+    )
+
+
+def language_id_batch(batch: pa.Table) -> pa.Table:
+    """Stopword-frequency language ID with a fixed priority tie-break."""
+    words = _lower_series(batch).str.split(" ")
+    hits = {
+        lang: words.map(lambda ws, sw=set(sws): sum(1 for w in ws if w in sw)).to_numpy(
+            dtype=np.int64
+        )
+        for lang, sws in STOPWORDS.items()
+    }
+    n = len(words)
+    # first lang in priority order reaching the max hit count wins
+    maxh = np.maximum.reduce([hits[lang] for lang in LANG_PRIORITY])
+    pred = np.full(n, LANG_PRIORITY[-1], dtype=object)
+    for lang in reversed(LANG_PRIORITY):
+        pred[hits[lang] == maxh] = lang
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array(pred, type=pa.string()),
+            "stopword_hits": pa.array(maxh, type=pa.int64()),
+        }
+    )
+
+
+class Fingerprint:
+    """Document fingerprint: min md5 over strided character 8-grams of
+    ``lower(text)`` (k-min sketch of size 1 — a content-addressed doc key
+    stable under trailing-whitespace/window shifts by stride granularity)."""
+
+    GRAM = 8
+    STRIDE = 4
+
+    def __init__(self) -> None:
+        self.md5 = CachedMd5()
+
+    def fingerprint(self, text: str) -> int:
+        t = text.lower()
+        stop = max(len(t) - self.GRAM + 1, 1)
+        grams = [t[i : i + self.GRAM] for i in range(0, stop, self.STRIDE)]
+        return int(min(self.md5(g) for g in grams))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = np.array(
+            [self.fingerprint(t) for t in batch["text"].to_pylist()], dtype=np.uint64
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(fps, type=pa.uint64()),
+            }
+        )

@@ -69,7 +69,8 @@ def test_resume_from_checkpoint(paths, expected, lake_dir):
     """Stop after a mid-log checkpoint, open a fresh coordinator from the
     manifest, finish the log — identical to an uninterrupted run."""
     ev, base = paths
-    mid = pq.read_metadata(ev).num_rows  # any LSN inside the log works
+    from tapdata_connectors_ray.fixtures import parquet_num_rows
+    mid = parquet_num_rows(ev)  # any LSN inside the log works
     ing1 = CheckpointedIngest(lake_dir, num_partitions=16)
     ing1.ingest(ev, base, end_lsn=mid // 2)
     del ing1

@@ -1,0 +1,164 @@
+"""Training-data operator tests: dedup family, similarity search, text
+analysis, multimodal plumbing.
+
+Mirrors the driver gate: Ray pipeline vs DuckDB oracle on the sf0.001
+driver tables (tiny), plus unit checks of the cross-system hash parity the
+oracles depend on.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        if df[c].dtype.kind == "u":
+            df[c] = df[c].astype("uint64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _frames_equal(got, exp) -> bool:
+    g, e = _norm(got), _norm(exp)
+    if len(g) != len(e) or sorted(g.columns) != sorted(e.columns):
+        return False
+    return g.astype(str).equals(e.astype(str))
+
+
+# -- hash / tokenizer parity -------------------------------------------------
+
+
+def test_md5_lower64_matches_duckdb():
+    from tapdata_connectors_ray.functions.texthash import md5_lower64
+
+    con = duckdb.connect()
+    for s in ("abc", "", "lorem ipsum", "conv-00000001"):
+        expected = con.execute("SELECT md5_number_lower(?)", [s]).fetchone()[0]
+        assert md5_lower64(s) == expected
+
+
+def test_tokenizer_matches_duckdb_split():
+    from tapdata_connectors_ray.functions.texthash import tokens
+
+    con = duckdb.connect()
+    for s in ("a  b c ", "", "one two"):
+        expected = con.execute("SELECT string_split(lower(?), ' ')", [s]).fetchone()[0]
+        assert tokens(s) == expected
+
+
+def test_augment_docs_matches_sql_cte():
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.pipelines.training import _AUG_CTE
+    from tapdata_connectors_ray.stages.dedup import augment_docs
+
+    raw = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = augment_docs(raw).to_pandas()
+    exp = _oracle(_AUG_CTE + "SELECT doc_id, text FROM aug")
+    assert _frames_equal(got, exp)
+
+
+# -- dedup vs oracle ---------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+        "text_token_counts",
+        "text_quality_scores",
+        "text_language_id",
+        "text_fingerprint",
+    ],
+)
+def test_query_matches_oracle(ray_session, qname):
+    from tapdata_connectors_ray.pipelines.training import TRAINING_SQL, training_queries
+
+    got = training_queries()[qname](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    exp = _oracle(TRAINING_SQL[qname])
+    assert _frames_equal(got, exp), f"{qname}: got {len(got)} rows vs {len(exp)}"
+
+
+def test_minhash_recall_is_total_at_threshold(ray_session):
+    """LSH candidates must cover every true pair >= threshold (64x2 banding
+    gives P[miss] < 1e-18 at j=0.8; the fixture's dup pairs are j>=0.8)."""
+    from tapdata_connectors_ray.pipelines.training import (
+        MINHASH_THRESHOLD,
+        TRAINING_SQL,
+        training_queries,
+    )
+
+    got = training_queries()["dedup_minhash_lsh"](SF).to_pandas()
+    exp = _oracle(TRAINING_SQL["dedup_minhash_lsh"])
+    assert set(map(tuple, got[["doc_a", "doc_b"]].to_numpy())) == set(
+        map(tuple, exp[["doc_a", "doc_b"]].to_numpy())
+    )
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def test_media_decode_roundtrip(ray_session):
+    from tapdata_connectors_ray.pipelines.training import (
+        q_multimodal_decode_features,
+        q_multimodal_resize_pipeline,
+    )
+
+    feats = q_multimodal_decode_features(SF).to_pandas()
+    assert set(feats["kind"]) == {"image", "audio"}
+    imgs = feats[feats["kind"] == "image"]
+    assert ((imgs["dim_a"] >= 8) & (imgs["dim_a"] < 64)).all()
+    assert imgs["mean_signal"].between(0, 255).all()
+
+    resized = q_multimodal_resize_pipeline(SF).to_pandas()
+    assert (resized["kind"] == "image").all()
+    assert (resized["dim_a"] == 8).all() and (resized["dim_b"] == 8).all()
+
+
+def test_decode_stub_gate():
+    from tapdata_connectors_ray.sources.media import DecodeMedia
+
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(require_real_codecs=True)
+
+
+def test_simhash_chunk_banding_is_exact():
+    """hamming<=3 over 4 chunks of 16 bits => some chunk equal (pigeonhole)."""
+    from tapdata_connectors_ray.stages.dedup import SIMHASH_CHUNKS
+
+    rng = np.random.default_rng(1)
+    for _ in range(200):
+        a = rng.integers(0, 2**63, dtype=np.uint64)
+        flip_bits = rng.choice(64, size=3, replace=False)
+        b = a
+        for j in flip_bits:
+            b = np.uint64(b) ^ (np.uint64(1) << np.uint64(j))
+        shares = any(
+            (int(a) >> (16 * c)) & 0xFFFF == (int(b) >> (16 * c)) & 0xFFFF
+            for c in range(SIMHASH_CHUNKS)
+        )
+        assert shares
