@@ -25,6 +25,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from tapdata_connectors_ray.pipelines.entrypoints import cdc_queries
+    from tapdata_connectors_ray.pipelines.filesource import filesource_queries
     from tapdata_connectors_ray.pipelines.relational import relational_queries
     from tapdata_connectors_ray.pipelines.training import training_queries
 
@@ -32,11 +33,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(cdc_queries())
     out.update(relational_queries())
     out.update(training_queries())
+    out.update(filesource_queries())
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from tapdata_connectors_ray.pipelines.entrypoints import cdc_oracle_sql
+    from tapdata_connectors_ray.pipelines.filesource import filesource_oracle_sql
     from tapdata_connectors_ray.pipelines.relational import RELATIONAL_SQL
     from tapdata_connectors_ray.pipelines.training import training_oracle_sql
 
@@ -44,4 +47,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(cdc_oracle_sql())
     out.update(RELATIONAL_SQL)
     out.update(training_oracle_sql())
+    out.update(filesource_oracle_sql())
     return out

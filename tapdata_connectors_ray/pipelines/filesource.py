@@ -1,0 +1,128 @@
+"""File-source conformance queries: CSV / JSONL segment ingest with
+offset-resume, oracle-checked against DuckDB reading the same bytes.
+
+The fixture segments are materialized once under /tmp from the driver's
+``events`` table (deterministic content), so both engines read identical
+files — the file-connector analogue of the CDC fixture oracles.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+from tapdata_connectors_ray.fixtures import sf_label_from_dir
+from tapdata_connectors_ray.sources.files import (
+    FileSourceOffset,
+    read_csv_segments,
+    read_jsonl_segments,
+    scan_new_files,
+    write_csv_segments,
+    write_jsonl_segments,
+)
+
+_SEG_VERSION = 1
+_COLS = ["user_id", "event_type", "value"]
+
+
+def ensure_event_segments(sf_dir: str, fmt: str) -> str:
+    """events.parquet -> /tmp CSV or JSONL segment dir (cached)."""
+    sf = sf_label_from_dir(sf_dir)
+    out = f"/tmp/tcr_fixtures/{sf}/events_{fmt}"
+    marker = os.path.join(out, f".v{_SEG_VERSION}")
+    if os.path.exists(marker):
+        return out
+    table = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=_COLS)
+    os.makedirs(out, exist_ok=True)
+    if fmt == "csv":
+        write_csv_segments(table, out)
+    else:
+        write_jsonl_segments(table, out)
+    open(marker, "w").close()
+    return out
+
+
+def _event_type_agg(ds: ray.data.Dataset) -> Any:
+    out = (
+        ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="mn"),
+            Max("value", alias_name="mx"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_source_csv_events_agg(sf_dir: str) -> Any:
+    """Full batch read of a CSV segment directory (one read task per
+    segment) -> grouped count/min/max."""
+    seg_dir = ensure_event_segments(sf_dir, "csv")
+    files, _ = scan_new_files(seg_dir)
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()), ("value", pa.float64())]
+    )
+    return _event_type_agg(read_csv_segments(files, schema))
+
+
+def q_source_jsonl_resume(sf_dir: str) -> Any:
+    """Offset-resume: mark the first half of the JSONL segments as already
+    ingested (the persisted known-file map), poll, and ingest only the
+    delta — the ``batchRead``-pause -> ``streamRead``-resume contract."""
+    seg_dir = ensure_event_segments(sf_dir, "jsonl")
+    all_files, full_offset = scan_new_files(seg_dir)
+    half = len(all_files) // 2
+    prior = FileSourceOffset(
+        {p: full_offset.known[p] for p in all_files[:half]}
+    )
+    fresh, next_offset = scan_new_files(seg_dir, prior)
+    assert fresh == all_files[half:]
+    assert next_offset.known == full_offset.known
+    return _event_type_agg(read_jsonl_segments(fresh))
+
+
+def _csv_glob(sf_dir: str) -> str:
+    return ensure_event_segments(sf_dir, "csv") + "/*.csv"
+
+
+def _jsonl_second_half(sf_dir: str) -> list[str]:
+    seg_dir = ensure_event_segments(sf_dir, "jsonl")
+    files = sorted(f for f in os.listdir(seg_dir) if f.endswith(".jsonl"))
+    half = len(files) // 2
+    return [os.path.join(seg_dir, f) for f in files[half:]]
+
+
+def filesource_queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "source_csv_events_agg": q_source_csv_events_agg,
+        "source_jsonl_resume": q_source_jsonl_resume,
+    }
+
+
+def filesource_oracle_sql(oracle_sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    # render against the driver's correctness tier (files are materialized
+    # by this call so the SQL always has bytes to read)
+    csv_glob = _csv_glob(oracle_sf_dir)
+    jsonl_files = ", ".join(f"'{p}'" for p in _jsonl_second_half(oracle_sf_dir))
+    return {
+        "source_csv_events_agg": f"""
+            SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
+            FROM read_csv('{csv_glob}', header=true,
+                          columns={{'user_id':'BIGINT','event_type':'VARCHAR','value':'DOUBLE'}})
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "source_jsonl_resume": f"""
+            SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
+            FROM read_json([{jsonl_files}],
+                           columns={{'user_id':'BIGINT','event_type':'VARCHAR','value':'DOUBLE'}})
+            GROUP BY event_type ORDER BY event_type
+        """,
+    }

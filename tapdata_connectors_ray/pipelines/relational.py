@@ -124,6 +124,20 @@ def q_hash_split_shard(sf_dir: str):
     return pd.DataFrame({"n": [int(row["n"])], "sum_qty": [round(float(row["sum_qty"]), 6)]})
 
 
+def q_point_lookup_customer(sf_dir: str):
+    """Single-row exact-match fetch (``queryByFilter``,
+    ``CommonDbConnector.java:377-398``): key predicate pushed into the
+    parquet read (row-group pruning), limit 1."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+        filter=(pads.field("c_custkey") == 42),
+    )
+    return ds.limit(1)
+
+
 def q_pk_range_boundaries_orders(sf_dir: str):
     return pk_range_boundaries(_t(sf_dir, "orders"), "o_orderkey", every=5000)
 
@@ -201,6 +215,10 @@ RELATIONAL_SQL: dict[str, str] = {
         SELECT count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
         FROM lineitem WHERE l_orderkey % 20 = 3
     """,
+    "point_lookup_customer": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey = 42 LIMIT 1
+    """,
     "pk_range_boundaries_orders": """
         SELECT o_orderkey AS boundary FROM (
             SELECT o_orderkey,
@@ -230,6 +248,7 @@ def relational_queries():
         "min_max_lineitem": q_min_max_lineitem,
         "table_hash_customer": q_table_hash_customer,
         "hash_split_shard": q_hash_split_shard,
+        "point_lookup_customer": q_point_lookup_customer,
         "pk_range_boundaries_orders": q_pk_range_boundaries_orders,
         "distinct_segments": q_distinct_segments,
         "events_tumbling_window": q_events_tumbling_window,
