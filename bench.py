@@ -63,12 +63,18 @@ def run_headline(sf_label: str, num_cpus: int) -> dict:
     # spin up the worker pool before timing: cold-start is a fixed cost that
     # would otherwise dominate the small-N comparison
     ray.data.range(num_cpus * 8).map_batches(lambda b: b).count()
-    out_dir = tempfile.mkdtemp(prefix="bench_lake_", dir="/tmp")
-    t0 = time.perf_counter()
-    ds = replay_final_state(ev, base, num_partitions=256, salt_buckets=8)
-    ds.write_parquet(out_dir)
-    sec = time.perf_counter() - t0
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # 1024 lake partitions: decoupled from cluster size, enough reduce-side
+    # parallelism at 4N, and a best-of-2 to damp shared-box interference
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    sec = None
+    for _ in range(max(runs, 1)):
+        out_dir = tempfile.mkdtemp(prefix="bench_lake_", dir="/tmp")
+        t0 = time.perf_counter()
+        ds = replay_final_state(ev, base, num_partitions=1024)
+        ds.write_parquet(out_dir)
+        dt = time.perf_counter() - t0
+        sec = dt if sec is None or dt < sec else sec
+        shutil.rmtree(out_dir, ignore_errors=True)
     return {"sec": sec, "events": n_events, "events_per_sec": n_events / sec}
 
 
@@ -116,8 +122,15 @@ def _headline_subprocess(num_cpus: int, sf_label: str) -> dict:
     env = dict(os.environ)
     env["RAY_GRAFT_CPUS"] = str(num_cpus)
     env["GRAFT_SF_DIR"] = f"/root/testdata/{sf_label}"
+    env.setdefault("BENCH_RUNS", "3")
+    cmd = [sys.executable, os.path.abspath(__file__), "--headline-only"]
+    # pin the whole Ray process tree to exactly num_cpus cores so the low-N
+    # run can't borrow machine cores beyond its slot count (faithful N-node
+    # emulation on one box); skip if taskset is unavailable
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{num_cpus - 1}"] + cmd
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--headline-only"],
+        cmd,
         capture_output=True,
         text=True,
         env=env,
@@ -138,6 +151,7 @@ def run_scaling(sf_label: str) -> dict:
     # efficiency: throughput gain vs resource gain (1.0 = perfect linear)
     eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
     return {
+        "sf": sf_label,
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
         "events_per_sec_lo": round(r_lo["events_per_sec"], 1),
@@ -169,7 +183,7 @@ def main() -> None:
 
     if args.scaling:
         result = run_scaling(sf_label)
-        result.update({"metric": METRIC + " [scaling N->4N]", "sf": sf_label, "unit": "sec"})
+        result.update({"metric": METRIC + " [scaling N->4N]", "unit": "sec"})
         print(json.dumps(result))
         return
 

@@ -120,6 +120,45 @@ def normalized_events(
     return ev
 
 
+def winner_set(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    max_lsn: int | None = None,
+):
+    """Pass 1 of the semi-join replay: narrow winner scan -> broadcast ref.
+
+    Only (conv_id, turn_idx, lsn, op) leave storage; per-block pre-reduce
+    shrinks the shuffle to keys-per-block; the coarse key-bucket groupby is
+    the only all-to-all and moves 24-byte rows."""
+    from tapdata_connectors_ray.stages.winners import (
+        collect_winner_set,
+        winner_reduce_bucket,
+        winner_scan_base,
+        winner_scan_events,
+    )
+
+    read_kwargs = {}
+    if max_lsn is not None:
+        read_kwargs["filter"] = pads.field("lsn") <= max_lsn
+    narrow = ray.data.read_parquet(
+        _expand_paths(events_path),
+        columns=["conv_id", "turn_idx", "lsn", "op"],
+        **read_kwargs,
+    ).map_batches(winner_scan_events, batch_format="pyarrow", zero_copy_batch=True)
+    if base_path is not None:
+        base = ray.data.read_parquet(
+            _expand_paths(base_path), columns=["conv_id", "turn_idx"]
+        ).map_batches(winner_scan_base, batch_format="pyarrow", zero_copy_batch=True)
+        narrow = narrow.union(base)
+    winners = (
+        narrow.groupby("kbucket")
+        .map_groups(winner_reduce_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return collect_winner_set(winners)
+
+
 def replay_merged(
     events_path: str | list[str],
     base_path: str | list[str] | None = None,
@@ -130,24 +169,47 @@ def replay_merged(
     prereduce: bool = True,
     watermarks=None,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    strategy: str = "shuffle",
 ) -> ray.data.Dataset:
     """Full replay -> merged per-partition state (latest schema + lsn +
-    partition_id), sorted by key within each partition."""
+    partition_id), sorted by key within each partition.
+
+    ``strategy="shuffle"``: classic one-pass keyed shuffle of full rows.
+    ``strategy="semijoin"``: two-pass winner scan (stages/winners.py) — the
+    wide ``text`` payload never crosses the all-to-all; the final partition
+    merge handles only the live set."""
     plan = plan or scan_evolution_plan_distributed(events_path)
-    ev = normalized_events(
-        events_path,
-        base_path,
-        plan=plan,
-        num_partitions=num_partitions,
-        salt_buckets=salt_buckets,
-        prereduce=prereduce,
-        watermarks=watermarks,
-        batch_size=batch_size,
-    )
-    if salt_buckets:
-        ev = ev.groupby(["partition_id", "salt"]).map_groups(
-            lww_premerge_group, batch_format="pandas"
+    if strategy == "semijoin":
+        from tapdata_connectors_ray.stages.winners import WinnerFilter
+
+        winners_ref = winner_set(events_path, base_path)
+        winner_filter = WinnerFilter(winners_ref)
+
+        ev = normalized_events(
+            events_path,
+            base_path,
+            plan=plan,
+            num_partitions=num_partitions,
+            salt_buckets=0,
+            prereduce=False,
+            watermarks=watermarks,
+            batch_size=batch_size,
+        ).map_batches(winner_filter, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        ev = normalized_events(
+            events_path,
+            base_path,
+            plan=plan,
+            num_partitions=num_partitions,
+            salt_buckets=salt_buckets,
+            prereduce=prereduce,
+            watermarks=watermarks,
+            batch_size=batch_size,
         )
+        if salt_buckets:
+            ev = ev.groupby(["partition_id", "salt"]).map_groups(
+                lww_premerge_group, batch_format="pandas"
+            )
     merge_fn = make_lww_merge(plan.schema_at())
     merged = ev.groupby("partition_id").map_groups(merge_fn, batch_format="pandas")
     return merged

@@ -81,3 +81,11 @@ def test_write_counters_match_oracle(paths):
     assert totals["modified"] == exp["modified"]
     assert totals["removed"] == exp["removed"]
     assert totals["skipped_duplicates"] == exp["skipped_duplicates"]
+
+
+def test_semijoin_strategy_matches(paths, expected):
+    """Two-pass winner-shuffle replay (stages/winners.py) must equal the
+    one-pass keyed shuffle bit-for-bit."""
+    ev, base = paths
+    ds = replay_final_state(ev, base, num_partitions=16, strategy="semijoin")
+    assert_matches(ds, expected)
