@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 
 from tapdata_connectors_ray.schema import EVENT_LOG_SCHEMA, TRANSCRIPTS_SCHEMA
 
-FIXTURE_VERSION = 5  # bump to invalidate cached fixtures
+FIXTURE_VERSION = 6  # bump to invalidate cached fixtures
 
 _EPOCH_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in microseconds
 
@@ -73,12 +73,15 @@ SCALE_PRESETS: dict[str, FixtureSpec] = {
 
 DEFAULT_FIXTURE_ROOT = "/tmp/tcr_fixtures"
 
-# DDL schedule: (lsn_fraction, new_version, payload) — FIXTURES.md §3
+# DDL schedule: (lsn_fraction, new_version, payload) — FIXTURES.md §3, plus
+# the drop case (MysqlDropColumnDDLWrapper analogue): the v2-added column is
+# dropped again at v5, so the final schema carries no tool_meta
 DDL_SCHEDULE = (
     (0.25, 2, {"kind": "add_field", "name": "tool_meta", "type": "string"}),
     (0.50, 3, {"kind": "rename_field", "from": "tool", "to": "tool_name"}),
     (0.75, 4, {"kind": "widen_field", "name": "turn_score",
                "from_type": "int32", "to_type": "int64"}),
+    (0.90, 5, {"kind": "drop_field", "name": "tool_meta"}),
 )
 
 _ROLES = np.array(["user", "assistant", "system", "tool"])
@@ -182,7 +185,7 @@ def generate_events(
     tool = np.where(have_tool & (ver < 3), tool_vals, None)
     tool_name = np.where(have_tool & (ver >= 3), tool_vals, None)
     tool_meta = np.where(
-        (rng.random(n) < 0.5) & (ver >= 2),
+        (rng.random(n) < 0.5) & (ver >= 2) & (ver < 5),  # column lives v2..v4
         np.char.add("meta-", lsn.astype(str)),
         None,
     )

@@ -15,7 +15,8 @@ semantics (reference: ordered apply with upsert policies,
 - delete removes the key (tombstone);
 - DDL events evolve the schema; older events' payloads are mapped to the
   latest schema (ADD -> null backfill, RENAME -> value carry-over, WIDEN ->
-  safe cast), mirroring ``DDLFactory`` wrapper semantics (survey §2.3).
+  safe cast, DROP -> value discarded), mirroring ``DDLFactory`` wrapper
+  semantics (survey §2.3).
 
 Used only at t1/t2 scale in tests; the engine under test must match this
 reducer row-for-row.
@@ -68,7 +69,6 @@ class OracleReducer:
                 "role": row["role"],
                 "text": row["text"],
                 "tool_name": row["tool"],  # v1 name 'tool' -> latest 'tool_name'
-                "tool_meta": None,         # added at v2 -> null backfill
                 "turn_score": None if row["turn_score"] is None else int(row["turn_score"]),
                 "ts": row["ts"],
                 "_lsn": 0,
@@ -102,7 +102,6 @@ class OracleReducer:
                 "role": row["role"],
                 "text": row["text"],
                 "tool_name": tool_name,
-                "tool_meta": row["tool_meta"] if ver >= 2 else None,
                 "turn_score": None if row["turn_score"] is None else int(row["turn_score"]),
                 "ts": row["ts"],
                 "_lsn": lsn,

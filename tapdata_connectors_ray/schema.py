@@ -48,9 +48,10 @@ TRANSCRIPTS_SCHEMA = pa.schema(
     ]
 )
 
-# v4 (latest): after ADD tool_meta (v2, appended), RENAME tool->tool_name
-# (v3, in place), WIDEN turn_score int32->int64 (v4, in place) — the order is
-# exactly what folding the DDL deltas over the v1 schema produces
+# v5 (latest): after ADD tool_meta (v2, appended), RENAME tool->tool_name
+# (v3, in place), WIDEN turn_score int32->int64 (v4, in place), DROP
+# tool_meta (v5) — the order is exactly what folding the DDL deltas over the
+# v1 schema produces
 LATEST_TRANSCRIPTS_SCHEMA = pa.schema(
     [
         pa.field("conv_id", pa.string()),
@@ -60,7 +61,6 @@ LATEST_TRANSCRIPTS_SCHEMA = pa.schema(
         pa.field("tool_name", pa.string()),
         pa.field("turn_score", pa.int64()),
         pa.field("ts", pa.timestamp("us")),
-        pa.field("tool_meta", pa.string()),
     ]
 )
 

@@ -11,6 +11,7 @@ under an older ``schema_ver`` to the latest schema, fully vectorized:
 - ``add_field``    -> column is null for rows older than the DDL's version
 - ``rename_field`` -> value carried from the old column name for older rows
 - ``widen_field``  -> safe upcast (e.g. int32 -> int64)
+- ``drop_field``   -> column removed (older rows' values discarded)
 
 For *replay* mode the event log is complete up front, so the plan is plain
 data built once on the driver from a pruned DDL-only scan and shipped into
@@ -123,6 +124,8 @@ class EvolutionPlan:
                 name = ch.payload["name"]
                 t = pa.type_for_alias(ch.payload["to_type"])
                 fields = [pa.field(name, t) if f.name == name else f for f in fields]
+            elif ch.kind == "drop_field":
+                fields = [f for f in fields if f.name != ch.payload["name"]]
         return pa.schema(fields)
 
     def migrate_table(self, table: pa.Table, from_version: int) -> pa.Table:
@@ -153,6 +156,10 @@ class EvolutionPlan:
                         idx, name,
                         table[name].cast(pa.type_for_alias(ch.payload["to_type"]), safe=True),
                     )
+            elif ch.kind == "drop_field":
+                name = ch.payload["name"]
+                if name in table.column_names:
+                    table = table.drop_columns([name])
         return table
 
     def rewrite_to_latest(self, batch: pa.Table, ver_col: str = "schema_ver") -> pa.Table:
@@ -180,6 +187,10 @@ class EvolutionPlan:
                 target = pa.type_for_alias(ch.payload["to_type"])
                 col = batch[name].cast(target, safe=True)
                 batch = batch.set_column(batch.schema.get_field_index(name), name, col)
+            elif ch.kind == "drop_field":
+                name = ch.payload["name"]
+                if name in batch.column_names:
+                    batch = batch.drop_columns([name])
             else:
                 raise ValueError(f"unknown DDL kind {ch.kind}")
         return batch

@@ -57,9 +57,9 @@ def test_ddl_rows():
     import pyarrow.compute as pc
 
     ddl = events.filter(pc.equal(events["op"], "DDL"))
-    assert ddl.num_rows >= 3  # may include duplicate replays
+    assert ddl.num_rows >= 4  # may include duplicate replays
     vers = sorted(set(ddl["schema_ver"].to_pylist()))
-    assert vers == [2, 3, 4]
+    assert vers == [2, 3, 4, 5]
 
 
 def test_cached_fixture_roundtrip(smoke_fixture_dir):

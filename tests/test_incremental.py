@@ -114,4 +114,4 @@ def test_point_lookup_and_metrics(paths, expected, lake_dir):
     assert ing.query_by_key("conv-does-not-exist", 0) is None
     m = ing.metrics()
     assert m["rows"] == len(exp)
-    assert m["schema_version"] == 4
+    assert m["schema_version"] == 5

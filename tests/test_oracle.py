@@ -96,9 +96,10 @@ def test_schema_evolution_mapping():
         ev(5, "I", conv="c3", text="c", tool_name="browser", ver=3),
     ])
     assert red.state[("c1", 0)]["tool_name"] == "search"   # carried across rename
-    assert red.state[("c1", 0)]["tool_meta"] is None       # null backfill
-    assert red.state[("c2", 0)]["tool_meta"] == "m"
     assert red.state[("c3", 0)]["tool_name"] == "browser"
+    # tool_meta is added at v2 and dropped again at v5 in the fixture
+    # schedule, so the reducer's latest-state rows never carry it
+    assert "tool_meta" not in red.state[("c2", 0)]
     assert red.counters.ddl_applied == 2
 
 
@@ -117,6 +118,6 @@ def test_final_table_sorted_latest_schema():
     red = run([ev(2, "I", conv="z", text="zz"), ev(1, "I", conv="a", text="aa")])
     t = red.final_table()
     assert t.column_names == [
-        "conv_id", "turn_idx", "role", "text", "tool_name", "turn_score", "ts", "tool_meta",
+        "conv_id", "turn_idx", "role", "text", "tool_name", "turn_score", "ts",
     ]
     assert t["conv_id"].to_pylist() == ["a", "z"]
