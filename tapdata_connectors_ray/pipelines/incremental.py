@@ -150,10 +150,17 @@ class CheckpointedIngest:
         *,
         end_lsn: int | None = None,
         commit: bool = True,
+        use_watermarks: bool = True,
     ) -> Manifest:
         """Apply all events with ``watermark < lsn [<= end_lsn]``; optionally
         commit the manifest (``commit=False`` models a crash after data files
-        land but before the atomic swap — used by the resume tests)."""
+        land but before the atomic swap — used by the resume tests).
+
+        ``use_watermarks=False`` is for segment-granularity delivery (live
+        tail): the watermark drop is only valid under strictly LSN-ordered
+        delivery; with unordered segment waves, cross-epoch correctness comes
+        from the merge's LWW over the lake rows' persisted ``lsn`` instead,
+        and re-delivery dedup from the file offset."""
         from tapdata_connectors_ray.pipelines.replay import (
             normalized_events,
             scan_evolution_plan_distributed,
@@ -161,13 +168,17 @@ class CheckpointedIngest:
         from tapdata_connectors_ray.stages.merge import lww_premerge_group
 
         plan = scan_evolution_plan_distributed(events_path)
+        if self.manifest.ddl_history:
+            # live tail: the wave's segments carry only their own DDL rows;
+            # fold in the committed history so old-version rows still rewrite
+            plan = EvolutionPlan.from_json(self.manifest.ddl_history).merged_with(plan)
         if end_lsn is not None:
             plan = EvolutionPlan(
                 changes=[c for c in plan.changes if c.lsn <= end_lsn],
                 base_version=plan.base_version,
             )
 
-        wm = self.manifest.watermarks()
+        wm_ref = ray.put(self.manifest.watermarks()) if use_watermarks else None
         ev = normalized_events(
             events_path,
             base_path,
@@ -175,7 +186,7 @@ class CheckpointedIngest:
             num_partitions=self.num_partitions,
             salt_buckets=self.salt_buckets,
             prereduce=True,
-            watermarks=ray.put(wm),
+            watermarks=wm_ref,
             batch_size=self.batch_size,
             max_lsn=end_lsn,
         )

@@ -103,6 +103,18 @@ class EvolutionPlan:
             changes.append(DDLChange.from_row(r["lsn"], r["schema_ver"], r["ddl_payload"]))
         return cls(changes=changes, base_version=base_version)
 
+    def merged_with(self, other: "EvolutionPlan") -> "EvolutionPlan":
+        """Union of two DDL histories (dedup by LSN, LSN-ordered) — used by
+        live tail, where a poll wave's segments only contain that wave's DDL
+        rows and the committed manifest holds the earlier history."""
+        by_lsn = {c.lsn: c for c in self.changes}
+        for c in other.changes:
+            by_lsn.setdefault(c.lsn, c)
+        return EvolutionPlan(
+            changes=[by_lsn[k] for k in sorted(by_lsn)],
+            base_version=self.base_version,
+        )
+
     def schema_at(self, version: int | None = None) -> pa.Schema:
         """The logical lake payload schema at ``version`` (default: latest),
         obtained by folding the DDL deltas over the base v1 schema — the

@@ -115,3 +115,32 @@ def test_point_lookup_and_metrics(paths, expected, lake_dir):
     m = ing.metrics()
     assert m["rows"] == len(exp)
     assert m["schema_version"] == 5
+
+
+def test_live_tailer_resume(paths, expected, tmp_path):
+    """Tailer crash/restart between waves: a fresh LogTailer reopens the
+    persisted file offset + manifest and continues exactly."""
+    import os
+    import shutil
+
+    from tapdata_connectors_ray.pipelines.livetail import LogTailer
+
+    ev, base = paths
+    segs = sorted(f for f in os.listdir(ev) if f.endswith(".parquet"))
+    staging = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    os.makedirs(staging)
+    half = max(len(segs) // 2, 1)
+
+    t1 = LogTailer(staging, lake, num_partitions=16)
+    for s in segs[:half]:
+        shutil.copy2(os.path.join(ev, s), os.path.join(staging, s))
+    assert t1.poll_once(base) == half
+    del t1
+
+    t2 = LogTailer(staging, lake, num_partitions=16)  # reopen from disk
+    assert t2.poll_once() == 0  # nothing new yet
+    for s in segs[half:]:
+        shutil.copy2(os.path.join(ev, s), os.path.join(staging, s))
+    assert t2.poll_once() == len(segs) - half
+    assert_lake_matches(t2.ingest, expected)
