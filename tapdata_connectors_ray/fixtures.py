@@ -69,6 +69,9 @@ SCALE_PRESETS: dict[str, FixtureSpec] = {
     # bench
     "sf0.1": FixtureSpec(n_convs=20_000, mean_turns=12, n_events=1_200_000),
     "sf1": FixtureSpec(n_convs=120_000, mean_turns=12, n_events=12_000_000),
+    # scaling-proof tier: enough work per core that fixed overheads (~6 s)
+    # stop dominating the 4N run (see BASELINE.md scaling methodology)
+    "sf3": FixtureSpec(n_convs=360_000, mean_turns=12, n_events=36_000_000),
 }
 
 DEFAULT_FIXTURE_ROOT = "/tmp/tcr_fixtures"
