@@ -121,3 +121,27 @@ def test_final_table_sorted_latest_schema():
         "conv_id", "turn_idx", "role", "text", "tool_name", "turn_score", "ts",
     ]
     assert t["conv_id"].to_pylist() == ["a", "z"]
+
+
+def test_schema_registry_actor_drift(ray_session):
+    """Live-tail drift detection: stages poll version(); DDL rows bump it and
+    the refetched plan folds them idempotently (duplicate-LSN DDL is a no-op)."""
+    import json as _json
+
+    import ray
+
+    from tapdata_connectors_ray.state.registry import SchemaRegistryActor
+
+    reg = SchemaRegistryActor.remote()
+    assert ray.get(reg.version.remote()) == 1
+    rows = [
+        {"lsn": 10, "schema_ver": 2,
+         "ddl_payload": _json.dumps({"kind": "add_field", "name": "x", "type": "string"})},
+        {"lsn": 20, "schema_ver": 3,
+         "ddl_payload": _json.dumps({"kind": "drop_field", "name": "x"})},
+    ]
+    assert ray.get(reg.apply_ddl_rows.remote(rows)) == 3
+    assert ray.get(reg.apply_ddl_rows.remote(rows)) == 3  # replay no-op
+    plan = ray.get(reg.get_plan.remote())
+    assert [c.kind for c in plan.changes] == ["add_field", "drop_field"]
+    assert "x" not in plan.schema_at().names
