@@ -34,7 +34,10 @@ from tapdata_connectors_ray.stages.normalize import BaseSnapshotToEvents, Normal
 from tapdata_connectors_ray.state.registry import EvolutionPlan
 
 DEFAULT_NUM_PARTITIONS = 64
-DEFAULT_BATCH_SIZE = 64 * 1024
+# 256k-row normalize batches: fewer blocks entering the shuffle cuts the
+# driver's task-scheduling load ~4x (measured 2x end-to-end at sf3/32cpu);
+# per-batch heap stays ~100 MB with the wide text column
+DEFAULT_BATCH_SIZE = 256 * 1024
 
 
 def _expand_paths(path: str | list[str]) -> list[str]:
