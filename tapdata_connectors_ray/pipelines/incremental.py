@@ -296,6 +296,64 @@ class CheckpointedIngest:
             ds = ds.union(p)
         return ds
 
+    def merge_on_read(self, events_path: str | list[str]) -> ray.data.Dataset:
+        """Read-time merged view: committed lake ∪ not-yet-compacted log
+        suffix, LWW-merged per partition WITHOUT writing anything — the
+        merge-on-read lake pattern (Hudi MOR; the reference's closest
+        analogue is the ClickHouse ReplacingMergeTree FINAL read,
+        ``ClickhouseConnector.java:265-287``).
+
+        The pending suffix is selected by the per-partition watermark (rows
+        at-or-below it are already in the lake files), so the view equals a
+        full compaction's output at any checkpoint."""
+        from tapdata_connectors_ray.pipelines.replay import (
+            normalized_events,
+            scan_evolution_plan_distributed,
+        )
+        from tapdata_connectors_ray.stages.merge import make_lww_merge
+
+        plan = scan_evolution_plan_distributed(events_path)
+        if self.manifest.ddl_history:
+            plan = EvolutionPlan.from_json(self.manifest.ddl_history).merged_with(plan)
+        payload_names = plan.schema_at().names
+        col_order = [*payload_names, "lsn", "op", "partition_id"]
+
+        pending = normalized_events(
+            events_path,
+            None,
+            plan=plan,
+            num_partitions=self.num_partitions,
+            watermarks=ray.put(self.manifest.watermarks()),
+            batch_size=self.batch_size,
+        ).map_batches(
+            lambda b: b.select(col_order), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        by_version: dict[int, list[str]] = {}
+        for st in self.manifest.partitions.values():
+            by_version.setdefault(st.schema_version, []).extend(st.files)
+        view = pending
+        for ver, files in sorted(by_version.items()):
+            if not files:
+                continue
+
+            def lake_rows(batch: pa.Table, _ver=ver) -> pa.Table:
+                t = plan.migrate_table(batch, from_version=_ver)
+                t = t.append_column(
+                    "op", pa.array(np.full(len(t), "I", dtype=object), pa.string())
+                )
+                return t.select(col_order)
+
+            view = view.union(
+                ray.data.read_parquet(files).map_batches(lake_rows, batch_format="pyarrow")
+            )
+
+        merge_fn = make_lww_merge(plan.schema_at())
+        merged = view.groupby("partition_id").map_groups(merge_fn, batch_format="pandas")
+        return merged.map_batches(
+            lambda b: b.select(payload_names), batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def query_by_key(self, conv_id: str, turn_idx: int) -> dict | None:
         """Point lookup (``queryByFilter`` analogue,
         ``CommonDbConnector.java:377-398``): prune to the owning partition's

@@ -124,6 +124,15 @@ def q_hash_split_shard(sf_dir: str):
     return pd.DataFrame({"n": [int(row["n"])], "sum_qty": [round(float(row["sum_qty"]), 6)]})
 
 
+def q_table_stats_orders(sf_dir: str):
+    """Catalog-stats analogue (``MysqlConnector.java:774-780``): row count
+    from parquet footer metadata only — no data scan."""
+    from tapdata_connectors_ray.functions.aggregates import table_stats
+
+    st = table_stats(_t(sf_dir, "orders"))
+    return pd.DataFrame({"num_rows": [st["num_rows"]]})
+
+
 def q_point_lookup_customer(sf_dir: str):
     """Single-row exact-match fetch (``queryByFilter``,
     ``CommonDbConnector.java:377-398``): key predicate pushed into the
@@ -215,6 +224,7 @@ RELATIONAL_SQL: dict[str, str] = {
         SELECT count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
         FROM lineitem WHERE l_orderkey % 20 = 3
     """,
+    "table_stats_orders": "SELECT count(*) AS num_rows FROM orders",
     "point_lookup_customer": """
         SELECT c_custkey, c_name, c_acctbal FROM customer
         WHERE c_custkey = 42 LIMIT 1
@@ -248,6 +258,7 @@ def relational_queries():
         "min_max_lineitem": q_min_max_lineitem,
         "table_hash_customer": q_table_hash_customer,
         "hash_split_shard": q_hash_split_shard,
+        "table_stats_orders": q_table_stats_orders,
         "point_lookup_customer": q_point_lookup_customer,
         "pk_range_boundaries_orders": q_pk_range_boundaries_orders,
         "distinct_segments": q_distinct_segments,
