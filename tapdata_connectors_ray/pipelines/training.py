@@ -39,14 +39,25 @@ ANN_K = 10
 IVF_NPROBE = 2
 
 
+def _blocks_for(path: str, rows_per_block: int = 2_000) -> int:
+    """Block count sized to the table (footer metadata only): Ray's default
+    parallelism shreds small conformance tables into 64 micro-blocks, making
+    every downstream stage scheduling-bound instead of compute-bound."""
+    from tapdata_connectors_ray.fixtures import parquet_num_rows
+
+    return max(2, min(64, parquet_num_rows(path) // rows_per_block + 1))
+
+
 def _docs(sf_dir: str):
+    path = os.path.join(sf_dir, "documents.parquet")
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        path, columns=["doc_id", "text"], override_num_blocks=_blocks_for(path)
     )
 
 
 def _emb(sf_dir: str):
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return ray.data.read_parquet(path, override_num_blocks=_blocks_for(path))
 
 
 def _aug_docs(sf_dir: str):
