@@ -192,24 +192,53 @@ def q_dedup_ngram_jaccard(sf_dir: str) -> Any:
     return common.map_batches(filt, batch_format="pyarrow", concurrency=(1, 4))
 
 
-def q_dedup_minhash_lsh(sf_dir: str) -> Any:
-    """MinHash(128) + LSH banding (64 bands x 2 rows: recall ~1 at j>=0.8),
-    candidates exactly verified -> equals brute-force pairs (the oracle)."""
-    from tapdata_connectors_ray.stages.dedup import (
-        MinHashLSH,
-        band_pairs_bucket,
-        make_pair_verifier,
-    )
+def _minhash_candidates(sf_dir: str):
+    """Shared LSH candidate generation: signatures -> banding -> one coarse
+    groupby -> distinct (doc_a, doc_b) pairs."""
+    from tapdata_connectors_ray.stages.dedup import MinHashLSH, band_pairs_bucket
 
-    sets_ref, _ = _shingle_side(sf_dir)
     bands = _aug_docs(sf_dir).map_batches(
         MinHashLSH(ngram=NGRAM, num_perm=128, num_bands=64),
         batch_format="pyarrow",
     )
     pairs = bands.groupby("sbucket").map_groups(band_pairs_bucket, batch_format="pandas")
-    cand = _pair_dedupe(pairs)
+    return _pair_dedupe(pairs)
+
+
+def q_dedup_minhash_lsh(sf_dir: str) -> Any:
+    """MinHash(128) + LSH banding (64 bands x 2 rows: recall ~1 at j>=0.8),
+    candidates exactly verified -> equals brute-force pairs (the oracle).
+    Verification reads the broadcast shingle sets (small-side pattern)."""
+    from tapdata_connectors_ray.stages.dedup import make_pair_verifier
+
+    sets_ref, _ = _shingle_side(sf_dir)
+    cand = _minhash_candidates(sf_dir)
     verifier = make_pair_verifier(sets_ref, MINHASH_THRESHOLD, NGRAM)
     return cand.map_batches(verifier, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_dedup_minhash_lsh_join(sf_dir: str) -> Any:
+    """Same operator, 100 TB verification path: candidate pairs are joined
+    (hash join, distributed) against a (doc_id, shingles) side dataset twice
+    — nothing is materialized on the driver; identical output."""
+    from tapdata_connectors_ray.stages.dedup import shingle_sets_batch, verify_pairs_batch
+
+    cand = _minhash_candidates(sf_dir)
+    sets = _aug_docs(sf_dir).map_batches(
+        shingle_sets_batch(NGRAM), batch_format="pyarrow", zero_copy_batch=True
+    )
+    # the right key column is coalesced into the left's in the join output
+    j1 = cand.join(
+        sets, join_type="inner", num_partitions=8, on=("doc_a",), right_on=("doc_id",)
+    ).rename_columns({"shingles": "shingles_a"})
+    j2 = j1.join(
+        sets, join_type="inner", num_partitions=8, on=("doc_b",), right_on=("doc_id",)
+    ).rename_columns({"shingles": "shingles_b"})
+    return j2.map_batches(
+        lambda b: verify_pairs_batch(b, MINHASH_THRESHOLD),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def q_dedup_simhash(sf_dir: str) -> Any:
@@ -567,6 +596,7 @@ FROM aug GROUP BY text ORDER BY doc_id
 """,
     "dedup_ngram_jaccard": _pairs_sql(JACCARD_THRESHOLD),
     "dedup_minhash_lsh": _pairs_sql(MINHASH_THRESHOLD),
+    "dedup_minhash_lsh_join": _pairs_sql(MINHASH_THRESHOLD),
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EAUG_CTE
     + f"""
@@ -695,6 +725,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_lsh_join": q_dedup_minhash_lsh_join,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,

@@ -383,6 +383,51 @@ def hamming_filter(batch: pa.Table, max_hamming: int = 3) -> pa.Table:
     )
 
 
+def shingle_sets_batch(ngram: int):
+    """map_batches fn: docs -> (doc_id, shingles: list<uint64>) — the
+    distributed side table for join-based candidate verification."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy()
+        # Arrow's hash join rejects list payload columns -> uint64le blob
+        sets = [distinct_ngram_hashes(t, ngram).tobytes() for t in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shingles": pa.array(sets, type=pa.binary()),
+            }
+        )
+
+    return f
+
+
+def verify_pairs_batch(batch: pa.Table, threshold: float) -> pa.Table:
+    """Vectorized exact-Jaccard verify over joined pair rows carrying both
+    docs' shingle blobs (columns shingles_a / shingles_b)."""
+    a = batch["doc_a"].to_numpy()
+    b = batch["doc_b"].to_numpy()
+    sa = batch["shingles_a"].to_pylist()
+    sb = batch["shingles_b"].to_pylist()
+    iu = [
+        hashes_inter_union(
+            np.frombuffer(x, dtype=np.uint64), np.frombuffer(y, dtype=np.uint64)
+        )
+        for x, y in zip(sa, sb)
+    ]
+    common = np.array([c for c, _ in iu], dtype=np.int64)
+    union = np.array([u for _, u in iu], dtype=np.int64)
+    keep = (union > 0) & (common / np.maximum(union, 1) >= threshold)
+    return pa.table(
+        {
+            "doc_a": pa.array(a[keep], type=pa.int64()),
+            "doc_b": pa.array(b[keep], type=pa.int64()),
+            "common": pa.array(common[keep], type=pa.int64()),
+            "union_n": pa.array(union[keep], type=pa.int64()),
+        }
+    )
+
+
 def collect_shingle_sets(texts_df: pd.DataFrame, ngram: int) -> dict[int, np.ndarray]:
     """doc_id -> sorted distinct shingle hashes (broadcast small side)."""
     return {
