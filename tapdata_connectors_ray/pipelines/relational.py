@@ -185,6 +185,69 @@ def q_events_tumbling_window(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_events_session_windows(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity): per-user session count +
+    max session length.  Streaming-only semantics the reference lacks
+    (survey §2.10: 'windows: none').  Users are coarse-bucketed so the
+    per-bucket pandas pass is vectorized over many users at once; session
+    assignment = sorted lag/cumsum, no per-row Python."""
+    GAP_US = 30 * 60 * 1_000_000
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        return batch.append_column("ubucket", pa.array((u % 64).astype(np.int32)))
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        ts = df["ts"].astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = ts - ts.shift()
+        new_session = new_user | (gap > GAP_US)
+        df = df.assign(session=new_session.cumsum())
+        sess = df.groupby(["user_id", "session"], sort=False).size()
+        per_user = sess.groupby(level=0).agg(["count", "max"])
+        return pd.DataFrame(
+            {
+                "user_id": per_user.index.to_numpy(),
+                "n_sessions": per_user["count"].to_numpy(),
+                "max_session_events": per_user["max"].to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ubucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def q_text_bigram_topk(sf_dir: str):
+    """Top-20 word bigrams over the documents corpus: explode bigrams inside
+    map_batches (vectorized), grouped count (partial agg inside Ray's hash
+    aggregate), driver-side top-k of the small grouped result."""
+    from ray.data.aggregate import Count as _Count
+
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["text"].to_pylist():
+            ws = t.lower().split(" ")
+            out.extend(ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1))
+        return pa.table({"bigram": pa.array(out, type=pa.string())})
+
+    counts = (
+        ds.map_batches(bigrams, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )
+    top = counts.sort_values(["n", "bigram"], ascending=[False, True], kind="stable").head(20)
+    return top.reset_index(drop=True)
+
+
 # -- DuckDB oracles ----------------------------------------------------------
 
 RELATIONAL_SQL: dict[str, str] = {
@@ -238,6 +301,37 @@ RELATIONAL_SQL: dict[str, str] = {
         ORDER BY boundary
     """,
     "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1",
+    "events_session_windows": """
+        WITH e AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session
+            FROM e
+        ), per AS (
+            SELECT user_id, session, count(*) AS n FROM s GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events
+        FROM per GROUP BY user_id ORDER BY user_id
+    """,
+    "text_bigram_topk": """
+        WITH toks AS (
+            SELECT doc_id AS rid, string_split(lower(text), ' ') AS ws FROM documents
+        ), words AS (
+            SELECT rid, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS i FROM toks
+        ), bi AS (
+            SELECT a.w || ' ' || b.w AS bigram
+            FROM words a JOIN words b ON a.rid = b.rid AND b.i = a.i + 1
+        )
+        SELECT bigram, count(*) AS n FROM bi GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 20
+    """,
     "events_tumbling_window": """
         SELECT user_id,
                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win_hour,
@@ -263,4 +357,6 @@ def relational_queries():
         "pk_range_boundaries_orders": q_pk_range_boundaries_orders,
         "distinct_segments": q_distinct_segments,
         "events_tumbling_window": q_events_tumbling_window,
+        "events_session_windows": q_events_session_windows,
+        "text_bigram_topk": q_text_bigram_topk,
     }
