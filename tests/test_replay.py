@@ -89,3 +89,39 @@ def test_semijoin_strategy_matches(paths, expected):
     ev, base = paths
     ds = replay_final_state(ev, base, num_partitions=16, strategy="semijoin")
     assert_matches(ds, expected)
+
+
+def test_exactly_once_under_task_retry(paths, expected):
+    """A flaky stage that fails once per block (then succeeds on Ray's task
+    retry) must not change the replayed table — retried tasks re-emit their
+    block and the LWW/dedup semantics absorb it (survey §7.4)."""
+    import pyarrow as pa
+    import ray
+
+    @ray.remote
+    class FailController:
+        def __init__(self):
+            self.seen = set()
+
+        def should_fail(self, key):
+            if key in self.seen:
+                return False
+            self.seen.add(key)
+            return True
+
+    ctrl = FailController.remote()
+    ev, base = paths
+    ds = replay_final_state(ev, base, num_partitions=16)
+
+    def flaky(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        key = (batch["conv_id"][0].as_py(), batch["turn_idx"][0].as_py(), len(batch))
+        if ray.get(ctrl.should_fail.remote(key)):
+            raise RuntimeError("injected failure (should be retried)")
+        return batch
+
+    out = ds.map_batches(
+        flaky, batch_format="pyarrow", retry_exceptions=True, max_retries=4
+    )
+    assert_matches(out, expected)
