@@ -349,7 +349,7 @@ class CheckpointedIngest:
             )
 
         merge_fn = make_lww_merge(plan.schema_at())
-        merged = view.groupby("partition_id").map_groups(merge_fn, batch_format="pandas")
+        merged = view.groupby("partition_id").map_groups(merge_fn, batch_format="pyarrow")
         return merged.map_batches(
             lambda b: b.select(payload_names), batch_format="pyarrow", zero_copy_batch=True
         )

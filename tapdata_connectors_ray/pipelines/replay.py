@@ -214,7 +214,7 @@ def replay_merged(
                 lww_premerge_group, batch_format="pandas"
             )
     merge_fn = make_lww_merge(plan.schema_at())
-    merged = ev.groupby("partition_id").map_groups(merge_fn, batch_format="pandas")
+    merged = ev.groupby("partition_id").map_groups(merge_fn, batch_format="pyarrow")
     return merged
 
 

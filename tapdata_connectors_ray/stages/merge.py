@@ -77,12 +77,42 @@ def lww_collapse(df: pd.DataFrame, drop_tombstones: bool = True) -> pd.DataFrame
     return df
 
 
-def make_lww_merge(payload_schema: pa.Schema) -> Callable[[pd.DataFrame], pa.Table]:
-    """Final merge for one partition: dedup -> LWW per key -> drop tombstones."""
-    out_schema = merged_schema(payload_schema)
+def lww_keep_indices(
+    conv: np.ndarray, turn: np.ndarray, lsn: np.ndarray, op: np.ndarray,
+    drop_tombstones: bool = True,
+) -> np.ndarray:
+    """Row indices surviving dedup + LWW + tombstone-drop, computed over the
+    NARROW key columns only — the wide text payload is then selected with a
+    zero-copy-ish Arrow ``take`` instead of being round-tripped through
+    pandas object strings."""
+    df = pd.DataFrame({"c": conv, "t": turn, "l": lsn, "o": op})
+    df = df.drop_duplicates(["l", "c", "t"], keep="first")
+    df = df.sort_values("l", kind="stable").drop_duplicates(["c", "t"], keep="last")
+    if drop_tombstones:
+        df = df[df["o"] != "D"]
+    return df.index.to_numpy()
 
-    def lww_merge_group(df: pd.DataFrame) -> pa.Table:
-        return _to_table(lww_collapse(df), out_schema)
+
+def make_lww_merge(payload_schema: pa.Schema) -> Callable[[pa.Table], pa.Table]:
+    """Final merge for one partition: dedup -> LWW per key -> drop tombstones.
+    Operates on Arrow groups (``map_groups(batch_format="pyarrow")``):
+    indices from the narrow key columns, payload via ``take`` + Arrow sort."""
+    out_schema = merged_schema(payload_schema)
+    out_names = [f.name for f in out_schema]
+
+    def lww_merge_group(t: pa.Table) -> pa.Table:
+        idx = lww_keep_indices(
+            t["conv_id"].to_numpy(zero_copy_only=False),
+            t["turn_idx"].to_numpy(zero_copy_only=False),
+            t["lsn"].to_numpy(zero_copy_only=False),
+            t["op"].to_numpy(zero_copy_only=False),
+        )
+        out = t.select(out_names).take(np.sort(idx))
+        for f in out_schema:
+            if not out.schema.field(f.name).type.equals(f.type):
+                i = out.schema.get_field_index(f.name)
+                out = out.set_column(i, f.name, out[f.name].cast(f.type, safe=True))
+        return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
     return lww_merge_group
 

@@ -136,5 +136,7 @@ def test_replay_equals_reducer(ray_session, tmp_path_factory, log):
     got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     exp = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     got["turn_score"] = got["turn_score"].astype("Int64")
+    got["turn_idx"] = got["turn_idx"].astype("Int32")
+    exp["turn_idx"] = exp["turn_idx"].astype("Int32")
     exp["turn_score"] = exp["turn_score"].astype("Int64")
     pd.testing.assert_frame_equal(got[exp.columns], exp)

@@ -31,6 +31,7 @@ def _as_sorted_df(ds_or_table) -> pd.DataFrame:
     df = ds_or_table.to_pandas()
     df = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     df["turn_score"] = df["turn_score"].astype("Int64")
+    df["turn_idx"] = df["turn_idx"].astype("Int32")
     return df
 
 
