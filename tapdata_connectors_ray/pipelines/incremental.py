@@ -58,10 +58,29 @@ APPLY_RESULT_SCHEMA = pa.schema(
 )
 
 
+def _lake_file_to_events(
+    table: pa.Table, plan: EvolutionPlan, from_version: int
+) -> pd.DataFrame:
+    """Lake partition file -> merge-input rows.  Compacted files predating
+    the op column read as inserts; delta files carry their real ops so
+    retained tombstones keep suppressing older upserts."""
+    t = plan.migrate_table(table, from_version=from_version)
+    df = t.to_pandas()
+    if "op" not in df.columns:
+        df["op"] = "I"
+    return df
+
+
 class MergeApplyWriter:
-    """Per-group merge-and-write: current lake partition files + epoch's
-    events -> new partition file; returns a lineage row, not data (the
+    """Per-group merge-and-write; returns a lineage row, not data (the
     shuffle's output stays on workers; only metadata reaches the driver).
+
+    ``mode="rewrite"`` (full compaction per epoch): current partition files
+    + epoch events -> one new partition file.
+    ``mode="delta"`` (LSM minor write): only the epoch's collapsed events
+    (tombstones RETAINED) land as a delta file; previous files are untouched
+    and reads merge across the file stack until :meth:`CheckpointedIngest.
+    compact` collapses it.
 
     Lake files written under an older schema version are structurally
     migrated on read (the deferred target-side ALTER TABLE,
@@ -70,34 +89,42 @@ class MergeApplyWriter:
     def __init__(
         self,
         lake_dir: str,
-        prev: dict[int, tuple[list[str], int]],  # pid -> (files, schema_version)
+        prev: dict[int, tuple[list[str], list[int]]],  # pid -> (files, per-file versions)
         epoch: int,
         plan: EvolutionPlan,
+        mode: str = "rewrite",
     ):
         self.lake_dir = lake_dir
         self.prev = prev
         self.epoch = epoch
         self.plan = plan
+        self.mode = mode
         self.out_schema = merged_schema(plan.schema_at())
 
     def __call__(self, df: pd.DataFrame) -> pa.Table:
         pid = int(df["partition_id"].iloc[0])
         event_rows = len(df)
-        prev_files, prev_ver = self.prev.get(pid, ([], self.plan.latest_version))
-        frames = [df]
-        for f in prev_files:
-            old = self.plan.migrate_table(pq.read_table(f), from_version=prev_ver)
-            old_df = old.to_pandas()
-            old_df["op"] = "I"
-            frames.append(old_df)
-        merged_df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else df
         from tapdata_connectors_ray.stages.merge import _to_table
 
-        merged = _to_table(lww_collapse(merged_df), self.out_schema)
+        if self.mode == "delta":
+            merged_df = lww_collapse(df, drop_tombstones=False)
+            merged = _to_table(merged_df, self.out_schema)
+            name = f"delta-{self.epoch:06d}.parquet"
+        else:
+            prev_files, prev_vers = self.prev.get(pid, ([], []))
+            frames = [df]
+            for f, ver in zip(prev_files, prev_vers):
+                frames.append(
+                    _lake_file_to_events(pq.read_table(f), self.plan, ver)
+                )
+            merged_df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else df
+            merged_df = lww_collapse(merged_df)
+            merged = _to_table(merged_df, self.out_schema)
+            name = f"part-{self.epoch:06d}.parquet"
 
         pdir = partition_dir(self.lake_dir, pid)
         os.makedirs(pdir, exist_ok=True)
-        out = os.path.join(pdir, f"part-{self.epoch:06d}.parquet")
+        out = os.path.join(pdir, name)
         # deterministic final name: a retried task rewrites identical content;
         # write tmp + atomic rename so readers never see partial files
         tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -151,6 +178,7 @@ class CheckpointedIngest:
         end_lsn: int | None = None,
         commit: bool = True,
         use_watermarks: bool = True,
+        mode: str = "rewrite",
     ) -> Manifest:
         """Apply all events with ``watermark < lsn [<= end_lsn]``; optionally
         commit the manifest (``commit=False`` models a crash after data files
@@ -197,10 +225,10 @@ class CheckpointedIngest:
 
         epoch = self.manifest.epoch + 1
         prev = {
-            pid: (list(st.files), st.schema_version)
+            pid: (list(st.files), st.versions())
             for pid, st in self.manifest.partitions.items()
         }
-        writer = MergeApplyWriter(self.lake_dir, prev, epoch, plan)
+        writer = MergeApplyWriter(self.lake_dir, prev, epoch, plan, mode=mode)
 
         def merge_apply(df: pd.DataFrame) -> pa.Table:  # map_groups needs a plain fn
             return writer(df)
@@ -220,11 +248,18 @@ class CheckpointedIngest:
         )
         for r in results:
             pid = int(r["partition_id"])
-            prev = self.manifest.partitions.get(pid)
-            prev_wm = prev.applied_lsn if prev else -1
+            prev_st = self.manifest.partitions.get(pid)
+            prev_wm = prev_st.applied_lsn if prev_st else -1
+            if mode == "delta":
+                files = (list(prev_st.files) if prev_st else []) + [r["file"]]
+                fvers = (prev_st.versions() if prev_st else []) + [plan.latest_version]
+            else:
+                files = [r["file"]]
+                fvers = [plan.latest_version]
             new.partitions[pid] = PartitionState(
                 applied_lsn=max(prev_wm, int(r["max_lsn"])),
-                files=[r["file"]],
+                files=files,
+                file_versions=fvers,
                 rows=int(r["rows"]),
                 schema_version=plan.latest_version,
                 lineage={
@@ -246,6 +281,7 @@ class CheckpointedIngest:
         base_path: str | list[str] | None = None,
         *,
         n_epochs: int = 4,
+        mode: str = "rewrite",
     ) -> Manifest:
         """Split the log's LSN range into ``n_epochs`` checkpointed applies —
         the replay analogue of the reference's periodic offset commit."""
@@ -261,7 +297,12 @@ class CheckpointedIngest:
         bounds = np.linspace(0, max_lsn, n_epochs + 1).astype(np.int64)[1:]
         m = self.manifest
         for b in bounds:
-            m = self.ingest(events_path, base_path if m.epoch == 0 else None, end_lsn=int(b))
+            m = self.ingest(
+                events_path,
+                base_path if m.epoch == 0 else None,
+                end_lsn=int(b),
+                mode=mode,
+            )
         return m
 
     # -- reads -------------------------------------------------------------
@@ -270,31 +311,116 @@ class CheckpointedIngest:
         """DDL history as of the last commit (persisted in the manifest)."""
         return EvolutionPlan.from_json(self.manifest.ddl_history)
 
+    def _partition_items(self, only_stacked: bool = False) -> list[dict]:
+        return [
+            {"pid": pid, "files": list(st.files), "vers": st.versions()}
+            for pid, st in sorted(self.manifest.partitions.items())
+            if st.files and (len(st.files) > 1 or not only_stacked)
+        ]
+
     def final_dataset(self) -> ray.data.Dataset:
-        """The committed lake table as a streaming Dataset, with partitions
-        whose files predate a DDL migrated to the committed schema on read."""
+        """The committed lake table as a streaming Dataset: ONE read-merge
+        task per partition (no shuffle — partitions are key-disjoint).  A
+        delta stack (multiple files with live tombstones) collapses here at
+        read time; files predating a DDL are migrated per their recorded
+        schema version."""
         plan = self.committed_plan()
         payload_names = plan.schema_at().names
-        by_version: dict[int, list[str]] = {}
-        for st in self.manifest.partitions.values():
-            by_version.setdefault(st.schema_version, []).extend(st.files)
-        parts = []
-        for ver, files in sorted(by_version.items()):
-            if not files:
-                continue
-
-            def migrate(batch: pa.Table, _ver=ver) -> pa.Table:
-                return plan.migrate_table(batch, from_version=_ver).select(payload_names)
-
-            parts.append(
-                ray.data.read_parquet(files).map_batches(migrate, batch_format="pyarrow")
-            )
-        if not parts:
+        items = self._partition_items()
+        if not items:
             return ray.data.from_arrow(plan.schema_at().empty_table())
-        ds = parts[0]
-        for p in parts[1:]:
-            ds = ds.union(p)
-        return ds
+        plan_json = plan.to_json()
+
+        def read_merge(batch: pd.DataFrame) -> pa.Table:
+            from tapdata_connectors_ray.stages.merge import _to_table
+
+            plan_l = EvolutionPlan.from_json(plan_json)
+            out_schema = merged_schema(plan_l.schema_at())
+            outs = []
+            for _, row in batch.iterrows():
+                frames = [
+                    _lake_file_to_events(pq.read_table(f), plan_l, int(v))
+                    for f, v in zip(row["files"], row["vers"])
+                ]
+                df = pd.concat(frames, ignore_index=True)
+                merged = _to_table(lww_collapse(df), out_schema)
+                outs.append(merged.select(payload_names))
+            return pa.concat_tables(outs)
+
+        return ray.data.from_items(items).map_batches(
+            read_merge, batch_format="pandas", batch_size=1
+        )
+
+    def compact(self, commit: bool = True) -> Manifest:
+        """Collapse every partition's delta stack into one compacted file
+        (LSM major compaction): dedup + LWW + tombstone drop, one task per
+        stacked partition; single atomic manifest swap; superseded files are
+        best-effort deleted AFTER the commit (orphans are invisible anyway)."""
+        plan = self.committed_plan()
+        items = self._partition_items(only_stacked=True)
+        if not items:
+            return self.manifest
+        epoch = self.manifest.epoch + 1
+        plan_json = plan.to_json()
+        lake_dir = self.lake_dir
+
+        def compact_one(batch: pd.DataFrame) -> pa.Table:
+            from tapdata_connectors_ray.stages.merge import _to_table
+
+            plan_l = EvolutionPlan.from_json(plan_json)
+            out_schema = merged_schema(plan_l.schema_at())
+            rows = []
+            for _, row in batch.iterrows():
+                pid = int(row["pid"])
+                frames = [
+                    _lake_file_to_events(pq.read_table(f), plan_l, int(v))
+                    for f, v in zip(row["files"], row["vers"])
+                ]
+                merged = _to_table(
+                    lww_collapse(pd.concat(frames, ignore_index=True)), out_schema
+                )
+                out = os.path.join(partition_dir(lake_dir, pid), f"part-{epoch:06d}.parquet")
+                tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+                pq.write_table(merged, tmp)
+                os.replace(tmp, out)
+                rows.append({"partition_id": pid, "file": out, "rows": merged.num_rows})
+            return pa.Table.from_pylist(rows)
+
+        results = (
+            ray.data.from_items(items)
+            .map_batches(compact_one, batch_format="pandas", batch_size=1)
+            .take_all()
+        )
+        new = Manifest(
+            num_partitions=self.num_partitions,
+            epoch=epoch,
+            schema_version=plan.latest_version,
+            ddl_history=plan.to_json(),
+            partitions=dict(self.manifest.partitions),
+        )
+        superseded: list[str] = []
+        for r in results:
+            pid = int(r["partition_id"])
+            old = self.manifest.partitions[pid]
+            superseded.extend(old.files)
+            new.partitions[pid] = PartitionState(
+                applied_lsn=old.applied_lsn,
+                files=[r["file"]],
+                file_versions=[plan.latest_version],
+                rows=int(r["rows"]),
+                schema_version=plan.latest_version,
+                lineage={**old.lineage, "compacted_epoch": epoch,
+                         "compacted_files": len(old.files)},
+            )
+        if commit:
+            commit_manifest(self.lake_dir, new)
+            self.manifest = new
+            for f in superseded:  # invisible after the swap; best-effort GC
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+        return new
 
     def merge_on_read(self, events_path: str | list[str]) -> ray.data.Dataset:
         """Read-time merged view: committed lake ∪ not-yet-compacted log
@@ -331,7 +457,8 @@ class CheckpointedIngest:
 
         by_version: dict[int, list[str]] = {}
         for st in self.manifest.partitions.values():
-            by_version.setdefault(st.schema_version, []).extend(st.files)
+            for f, v in zip(st.files, st.versions()):
+                by_version.setdefault(v, []).append(f)
         view = pending
         for ver, files in sorted(by_version.items()):
             if not files:
@@ -339,9 +466,10 @@ class CheckpointedIngest:
 
             def lake_rows(batch: pa.Table, _ver=ver) -> pa.Table:
                 t = plan.migrate_table(batch, from_version=_ver)
-                t = t.append_column(
-                    "op", pa.array(np.full(len(t), "I", dtype=object), pa.string())
-                )
+                if "op" not in t.column_names:  # pre-op compacted files
+                    t = t.append_column(
+                        "op", pa.array(np.full(len(t), "I", dtype=object), pa.string())
+                    )
                 return t.select(col_order)
 
             view = view.union(
@@ -364,13 +492,15 @@ class CheckpointedIngest:
         st = self.manifest.partitions.get(pid)
         if not st or not st.files:
             return None
-        t = pq.read_table(
-            st.files,
-            filters=[("conv_id", "=", conv_id), ("turn_idx", "=", turn_idx)],
-        )
         plan = self.committed_plan()
-        t = plan.migrate_table(t, from_version=st.schema_version)
-        rows = t.select(plan.schema_at().names).to_pylist()
+        frames = []
+        for f, v in zip(st.files, st.versions()):
+            t = pq.read_table(
+                f, filters=[("conv_id", "=", conv_id), ("turn_idx", "=", turn_idx)]
+            )
+            frames.append(_lake_file_to_events(t, plan, v))
+        df = lww_collapse(pd.concat(frames, ignore_index=True))
+        rows = df[plan.schema_at().names].to_dict("records")
         return rows[0] if rows else None
 
     def metrics(self) -> dict:

@@ -45,10 +45,15 @@ COUNTER_SCHEMA = pa.schema(
 
 def merged_schema(payload_schema: pa.Schema) -> pa.Schema:
     """Lake partition file schema: payload + engine columns (lsn keeps LWW
-    comparable across epochs; partition_id keeps the file self-describing)."""
+    comparable across epochs; op lets delta files carry live tombstones;
+    partition_id keeps the file self-describing)."""
     return pa.schema(
         list(payload_schema)
-        + [pa.field("lsn", pa.int64()), pa.field("partition_id", pa.int32())]
+        + [
+            pa.field("lsn", pa.int64()),
+            pa.field("op", pa.string()),
+            pa.field("partition_id", pa.int32()),
+        ]
     )
 
 

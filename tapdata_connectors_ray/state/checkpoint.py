@@ -34,8 +34,16 @@ class PartitionState:
     applied_lsn: int = -1
     files: list[str] = field(default_factory=list)
     rows: int = 0
-    schema_version: int = 1  # the schema the partition's files are laid out in
+    schema_version: int = 1  # schema of the newest file / the committed plan
+    # schema version EACH file was written under (parallel to ``files``) — a
+    # delta stack can straddle DDL boundaries; empty = all at schema_version
+    file_versions: list[int] = field(default_factory=list)
     lineage: dict = field(default_factory=dict)
+
+    def versions(self) -> list[int]:
+        if self.file_versions and len(self.file_versions) == len(self.files):
+            return list(self.file_versions)
+        return [self.schema_version] * len(self.files)
 
 
 @dataclass
@@ -71,6 +79,7 @@ class Manifest:
                     "files": st.files,
                     "rows": st.rows,
                     "schema_version": st.schema_version,
+                    "file_versions": st.file_versions,
                     "lineage": st.lineage,
                 }
                 for pid, st in self.partitions.items()
@@ -91,6 +100,7 @@ class Manifest:
                 files=list(st["files"]),
                 rows=st["rows"],
                 schema_version=st.get("schema_version", 1),
+                file_versions=list(st.get("file_versions", [])),
                 lineage=dict(st.get("lineage", {})),
             )
         return m

@@ -145,3 +145,38 @@ def test_live_tailer_resume(paths, expected, tmp_path):
         shutil.copy2(os.path.join(ev, s), os.path.join(staging, s))
     assert t2.poll_once() == len(segs) - half
     assert_lake_matches(t2.ingest, expected)
+
+
+def test_delta_ingest_read_before_and_after_compaction(paths, expected, lake_dir):
+    """Delta epochs stack files (tombstones retained); reads collapse the
+    stack; compaction rewrites to one file per partition — state identical
+    at every step, point lookups included."""
+    ev, base = paths
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing.ingest_in_epochs(ev, base, n_epochs=3, mode="delta")
+    assert max(len(st.files) for st in ing.manifest.partitions.values()) > 1
+    assert_lake_matches(ing, expected)  # read-time stack collapse
+
+    exp_df = expected.to_pandas()
+    probe = exp_df.iloc[len(exp_df) // 2]
+    row = ing.query_by_key(probe["conv_id"], int(probe["turn_idx"]))
+    assert row is not None and row["text"] == probe["text"]
+
+    ing.compact()
+    assert all(len(st.files) == 1 for st in ing.manifest.partitions.values())
+    assert_lake_matches(ing, expected)  # identical after major compaction
+
+    # a deleted key must stay deleted through the delta stack
+    live_keys = set(zip(exp_df["conv_id"], exp_df["turn_idx"].astype(int)))
+    import pyarrow.parquet as pq
+
+    all_keys = set(
+        zip(
+            pq.read_table(ev, columns=["conv_id"]).column(0).to_pylist(),
+            [int(x) if x is not None else -1
+             for x in pq.read_table(ev, columns=["turn_idx"]).column(0).to_pylist()],
+        )
+    )
+    deleted = next(iter(k for k in all_keys if k not in live_keys and k[1] >= 0), None)
+    if deleted is not None:
+        assert ing.query_by_key(deleted[0], deleted[1]) is None
