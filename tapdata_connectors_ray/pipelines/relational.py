@@ -248,6 +248,38 @@ def q_text_bigram_topk(sf_dir: str):
     return top.reset_index(drop=True)
 
 
+def q_typelattice_roundtrip(sf_dir: str):
+    """Codec-registry conformance (survey §1.3 / EveryTapValueToTarget):
+    a table covering every portable type goes through the write-side encode
+    and read-side decode codecs inside a Ray pipeline; reports per-type
+    round-trip fidelity.  Rows-only: nested/binary types have no stable SQL
+    text form to hash against."""
+    import ray.data
+
+    from tapdata_connectors_ray.functions.codecs import (
+        decode_from_target,
+        encode_for_target,
+        lattice_sample_table,
+    )
+
+    t = lattice_sample_table(256)
+    schema = t.schema
+
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(lambda b: encode_for_target(b, schema), batch_format="pyarrow")
+        .map_batches(lambda b: decode_from_target(b, schema), batch_format="pyarrow")
+    )
+    got = pa.Table.from_pylist(out.take_all(), schema=schema)
+    return pd.DataFrame(
+        {
+            "tap_type": schema.names,
+            "n_values": [t.num_rows] * len(schema.names),
+            "roundtrip_ok": [bool(got[c].equals(t[c])) for c in schema.names],
+        }
+    )
+
+
 # -- DuckDB oracles ----------------------------------------------------------
 
 RELATIONAL_SQL: dict[str, str] = {
@@ -359,4 +391,5 @@ def relational_queries():
         "events_tumbling_window": q_events_tumbling_window,
         "events_session_windows": q_events_session_windows,
         "text_bigram_topk": q_text_bigram_topk,
+        "typelattice_roundtrip": q_typelattice_roundtrip,
     }
