@@ -100,14 +100,52 @@ def _jsonl_second_half(sf_dir: str) -> list[str]:
     return [os.path.join(seg_dir, f) for f in files[half:]]
 
 
+def q_source_partitioned_log(sf_dir: str) -> Any:
+    """Kafka-shaped ingest: the change log is produced into a 4-partition
+    topic keyed by conv_id (per-key ordering within a partition only), the
+    consumer polls twice with a per-partition offset map, and the consumed
+    segments replay to the final lake state — proving cross-partition
+    disorder is absorbed by the LSN merge."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.pipelines.replay import replay_final_state
+    from tapdata_connectors_ray.sources.partitioned_log import poll_topic, write_topic
+
+    ev, base = _fixture_paths(sf_dir)
+    table = pq.read_table(ev)
+    topic = tempfile.mkdtemp(prefix="topic_", dir="/tmp")
+    half = table.num_rows // 2
+
+    consumed: list[str] = []
+    offset = None
+    for chunk in (table.slice(0, half), table.slice(half)):
+        write_topic(chunk, topic, "conv_id", n_partitions=4)
+        fresh, offset = poll_topic(topic, offset)
+        consumed.extend(fresh)
+    again, _ = poll_topic(topic, offset)
+    assert again == []  # every segment consumed exactly once
+    return replay_final_state(consumed, base, num_partitions=64)
+
+
+def _fixture_paths(sf_dir: str):
+    from tapdata_connectors_ray.pipelines.entrypoints import _fixture_paths_for
+
+    return _fixture_paths_for(sf_dir)
+
+
 def filesource_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "source_csv_events_agg": q_source_csv_events_agg,
         "source_jsonl_resume": q_source_jsonl_resume,
+        "source_partitioned_log": q_source_partitioned_log,
     }
 
 
 def filesource_oracle_sql(oracle_sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    from tapdata_connectors_ray.pipelines.entrypoints import _final_state_sql
+
     # render against the driver's correctness tier (files are materialized
     # by this call so the SQL always has bytes to read)
     csv_glob = _csv_glob(oracle_sf_dir)
@@ -119,6 +157,7 @@ def filesource_oracle_sql(oracle_sf_dir: str = "/root/testdata/sf0.01") -> dict[
                           columns={{'user_id':'BIGINT','event_type':'VARCHAR','value':'DOUBLE'}})
             GROUP BY event_type ORDER BY event_type
         """,
+        "source_partitioned_log": _final_state_sql(),
         "source_jsonl_resume": f"""
             SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
             FROM read_json([{jsonl_files}],

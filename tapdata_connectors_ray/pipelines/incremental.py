@@ -503,6 +503,32 @@ class CheckpointedIngest:
         rows = df[plan.schema_at().names].to_dict("records")
         return rows[0] if rows else None
 
+    def clear_table(self) -> None:
+        """``clearTable`` analogue (``CommonDbConnector.java:352-362``):
+        drop all partition data, keep the (empty) table + schema history."""
+        import shutil
+
+        for st in self.manifest.partitions.values():
+            for f in st.files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+        shutil.rmtree(os.path.join(self.lake_dir, "partitions"), ignore_errors=True)
+        self.manifest = Manifest(
+            num_partitions=self.num_partitions,
+            epoch=self.manifest.epoch + 1,
+            schema_version=self.manifest.schema_version,
+            ddl_history=list(self.manifest.ddl_history),
+        )
+        commit_manifest(self.lake_dir, self.manifest)
+
+    def drop_table(self) -> None:
+        """``dropTable`` analogue: remove the lake directory entirely."""
+        import shutil
+
+        shutil.rmtree(self.lake_dir, ignore_errors=True)
+
     def metrics(self) -> dict:
         """Per-partition throughput/lag surface (north rule: metrics exported)."""
         wm = self.manifest.watermarks()
