@@ -152,7 +152,7 @@ class CheckpointedIngest:
         lake_dir: str,
         num_partitions: int = 64,
         salt_buckets: int = 0,
-        batch_size: int = 64 * 1024,
+        batch_size: int = 256 * 1024,
     ):
         self.lake_dir = lake_dir
         self.salt_buckets = salt_buckets
@@ -220,7 +220,7 @@ class CheckpointedIngest:
         )
         if self.salt_buckets:
             ev = ev.groupby(["partition_id", "salt"]).map_groups(
-                lww_premerge_group, batch_format="pandas"
+                lww_premerge_group, batch_format="pyarrow"
             )
 
         epoch = self.manifest.epoch + 1

@@ -211,7 +211,7 @@ def replay_merged(
         )
         if salt_buckets:
             ev = ev.groupby(["partition_id", "salt"]).map_groups(
-                lww_premerge_group, batch_format="pandas"
+                lww_premerge_group, batch_format="pyarrow"
             )
     merge_fn = make_lww_merge(plan.schema_at())
     merged = ev.groupby("partition_id").map_groups(merge_fn, batch_format="pyarrow")

@@ -122,12 +122,22 @@ def make_lww_merge(payload_schema: pa.Schema) -> Callable[[pa.Table], pa.Table]:
     return lww_merge_group
 
 
-def lww_premerge_group(df: pd.DataFrame) -> pd.DataFrame:
+def lww_premerge_group(t: pa.Table) -> pa.Table:
     """Salted pre-merge: same LWW collapse but tombstones are RETAINED — a
     delete must survive to the final merge to beat older upserts (the
     ClickHouse ``is_deleted``-row precedent; dropping it early would
-    resurrect rows).  Output keeps the merge input layout minus the salt."""
-    return lww_collapse(df, drop_tombstones=False).drop(columns=["salt"], errors="ignore")
+    resurrect rows).  Arrow-native (narrow-index + take), salt dropped."""
+    idx = lww_keep_indices(
+        t["conv_id"].to_numpy(zero_copy_only=False),
+        t["turn_idx"].to_numpy(zero_copy_only=False),
+        t["lsn"].to_numpy(zero_copy_only=False),
+        t["op"].to_numpy(zero_copy_only=False),
+        drop_tombstones=False,
+    )
+    out = t.take(np.sort(idx))
+    if "salt" in out.column_names:
+        out = out.drop_columns(["salt"])
+    return out
 
 
 def write_counters_group(df: pd.DataFrame) -> pa.Table:
