@@ -99,7 +99,8 @@ def _to_table(rows: list[dict]) -> pa.Table:
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
 @given(log=event_logs())
-def test_replay_equals_reducer(ray_session, tmp_path_factory, log):
+@pytest.mark.parametrize("strategy", ["shuffle", "semijoin"])
+def test_replay_equals_reducer(ray_session, tmp_path_factory, strategy, log):
     import pyarrow.parquet as pq
 
     from tapdata_connectors_ray.pipelines.replay import replay_final_state
@@ -128,7 +129,7 @@ def test_replay_equals_reducer(ray_session, tmp_path_factory, log):
         table,
     ).to_pandas()
 
-    got = replay_final_state(path, None, num_partitions=4).to_pandas()
+    got = replay_final_state(path, None, num_partitions=4, strategy=strategy).to_pandas()
     if got.empty and len(got.columns) == 0:
         # a fully-deleted table comes back as 0 blocks (Ray drops empty
         # blocks, losing the schema) — normalize for the frame compare
