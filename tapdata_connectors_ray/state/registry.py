@@ -183,17 +183,41 @@ class EvolutionPlan:
         referenced column exists.
         """
         ver = batch[ver_col]
+        # most batches sit entirely on one side of a DDL's LSN (versions are
+        # contiguous in the log) — min/max lets each change short-circuit to
+        # cheap column ops instead of a per-row if_else blend that copies the
+        # wide string columns once per change
+        ver_min = pc.min(ver).as_py()
+        ver_max = pc.max(ver).as_py()
         for ch in self.changes:
-            older = pc.less(ver, ch.version)
+            none_older = ver_min is not None and ver_min >= ch.version
+            all_older = ver_max is not None and ver_max < ch.version
             if ch.kind == "add_field":
                 name = ch.payload["name"]
-                col = pc.if_else(older, pa.nulls(len(batch), batch[name].type), batch[name])
-                batch = batch.set_column(batch.schema.get_field_index(name), name, col)
+                if none_older:
+                    pass  # physical column already carries the values
+                elif all_older:
+                    batch = batch.set_column(
+                        batch.schema.get_field_index(name), name,
+                        pa.nulls(len(batch), batch[name].type),
+                    )
+                else:
+                    older = pc.less(ver, ch.version)
+                    col = pc.if_else(older, pa.nulls(len(batch), batch[name].type), batch[name])
+                    batch = batch.set_column(batch.schema.get_field_index(name), name, col)
             elif ch.kind == "rename_field":
                 src, dst = ch.payload["from"], ch.payload["to"]
-                col = pc.if_else(older, batch[src], batch[dst])
-                batch = batch.set_column(batch.schema.get_field_index(dst), dst, col)
-                batch = batch.drop_columns([src])
+                if none_older:
+                    batch = batch.drop_columns([src])
+                elif all_older:
+                    batch = batch.set_column(
+                        batch.schema.get_field_index(dst), dst, batch[src]
+                    ).drop_columns([src])
+                else:
+                    older = pc.less(ver, ch.version)
+                    col = pc.if_else(older, batch[src], batch[dst])
+                    batch = batch.set_column(batch.schema.get_field_index(dst), dst, col)
+                    batch = batch.drop_columns([src])
             elif ch.kind == "widen_field":
                 name = ch.payload["name"]
                 target = pa.type_for_alias(ch.payload["to_type"])
