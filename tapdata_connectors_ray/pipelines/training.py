@@ -517,6 +517,69 @@ def q_multimodal_resize_pipeline(sf_dir: str) -> Any:
     )
 
 
+def q_curation_pipeline(sf_dir: str) -> Any:
+    """End-to-end corpus curation — the composition a real training-data
+    pipeline runs, chained as one lazy Dataset flow:
+
+        augmented corpus
+          -> quality gate  (n_words >= 20 AND alpha_ratio >= 0.5)
+          -> exact dedup   (keep min doc_id per identical text)
+          -> near-dup drop (word-3-gram Jaccard >= 0.6: drop the larger
+                            doc_id of each surviving pair)
+          -> per-doc token counts of the survivors
+
+    Every stage reuses the individually-oracled operators; the oracle SQL
+    composes the same CTEs, so the whole chain is value-checked."""
+    from tapdata_connectors_ray.stages.dedup import add_text_hash
+    from tapdata_connectors_ray.stages.textqc import token_count_batch
+
+    # stage 1: quality gate (vectorized in-batch)
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_pylist(), dtype=object)
+        low = texts.str.lower()
+        n_words = low.str.split(" ").map(len).to_numpy()
+        n_chars = texts.str.len().to_numpy()
+        alpha = low.str.count("[a-z]").to_numpy()
+        keep = (n_words >= 20) & (alpha / np.maximum(n_chars, 1) >= 0.5)
+        return batch.take(np.nonzero(keep)[0])
+
+    gated = _aug_docs(sf_dir).map_batches(
+        quality_gate, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # stage 2: exact dedup — keep min doc_id per content hash
+    hashed = gated.map_batches(add_text_hash, batch_format="pyarrow", zero_copy_batch=True)
+    kept_ids = set(
+        hashed.select_columns(["text_hash", "doc_id"])
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .to_pandas()["doc_id"]
+    )
+
+    # stage 3: near-dup drop among survivors (reuse the jaccard operator)
+    pairs = q_dedup_ngram_jaccard(sf_dir).to_pandas()
+    both_alive = pairs[pairs["doc_a"].isin(kept_ids) & pairs["doc_b"].isin(kept_ids)]
+    dropped = set(both_alive["doc_b"])  # deterministic rule: larger id goes
+    survivors = np.array(sorted(kept_ids - dropped), dtype=np.int64)
+    survivors_ref = ray.put(survivors)
+
+    # stage 4: token counts of survivors (broadcast id-set filter)
+    def keep_survivors(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        alive = ray.get(survivors_ref)
+        pos = np.searchsorted(alive, ids)
+        pos_c = np.minimum(pos, max(len(alive) - 1, 0))
+        ok = (len(alive) > 0) & (alive[pos_c] == ids)
+        return batch.take(np.nonzero(ok)[0])
+
+    out = (
+        _aug_docs(sf_dir)
+        .map_batches(keep_survivors, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -589,6 +652,34 @@ _CENTROID_CTE = """
 """
 
 TRAINING_SQL: dict[str, str] = {
+    "curation_pipeline": _GRAMS_CTE
+    + """
+, gate AS (
+    SELECT doc_id, text,
+           len(string_split(lower(text), ' ')) AS n_words,
+           len(regexp_extract_all(lower(text), '[a-z]')) AS n_alpha,
+           length(text) AS n_chars
+    FROM aug
+), gated AS (
+    SELECT doc_id, text FROM gate
+    WHERE n_words >= 20 AND n_alpha * 1.0 / greatest(n_chars, 1) >= 0.5
+), exact_kept AS (
+    SELECT min(doc_id) AS doc_id FROM gated GROUP BY text
+), near_pairs AS (
+    SELECT doc_a, doc_b FROM pair_stats
+    WHERE common * 1.0 / union_n >= 0.6
+      AND doc_a IN (SELECT doc_id FROM exact_kept)
+      AND doc_b IN (SELECT doc_id FROM exact_kept)
+), survivors AS (
+    SELECT doc_id FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_b FROM near_pairs)
+)
+SELECT a.doc_id,
+       len(string_split(lower(a.text), ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(a.text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+FROM aug a JOIN survivors s ON s.doc_id = a.doc_id
+ORDER BY a.doc_id
+""",
     "dedup_exact": _AUG_CTE
     + """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -723,6 +814,7 @@ GROUP BY kind ORDER BY kind
 def training_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": q_dedup_exact,
+        "curation_pipeline": q_curation_pipeline,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_join": q_dedup_minhash_lsh_join,
