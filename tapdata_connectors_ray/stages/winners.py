@@ -128,17 +128,14 @@ class WinnerFilter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self._resolve()
-        if len(batch) == 0:
-            return batch
+        if len(batch) == 0 or len(self.kh) == 0:
+            # empty winner set = fully-deleted table -> nothing survives
+            return batch.slice(0, 0)
         conv = batch["conv_id"].to_numpy(zero_copy_only=False)
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         lsn = batch["lsn"].to_numpy()
         k = key_hashes(conv, turn)
         pos = np.searchsorted(self.kh, k)
-        pos_c = np.minimum(pos, len(self.kh) - 1) if len(self.kh) else pos
-        ok = (
-            (len(self.kh) > 0)
-            & (self.kh[pos_c] == k)
-            & (self.lsn[pos_c] == lsn)
-        )
+        pos_c = np.minimum(pos, len(self.kh) - 1)
+        ok = (self.kh[pos_c] == k) & (self.lsn[pos_c] == lsn)
         return batch.take(np.nonzero(ok)[0])

@@ -141,3 +141,67 @@ def test_replay_equals_reducer(ray_session, tmp_path_factory, strategy, log):
     exp["turn_idx"] = exp["turn_idx"].astype("Int32")
     exp["turn_score"] = exp["turn_score"].astype("Int64")
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(log=event_logs(), data=st.data())
+def test_checkpointed_epochs_equal_reducer(ray_session, tmp_path_factory, log, data):
+    """Checkpointed ingest over ARBITRARY epoch boundaries (including empty
+    epochs and a final partial boundary) converges to the sequential
+    reducer's state — the randomized resume/exactly-once gate."""
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.pipelines.incremental import CheckpointedIngest
+
+    d = tmp_path_factory.mktemp("prop_epochs")
+    path = str(d / "events.parquet")
+    table = _to_table(log)
+    pq.write_table(table, path)
+    max_lsn = max(r["lsn"] for r in log)
+
+    n_bounds = data.draw(st.integers(min_value=1, max_value=4))
+    bounds = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max_lsn + 2),
+                min_size=n_bounds, max_size=n_bounds,
+            )
+        )
+    ) + [max_lsn + 10]
+
+    ing = CheckpointedIngest(str(d / "lake"), num_partitions=4)
+    for b in bounds:
+        ing.ingest(path, None, end_lsn=int(b))
+
+    exp = expected_final_state(
+        EVENT_LOG_SCHEMA.empty_table().select(
+            ["conv_id", "turn_idx", "role", "text", "tool", "turn_score", "ts"]
+        ).cast(
+            pa.schema(
+                [
+                    pa.field("conv_id", pa.string()),
+                    pa.field("turn_idx", pa.int32()),
+                    pa.field("role", pa.string()),
+                    pa.field("text", pa.string()),
+                    pa.field("tool", pa.string()),
+                    pa.field("turn_score", pa.int32()),
+                    pa.field("ts", pa.timestamp("us")),
+                ]
+            )
+        ),
+        table,
+    ).to_pandas()
+
+    got = ing.final_dataset().to_pandas()
+    if got.empty and len(got.columns) == 0:
+        got = pd.DataFrame(columns=exp.columns).astype(exp.dtypes.to_dict())
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for df in (got, exp):
+        df["turn_score"] = df["turn_score"].astype("Int64")
+        df["turn_idx"] = df["turn_idx"].astype("Int32")
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
