@@ -41,10 +41,18 @@ def main() -> None:
         from tapdata_connectors_ray.pipelines.livetail import LogTailer
 
         tailer = LogTailer(args.events, args.lake, num_partitions=args.num_partitions)
+        # keep supplying the base snapshot until the first non-empty poll has
+        # ingested it (an empty first poll must not drop it); on a RESUMED job
+        # the ingest's per-partition watermarks make a re-supplied base a
+        # no-op for every partition that already committed (see
+        # BaseSnapshotToEvents watermark guard), so re-passing is safe
+        base_pending = args.base
         polls = 0
         while True:
-            n = tailer.poll_once(args.base if polls == 0 else None)
+            n = tailer.poll_once(base_pending)
             polls += 1
+            if n > 0:
+                base_pending = None  # ingested together with this wave
             if n == 0 and (args.max_polls == 0 or polls >= args.max_polls):
                 break
             if n == 0:

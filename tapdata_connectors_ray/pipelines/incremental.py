@@ -206,7 +206,14 @@ class CheckpointedIngest:
                 base_version=plan.base_version,
             )
 
-        wm_ref = ray.put(self.manifest.watermarks()) if use_watermarks else None
+        wm = self.manifest.watermarks()
+        wm_ref = ray.put(wm) if use_watermarks else None
+        # the base snapshot's resurrection guard must stay on even when
+        # event-side watermark filtering is off (live tail): a re-supplied
+        # base must not revive keys whose tombstones were compacted away
+        base_wm_ref = wm_ref if use_watermarks else (
+            ray.put(wm) if base_path is not None else None
+        )
         ev = normalized_events(
             events_path,
             base_path,
@@ -215,6 +222,7 @@ class CheckpointedIngest:
             salt_buckets=self.salt_buckets,
             prereduce=True,
             watermarks=wm_ref,
+            base_watermarks=base_wm_ref,
             batch_size=self.batch_size,
             max_lsn=end_lsn,
         )

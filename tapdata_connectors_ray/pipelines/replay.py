@@ -85,6 +85,7 @@ def normalized_events(
     salt_buckets: int = 0,
     prereduce: bool = True,
     watermarks=None,
+    base_watermarks=None,
     batch_size: int = DEFAULT_BATCH_SIZE,
     max_lsn: int | None = None,
 ) -> ray.data.Dataset:
@@ -92,6 +93,11 @@ def normalized_events(
 
     ``max_lsn`` bounds the epoch (row-group predicate pushdown at the read) —
     the log-truncation / periodic-checkpoint path of incremental ingest.
+
+    ``base_watermarks`` lets the base snapshot keep its resurrection guard
+    (drop base rows of partitions that ever committed) even when event-side
+    watermark filtering is off (live tail, unordered segment waves); when
+    ``None`` it follows ``watermarks``.
     """
     plan = plan or scan_evolution_plan_distributed(events_path)
     read_kwargs = {}
@@ -113,7 +119,10 @@ def normalized_events(
     if base_path is not None:
         base = ray.data.read_parquet(_expand_paths(base_path)).map_batches(
             BaseSnapshotToEvents(
-                plan, num_partitions, salt_buckets=salt_buckets, watermarks=watermarks
+                plan,
+                num_partitions,
+                salt_buckets=salt_buckets,
+                watermarks=watermarks if base_watermarks is None else base_watermarks,
             ),
             batch_format="pyarrow",
             batch_size=batch_size,

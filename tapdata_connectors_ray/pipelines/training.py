@@ -366,7 +366,10 @@ def q_ann_ivf_topk(sf_dir: str) -> Any:
     q_ids, q_mat = _query_matrix(sf_dir)
     qn = normalize_rows(q_mat)
     cn = normalize_rows(cents)
-    sims = qn @ cn.T  # (n_queries, n_labels)
+    # round before probe selection: numpy's centroid mean and DuckDB's avg
+    # sum in different orders, so unrounded near-ties could rank differently
+    # (the oracle's probes CTE rounds identically)
+    sims = np.round(qn @ cn.T, 5)  # (n_queries, n_labels)
     # nprobe nearest cells per query; ties broken by label ascending
     order = np.lexsort((np.broadcast_to(labels, sims.shape), -sims), axis=1)
     probes = {int(q): set(labels[order[i, :IVF_NPROBE]].tolist()) for i, q in enumerate(q_ids)}
@@ -393,10 +396,7 @@ def q_ann_ivf_topk(sf_dir: str) -> Any:
             for j, qid in enumerate(self.q_ids):
                 allowed = np.isin(row_labels, list(self.probes[int(qid)]))
                 mask = allowed & (ids != qid)
-                cand_ids, cand_sims = ids[mask], sims[mask, j]
-                if len(cand_ids) > self.k:
-                    part = np.argpartition(-cand_sims, self.k)[: self.k]
-                    cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+                cand_ids, cand_sims = self.block_topk(ids[mask], sims[mask, j], self.k)
                 out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
                 out_n.append(cand_ids)
                 out_s.append(cand_sims)
@@ -567,9 +567,11 @@ def q_curation_pipeline(sf_dir: str) -> Any:
     def keep_survivors(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         alive = ray.get(survivors_ref)
+        if len(alive) == 0:  # everything gated/deduped away -> empty result
+            return batch.slice(0, 0)
         pos = np.searchsorted(alive, ids)
-        pos_c = np.minimum(pos, max(len(alive) - 1, 0))
-        ok = (len(alive) > 0) & (alive[pos_c] == ids)
+        pos_c = np.minimum(pos, len(alive) - 1)
+        ok = alive[pos_c] == ids
         return batch.take(np.nonzero(ok)[0])
 
     out = (
@@ -724,7 +726,8 @@ WITH dummy AS (SELECT 1)
         SELECT q.vec_id AS query_id, c.label,
                row_number() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(q.v, c.cvec) DESC, c.label) AS rn
+                   ORDER BY round(list_cosine_similarity(q.v, c.cvec), 5) DESC,
+                            c.label) AS rn
         FROM q, centl c
     ) WHERE rn <= {IVF_NPROBE}
 ), cand AS (
@@ -786,19 +789,35 @@ SELECT doc_id,
        greatest(h_en, h_de, h_es, h_fr) AS stopword_hits
 FROM hits ORDER BY doc_id
 """,
-    # generate_series takes constants only in DuckDB 1.0 -> join a static
-    # 1..4096 stride-4 series against per-doc length (docs are <=4 KiB here)
-    "text_fingerprint": """
+}
+
+
+def _fingerprint_sql(sf_dir: str) -> str:
+    """generate_series takes constants only in DuckDB 1.0 -> render the
+    stride series bound from the table's ACTUAL max doc length (the Ray
+    Fingerprint stage strides the full text, so a static 4096 cap would
+    silently diverge on any longer document)."""
+    bound = 4096
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        import pyarrow.compute as pc
+
+        maxlen = pc.max(pc.utf8_length(t["text"])).as_py() or 0
+        bound = max(bound, ((maxlen + 3) // 4) * 4 + 1)
+    except OSError:
+        pass
+    return f"""
 WITH grams AS (
     SELECT d.doc_id,
            md5_number_lower(substr(lower(d.text), g.i, 8)) AS gh
     FROM documents d
-    JOIN generate_series(1, 4096, 4) AS g(i)
+    JOIN generate_series(1, {bound}, 4) AS g(i)
       ON g.i <= greatest(length(d.text) - 7, 1)
 )
 SELECT doc_id, min(gh) AS fingerprint FROM grams GROUP BY doc_id ORDER BY doc_id
-""",
-}
+"""
 
 
 def _payload_stats_sql(sf_dir: str) -> str:
@@ -837,6 +856,7 @@ def training_oracle_sql() -> dict[str, str]:
     # media oracle reads the fixture files directly (rendered for the
     # driver's correctness tier, like the CDC fixture oracles)
     out["multimodal_payload_stats"] = _payload_stats_sql("/root/testdata/sf0.01")
+    out["text_fingerprint"] = _fingerprint_sql("/root/testdata/sf0.01")
     # decode/resize features have no SQL analogue (binary parsing) -> the
     # driver records the weaker rows-only check for those two on purpose
     return out

@@ -56,6 +56,18 @@ class BruteForceTopK:
         self.q_mat = q["mat"]
         self.k = k
 
+    @staticmethod
+    def block_topk(cand_ids: np.ndarray, cand_sims: np.ndarray, k: int):
+        """Per-block top-k under the GLOBAL total order (-sim, neighbor_id)
+        — the oracle's tie-break.  Any global top-k row is in its block's
+        top-k under the same total order, so truncating here is lossless;
+        an argpartition that keeps an arbitrary member of a sim-tied group
+        is not (a dropped smaller-id tied neighbor can't be recovered)."""
+        if len(cand_ids) > k:
+            order = np.lexsort((cand_ids, -cand_sims))[:k]
+            return cand_ids[order], cand_sims[order]
+        return cand_ids, cand_sims
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = normalize_rows(stack_embeddings(batch))
         ids = batch["vec_id"].to_numpy()
@@ -64,10 +76,7 @@ class BruteForceTopK:
         for j, qid in enumerate(self.q_ids):
             col = sims[:, j]
             mask = ids != qid  # exclude self-match
-            cand_ids, cand_sims = ids[mask], col[mask]
-            if len(cand_ids) > self.k:
-                part = np.argpartition(-cand_sims, self.k)[: self.k]
-                cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+            cand_ids, cand_sims = self.block_topk(ids[mask], col[mask], self.k)
             out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
             out_n.append(cand_ids)
             out_s.append(cand_sims)

@@ -99,7 +99,12 @@ def test_query_matches_oracle(ray_session, qname):
     got = training_queries()[qname](SF)
     if hasattr(got, "to_pandas"):
         got = got.to_pandas()
-    exp = _oracle(TRAINING_SQL[qname])
+    if qname == "text_fingerprint":  # rendered per-tier (series bound)
+        from tapdata_connectors_ray.pipelines.training import _fingerprint_sql
+
+        exp = _oracle(_fingerprint_sql(SF))
+    else:
+        exp = _oracle(TRAINING_SQL[qname])
     assert _frames_equal(got, exp), f"{qname}: got {len(got)} rows vs {len(exp)}"
 
 
