@@ -24,7 +24,9 @@ Layout:
 from tapdata_connectors_ray.schema import (  # noqa: F401
     EVENT_LOG_SCHEMA,
     TRANSCRIPTS_SCHEMA,
+    TRANSCRIPTS_SPEC,
     LATEST_TRANSCRIPTS_SCHEMA,
+    TableSpec,
 )
 
 __version__ = "0.1.0"

@@ -347,3 +347,188 @@ def sf_label_from_dir(sf_dir: str) -> str:
     """Map a driver sf dir like /root/testdata/sf0.01 to a fixture preset label."""
     label = os.path.basename(os.path.normpath(sf_dir))
     return label if label in SCALE_PRESETS else "sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# Second-table fixtures: the table-generic conformance surface.
+#
+# The engine is parameterized by TableSpec (the TapTable analogue); these
+# fixtures prove a SECOND logical table with a different key/column set — and
+# a no-PK table — replay through the SAME code path.
+# ---------------------------------------------------------------------------
+
+from tapdata_connectors_ray.schema import TableSpec  # noqa: E402
+
+SECOND_FIXTURE_VERSION = 2
+
+ORDERS_SCHEMA = pa.schema(
+    [
+        pa.field("order_id", pa.int64()),
+        pa.field("status", pa.string()),
+        pa.field("amount_cents", pa.int64()),
+        pa.field("region", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+    ]
+)
+
+# single-int-key CDC table (key shape the transcripts table does NOT cover)
+ORDERS_SPEC = TableSpec(
+    name="orders_cdc", base_schema=ORDERS_SCHEMA, key_columns=("order_id",)
+)
+
+CLICKS_SCHEMA = pa.schema(
+    [
+        pa.field("uid", pa.string()),  # nullable -> exercises null-safe keys
+        pa.field("page", pa.string()),
+        pa.field("n", pa.int64()),
+    ]
+)
+
+# no-PK table: all columns form the key, null-safe (the reference's
+# all-columns fallback, NormalWriteRecorder.java:64-79,365-376)
+CLICKS_SPEC = TableSpec(name="clicks", base_schema=CLICKS_SCHEMA, key_columns=None)
+
+_ORDER_STATUSES = np.array(["new", "paid", "shipped", "delivered", "returned"])
+_REGIONS = np.array(["emea", "amer", "apac", "latam"])
+
+
+def _dup_and_disorder(df: pd.DataFrame, rng: np.random.Generator,
+                      dup_frac: float, window: int) -> pd.DataFrame:
+    """Duplicate-LSN verbatim replays + bounded file-order disorder (same
+    torture cases as the transcripts log)."""
+    m = len(df)
+    n_dup = int(m * dup_frac)
+    if n_dup:
+        dup = df.iloc[rng.choice(m, size=n_dup, replace=False)]
+        df = pd.concat([df, dup], ignore_index=True)
+    jitter = rng.integers(0, max(window, 1), len(df))
+    rank = np.argsort(np.argsort(df["lsn"].to_numpy(), kind="stable"), kind="stable")
+    return df.iloc[np.argsort(rank + jitter, kind="stable")].reset_index(drop=True)
+
+
+def generate_orders_tables(
+    n_base: int = 3_000, n_events: int = 15_000, seed: int = 7
+) -> tuple[pa.Table, pa.Table]:
+    """orders base snapshot + I/U/D change log (no DDL; schema_ver==1).
+    Updates use a fresh after-image; deletes carry only the key."""
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n_base, dtype=np.int64)
+    base = pa.table(
+        {
+            "order_id": ids,
+            "status": _ORDER_STATUSES[rng.integers(0, len(_ORDER_STATUSES), n_base)],
+            "amount_cents": rng.integers(100, 1_000_000, n_base).astype(np.int64),
+            "region": _REGIONS[ids % len(_REGIONS)],
+            "ts": (_EPOCH_US + ids * 1_000_000).view("datetime64[us]"),
+        },
+        schema=ORDERS_SCHEMA,
+    )
+
+    draw = rng.random(n_events)
+    op = np.where(draw < 0.3, "I", np.where(draw < 0.8, "U", "D"))
+    lsn = np.arange(1, n_events + 1, dtype=np.int64)
+    new_ids = n_base + rng.integers(0, n_events, n_events).astype(np.int64)
+    old_ids = rng.integers(0, n_base, n_events).astype(np.int64)
+    order_id = np.where(op == "I", new_ids, old_ids)
+    status = _ORDER_STATUSES[rng.integers(0, len(_ORDER_STATUSES), n_events)]
+    amount = rng.integers(100, 1_000_000, n_events).astype(np.int64)
+    region = _REGIONS[order_id % len(_REGIONS)]
+    ts = _EPOCH_US + 5_000_000_000 + lsn * 1_000_000
+
+    df = pd.DataFrame(
+        {
+            "lsn": lsn,
+            "op": op,
+            "order_id": order_id,
+            "status": status,
+            "amount_cents": amount,
+            "region": region,
+            "ts": ts.view("datetime64[us]"),
+            "schema_ver": np.int32(1),
+            "ddl_payload": None,
+        }
+    )
+    is_d = df["op"].to_numpy() == "D"
+    for col in ("status", "region"):
+        df.loc[is_d, col] = None
+    df.loc[is_d, "amount_cents"] = np.nan
+    df.loc[is_d, "ts"] = pd.NaT
+    df = _dup_and_disorder(df, rng, dup_frac=0.05, window=256)
+    df["amount_cents"] = df["amount_cents"].astype("Int64")
+    events_schema = pa.schema(
+        [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+        + list(ORDERS_SCHEMA)
+        + [pa.field("schema_ver", pa.int32()), pa.field("ddl_payload", pa.string())]
+    )
+    events = pa.Table.from_pandas(
+        df[[f.name for f in events_schema]], schema=events_schema, preserve_index=False
+    )
+    return base, events
+
+
+def generate_clicks_events(n_events: int = 8_000, seed: int = 11) -> pa.Table:
+    """No-PK append log: I rows insert full row images, D rows re-emit the
+    image of an EARLIER event (delete-by-content — the only delete a no-PK
+    table supports; nulls in ``uid`` must match null-safely)."""
+    rng = np.random.default_rng(seed)
+    uid_pool = np.concatenate(
+        [np.char.add("u", np.arange(300).astype(str)).astype(object), [None] * 30]
+    )
+    uid = uid_pool[rng.integers(0, len(uid_pool), n_events)]
+    page = np.char.add("/page/", rng.integers(0, 50, n_events).astype(str))
+    n = rng.integers(0, 10, n_events).astype(np.int64)
+    op = np.where(rng.random(n_events) < 0.75, "I", "D")
+    op[0] = "I"
+    # a delete re-emits the image of a uniformly-random earlier event
+    j = (rng.random(n_events) * np.arange(n_events)).astype(np.int64)
+    is_d = op == "D"
+    uid = np.where(is_d, uid[j], uid)
+    page = np.where(is_d, page[j], page)
+    n = np.where(is_d, n[j], n)
+    df = pd.DataFrame(
+        {
+            "lsn": np.arange(1, n_events + 1, dtype=np.int64),
+            "op": op,
+            "uid": uid,
+            "page": page,
+            "n": n,
+            "schema_ver": np.int32(1),
+            "ddl_payload": None,
+        }
+    )
+    df = _dup_and_disorder(df, rng, dup_frac=0.04, window=128)
+    events_schema = pa.schema(
+        [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+        + list(CLICKS_SCHEMA)
+        + [pa.field("schema_ver", pa.int32()), pa.field("ddl_payload", pa.string())]
+    )
+    return pa.Table.from_pandas(
+        df[[f.name for f in events_schema]], schema=events_schema, preserve_index=False
+    )
+
+
+def ensure_second_fixtures(root: str = DEFAULT_FIXTURE_ROOT) -> str:
+    """Fixed-size second-table fixtures (conformance surface, not bench):
+    ``<root>/second/{orders_base,orders_events,clicks_events}.parquet``."""
+    out = os.path.join(root, "second")
+    meta_path = os.path.join(out, "meta.json")
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                if json.load(f).get("version") == SECOND_FIXTURE_VERSION:
+                    return out
+        except (json.JSONDecodeError, OSError):
+            pass
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    base, events = generate_orders_tables()
+    clicks = generate_clicks_events()
+    _write_sharded(base, os.path.join(tmp, "orders_base.parquet"))
+    _write_sharded(events, os.path.join(tmp, "orders_events.parquet"))
+    _write_sharded(clicks, os.path.join(tmp, "clicks_events.parquet"))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"version": SECOND_FIXTURE_VERSION}, f)
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out

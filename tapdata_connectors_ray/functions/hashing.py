@@ -70,6 +70,88 @@ def partition_ids(conv_id: pa.ChunkedArray | pa.Array | np.ndarray, num_partitio
     return (stable_hash_strings(conv_id) % np.uint64(num_partitions)).astype(np.int32)
 
 
+# -- generic (TableSpec-driven) key hashing ---------------------------------
+
+# nulls hash to a fixed sentinel so null == null (the reference's null-safe
+# key matching: ``NormalWriteRecorder.java:365-376``)
+_NULL_HASH = np.uint64(0x9AE16A3B2F90404F)
+_COMBINE = np.uint64(0x100000001B3)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic avalanche for integer keys (uint64 in/out)."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def hash_column(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """uint64 content hash of one Arrow column, vectorized, null-safe.
+    Strings use the polynomial hash above; integer-like types go through
+    splitmix64 on their int64 representation; anything else falls back to a
+    string cast (deterministic, not hot-path)."""
+    import pyarrow.compute as pc
+
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+        vals = pc.fill_null(col, "").to_numpy(zero_copy_only=False)
+        h = stable_hash_strings(vals)
+        h[null_mask] = _NULL_HASH
+        return h
+    if (
+        pa.types.is_integer(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_boolean(t)
+    ):
+        as_int = col.cast(pa.int64())
+        null_mask = pc.is_null(as_int).to_numpy(zero_copy_only=False)
+        vals = pc.fill_null(as_int, 0).to_numpy(zero_copy_only=False)
+        h = _splitmix64(np.asarray(vals, dtype=np.int64).view(np.uint64))
+        h[null_mask] = _NULL_HASH
+        return h
+    # fallback: canonical string form
+    as_str = col.cast(pa.string())
+    null_mask = pc.is_null(as_str).to_numpy(zero_copy_only=False)
+    vals = pc.fill_null(as_str, "").to_numpy(zero_copy_only=False)
+    h = stable_hash_strings(vals)
+    h[null_mask] = _NULL_HASH
+    return h
+
+
+def key_hash_columns(batch: pa.Table, columns: list[str]) -> np.ndarray:
+    """uint64 composite hash of the given key columns (order-sensitive)."""
+    h = np.full(len(batch), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in columns:
+            h = (h * _COMBINE) ^ hash_column(batch[c])
+        h = _splitmix64(h)
+    return h
+
+
+def partition_ids_for(batch: pa.Table, columns: list[str], num_partitions: int) -> np.ndarray:
+    """Generic shuffle key: [0, num_partitions) from arbitrary key columns.
+    A single string column reduces to the same hash as :func:`partition_ids`
+    did NOT use the final splitmix — partition assignments are therefore
+    spec-versioned; lakes record their spec in the manifest and never mix
+    hash functions across restarts."""
+    if len(columns) == 1:
+        col = batch[columns[0]]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            import pyarrow.compute as pc
+
+            if pc.count(col, mode="only_null").as_py() == 0:
+                # fast path == legacy transcripts partitioning (conv_id)
+                return (
+                    stable_hash_strings(col.to_numpy(zero_copy_only=False))
+                    % np.uint64(num_partitions)
+                ).astype(np.int32)
+    return (key_hash_columns(batch, columns) % np.uint64(num_partitions)).astype(np.int32)
+
+
 def md5_number_lower(values: list[str]) -> np.ndarray:
     """Per-row uint64 matching DuckDB's ``md5_number_lower(s)``: the low 8
     digest bytes, little-endian.  md5 has no vectorized kernel; this is a

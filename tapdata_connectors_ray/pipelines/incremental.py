@@ -37,6 +37,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from tapdata_connectors_ray.schema import TRANSCRIPTS_SPEC, TableSpec
 from tapdata_connectors_ray.stages.merge import lww_collapse, merged_schema
 from tapdata_connectors_ray.state.checkpoint import (
     Manifest,
@@ -99,6 +100,7 @@ class MergeApplyWriter:
         self.epoch = epoch
         self.plan = plan
         self.mode = mode
+        self.keys = plan.keys()
         self.out_schema = merged_schema(plan.schema_at())
 
     def __call__(self, df: pd.DataFrame) -> pa.Table:
@@ -107,8 +109,8 @@ class MergeApplyWriter:
         from tapdata_connectors_ray.stages.merge import _to_table
 
         if self.mode == "delta":
-            merged_df = lww_collapse(df, drop_tombstones=False)
-            merged = _to_table(merged_df, self.out_schema)
+            merged_df = lww_collapse(df, drop_tombstones=False, keys=self.keys)
+            merged = _to_table(merged_df, self.out_schema, self.keys)
             name = f"delta-{self.epoch:06d}.parquet"
         else:
             prev_files, prev_vers = self.prev.get(pid, ([], []))
@@ -118,8 +120,8 @@ class MergeApplyWriter:
                     _lake_file_to_events(pq.read_table(f), self.plan, ver)
                 )
             merged_df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else df
-            merged_df = lww_collapse(merged_df)
-            merged = _to_table(merged_df, self.out_schema)
+            merged_df = lww_collapse(merged_df, keys=self.keys)
+            merged = _to_table(merged_df, self.out_schema, self.keys)
             name = f"part-{self.epoch:06d}.parquet"
 
         pdir = partition_dir(self.lake_dir, pid)
@@ -153,6 +155,7 @@ class CheckpointedIngest:
         num_partitions: int = 64,
         salt_buckets: int = 0,
         batch_size: int = 256 * 1024,
+        spec: TableSpec = TRANSCRIPTS_SPEC,
     ):
         self.lake_dir = lake_dir
         self.salt_buckets = salt_buckets
@@ -164,8 +167,12 @@ class CheckpointedIngest:
                     f"lake has {existing.num_partitions} partitions, requested {num_partitions}"
                 )
             self.manifest = existing
+            if existing.table_spec is not None:
+                # the lake's recorded spec is authoritative on resume
+                spec = TableSpec.from_json(existing.table_spec)
         else:
             self.manifest = Manifest(num_partitions=num_partitions)
+        self.spec = spec
         self.num_partitions = self.manifest.num_partitions
 
     # -- one epoch ---------------------------------------------------------
@@ -193,17 +200,20 @@ class CheckpointedIngest:
             normalized_events,
             scan_evolution_plan_distributed,
         )
-        from tapdata_connectors_ray.stages.merge import lww_premerge_group
+        from tapdata_connectors_ray.stages.merge import make_lww_premerge
 
-        plan = scan_evolution_plan_distributed(events_path)
+        plan = scan_evolution_plan_distributed(events_path, self.spec)
         if self.manifest.ddl_history:
             # live tail: the wave's segments carry only their own DDL rows;
             # fold in the committed history so old-version rows still rewrite
-            plan = EvolutionPlan.from_json(self.manifest.ddl_history).merged_with(plan)
+            plan = EvolutionPlan.from_json(
+                self.manifest.ddl_history, spec=self.spec
+            ).merged_with(plan)
         if end_lsn is not None:
             plan = EvolutionPlan(
                 changes=[c for c in plan.changes if c.lsn <= end_lsn],
                 base_version=plan.base_version,
+                spec=plan.spec,
             )
 
         wm = self.manifest.watermarks()
@@ -228,7 +238,7 @@ class CheckpointedIngest:
         )
         if self.salt_buckets:
             ev = ev.groupby(["partition_id", "salt"]).map_groups(
-                lww_premerge_group, batch_format="pyarrow"
+                make_lww_premerge(plan.keys()), batch_format="pyarrow"
             )
 
         epoch = self.manifest.epoch + 1
@@ -252,6 +262,7 @@ class CheckpointedIngest:
             epoch=epoch,
             schema_version=plan.latest_version,
             ddl_history=plan.to_json(),
+            table_spec=self.spec.to_json(),
             partitions=dict(self.manifest.partitions),
         )
         for r in results:
@@ -317,7 +328,7 @@ class CheckpointedIngest:
 
     def committed_plan(self) -> EvolutionPlan:
         """DDL history as of the last commit (persisted in the manifest)."""
-        return EvolutionPlan.from_json(self.manifest.ddl_history)
+        return EvolutionPlan.from_json(self.manifest.ddl_history, spec=self.spec)
 
     def _partition_items(self, only_stacked: bool = False) -> list[dict]:
         return [
@@ -338,11 +349,13 @@ class CheckpointedIngest:
         if not items:
             return ray.data.from_arrow(plan.schema_at().empty_table())
         plan_json = plan.to_json()
+        spec_json = self.spec.to_json()
 
         def read_merge(batch: pd.DataFrame) -> pa.Table:
             from tapdata_connectors_ray.stages.merge import _to_table
 
-            plan_l = EvolutionPlan.from_json(plan_json)
+            plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
+            keys = plan_l.keys()
             out_schema = merged_schema(plan_l.schema_at())
             outs = []
             for _, row in batch.iterrows():
@@ -351,7 +364,7 @@ class CheckpointedIngest:
                     for f, v in zip(row["files"], row["vers"])
                 ]
                 df = pd.concat(frames, ignore_index=True)
-                merged = _to_table(lww_collapse(df), out_schema)
+                merged = _to_table(lww_collapse(df, keys=keys), out_schema, keys)
                 outs.append(merged.select(payload_names))
             return pa.concat_tables(outs)
 
@@ -370,12 +383,14 @@ class CheckpointedIngest:
             return self.manifest
         epoch = self.manifest.epoch + 1
         plan_json = plan.to_json()
+        spec_json = self.spec.to_json()
         lake_dir = self.lake_dir
 
         def compact_one(batch: pd.DataFrame) -> pa.Table:
             from tapdata_connectors_ray.stages.merge import _to_table
 
-            plan_l = EvolutionPlan.from_json(plan_json)
+            plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
+            keys = plan_l.keys()
             out_schema = merged_schema(plan_l.schema_at())
             rows = []
             for _, row in batch.iterrows():
@@ -385,7 +400,9 @@ class CheckpointedIngest:
                     for f, v in zip(row["files"], row["vers"])
                 ]
                 merged = _to_table(
-                    lww_collapse(pd.concat(frames, ignore_index=True)), out_schema
+                    lww_collapse(pd.concat(frames, ignore_index=True), keys=keys),
+                    out_schema,
+                    keys,
                 )
                 out = os.path.join(partition_dir(lake_dir, pid), f"part-{epoch:06d}.parquet")
                 tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -404,6 +421,7 @@ class CheckpointedIngest:
             epoch=epoch,
             schema_version=plan.latest_version,
             ddl_history=plan.to_json(),
+            table_spec=self.spec.to_json(),
             partitions=dict(self.manifest.partitions),
         )
         superseded: list[str] = []
@@ -446,9 +464,11 @@ class CheckpointedIngest:
         )
         from tapdata_connectors_ray.stages.merge import make_lww_merge
 
-        plan = scan_evolution_plan_distributed(events_path)
+        plan = scan_evolution_plan_distributed(events_path, self.spec)
         if self.manifest.ddl_history:
-            plan = EvolutionPlan.from_json(self.manifest.ddl_history).merged_with(plan)
+            plan = EvolutionPlan.from_json(
+                self.manifest.ddl_history, spec=self.spec
+            ).merged_with(plan)
         payload_names = plan.schema_at().names
         col_order = [*payload_names, "lsn", "op", "partition_id"]
 
@@ -484,32 +504,38 @@ class CheckpointedIngest:
                 ray.data.read_parquet(files).map_batches(lake_rows, batch_format="pyarrow")
             )
 
-        merge_fn = make_lww_merge(plan.schema_at())
+        merge_fn = make_lww_merge(plan.schema_at(), plan.keys())
         merged = view.groupby("partition_id").map_groups(merge_fn, batch_format="pyarrow")
         return merged.map_batches(
             lambda b: b.select(payload_names), batch_format="pyarrow", zero_copy_batch=True
         )
 
-    def query_by_key(self, conv_id: str, turn_idx: int) -> dict | None:
+    def lookup(self, key: dict) -> dict | None:
         """Point lookup (``queryByFilter`` analogue,
         ``CommonDbConnector.java:377-398``): prune to the owning partition's
-        file via the manifest, then scan just that file."""
-        from tapdata_connectors_ray.functions.hashing import partition_ids
+        file via the manifest, then scan just that file.  ``key`` must cover
+        the spec's partition columns (to locate the partition); any further
+        key columns narrow the parquet filter."""
+        from tapdata_connectors_ray.functions.hashing import partition_ids_for
 
-        pid = int(partition_ids(np.array([conv_id]), self.num_partitions)[0])
+        plan = self.committed_plan()
+        pcols = plan.partition_columns()
+        probe = pa.table({c: [key[c]] for c in pcols})
+        pid = int(partition_ids_for(probe, pcols, self.num_partitions)[0])
         st = self.manifest.partitions.get(pid)
         if not st or not st.files:
             return None
-        plan = self.committed_plan()
         frames = []
         for f, v in zip(st.files, st.versions()):
-            t = pq.read_table(
-                f, filters=[("conv_id", "=", conv_id), ("turn_idx", "=", turn_idx)]
-            )
+            t = pq.read_table(f, filters=[(k, "=", val) for k, val in key.items()])
             frames.append(_lake_file_to_events(t, plan, v))
-        df = lww_collapse(pd.concat(frames, ignore_index=True))
+        df = lww_collapse(pd.concat(frames, ignore_index=True), keys=plan.keys())
         rows = df[plan.schema_at().names].to_dict("records")
         return rows[0] if rows else None
+
+    def query_by_key(self, conv_id: str, turn_idx: int) -> dict | None:
+        """Transcripts-keyed convenience wrapper over :meth:`lookup`."""
+        return self.lookup({"conv_id": conv_id, "turn_idx": turn_idx})
 
     def clear_table(self) -> None:
         """``clearTable`` analogue (``CommonDbConnector.java:352-362``):

@@ -25,10 +25,11 @@ import pyarrow.dataset as pads
 import ray
 import ray.data
 
+from tapdata_connectors_ray.schema import TRANSCRIPTS_SPEC, TableSpec
 from tapdata_connectors_ray.stages.merge import (
-    lww_premerge_group,
     make_lww_merge,
-    write_counters_group,
+    make_lww_premerge,
+    make_write_counters,
 )
 from tapdata_connectors_ray.stages.normalize import BaseSnapshotToEvents, NormalizeEvents
 from tapdata_connectors_ray.state.registry import EvolutionPlan
@@ -57,7 +58,9 @@ def _expand_paths(path: str | list[str]) -> list[str]:
     return out
 
 
-def scan_evolution_plan_distributed(events_path: str | list[str]) -> EvolutionPlan:
+def scan_evolution_plan_distributed(
+    events_path: str | list[str], spec: TableSpec = TRANSCRIPTS_SPEC
+) -> EvolutionPlan:
     """Pruned distributed scan of DDL rows (op == "DDL"): column projection +
     row-group predicate pushdown at the read, tiny result to the driver."""
     ddl = ray.data.read_parquet(
@@ -73,7 +76,7 @@ def scan_evolution_plan_distributed(events_path: str | list[str]) -> EvolutionPl
         if rows
         else pa.table({"lsn": [], "schema_ver": [], "ddl_payload": []})
     )
-    return EvolutionPlan.from_ddl_table(table)
+    return EvolutionPlan.from_ddl_table(table, spec=spec)
 
 
 def normalized_events(
@@ -81,6 +84,7 @@ def normalized_events(
     base_path: str | list[str] | None = None,
     *,
     plan: EvolutionPlan | None = None,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     salt_buckets: int = 0,
     prereduce: bool = True,
@@ -99,7 +103,7 @@ def normalized_events(
     watermark filtering is off (live tail, unordered segment waves); when
     ``None`` it follows ``watermarks``.
     """
-    plan = plan or scan_evolution_plan_distributed(events_path)
+    plan = plan or scan_evolution_plan_distributed(events_path, spec)
     read_kwargs = {}
     if max_lsn is not None:
         read_kwargs["filter"] = pads.field("lsn") <= max_lsn
@@ -176,6 +180,7 @@ def replay_merged(
     base_path: str | list[str] | None = None,
     *,
     plan: EvolutionPlan | None = None,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     salt_buckets: int = 0,
     prereduce: bool = True,
@@ -190,7 +195,7 @@ def replay_merged(
     ``strategy="semijoin"``: two-pass winner scan (stages/winners.py) — the
     wide ``text`` payload never crosses the all-to-all; the final partition
     merge handles only the live set."""
-    plan = plan or scan_evolution_plan_distributed(events_path)
+    plan = plan or scan_evolution_plan_distributed(events_path, spec)
     if strategy == "semijoin":
         from tapdata_connectors_ray.stages.winners import WinnerFilter
 
@@ -220,9 +225,9 @@ def replay_merged(
         )
         if salt_buckets:
             ev = ev.groupby(["partition_id", "salt"]).map_groups(
-                lww_premerge_group, batch_format="pyarrow"
+                make_lww_premerge(plan.keys()), batch_format="pyarrow"
             )
-    merge_fn = make_lww_merge(plan.schema_at())
+    merge_fn = make_lww_merge(plan.schema_at(), plan.keys())
     merged = ev.groupby("partition_id").map_groups(merge_fn, batch_format="pyarrow")
     return merged
 
@@ -232,10 +237,11 @@ def replay_final_state(
     base_path: str | list[str] | None = None,
     *,
     plan: EvolutionPlan | None = None,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
     **kwargs,
 ) -> ray.data.Dataset:
     """Final lake table in the (plan-latest) logical schema."""
-    plan = plan or scan_evolution_plan_distributed(events_path)
+    plan = plan or scan_evolution_plan_distributed(events_path, spec)
     payload_names = plan.schema_at().names
 
     def merged_to_final(batch):
@@ -246,21 +252,72 @@ def replay_final_state(
     )
 
 
+def replay_policy_final_state(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
+    insert_policy: str = "update_on_exists",
+    update_policy: str = "insert_on_nonexists",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> ray.data.Dataset:
+    """Replay under an explicit write-policy pair (the reference's policy
+    matrix, ``WritePolicyEnum.java:3-22``; dispatch
+    ``NormalWriteRecorder.java:194-245,305-357``).
+
+    Pre-reduce is disabled: non-default policies are order-sensitive per key
+    (an ignored insert depends on what preceded it), so every effective event
+    must reach the partition merge.  The default pair degenerates to LWW and
+    keeps the combiner-enabled :func:`replay_final_state` as its fast path.
+    """
+    from tapdata_connectors_ray.stages.merge import _to_table, merged_schema, policy_collapse
+
+    plan = scan_evolution_plan_distributed(events_path, spec)
+    keys = plan.keys()
+    payload_schema = plan.schema_at()
+    payload_names = payload_schema.names
+    out_schema = merged_schema(payload_schema)
+
+    ev = normalized_events(
+        events_path,
+        base_path,
+        plan=plan,
+        num_partitions=num_partitions,
+        prereduce=False,
+        salt_buckets=0,
+        batch_size=batch_size,
+    )
+
+    def policy_merge(df):
+        out = policy_collapse(
+            df, keys, insert_policy=insert_policy, update_policy=update_policy
+        )
+        return _to_table(out, out_schema, keys).select(payload_names)
+
+    return ev.groupby("partition_id").map_groups(policy_merge, batch_format="pandas")
+
+
 def replay_write_counters(
     events_path: str | list[str],
     base_path: str | list[str] | None = None,
     *,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     **kwargs,
 ) -> ray.data.Dataset:
     """Per-partition write counters (WriteListResult analogue).  Pre-reduce is
     disabled: counters are defined over every effective (deduped) event."""
+    plan = kwargs.pop("plan", None) or scan_evolution_plan_distributed(events_path, spec)
     ev = normalized_events(
         events_path,
         base_path,
+        plan=plan,
         num_partitions=num_partitions,
         prereduce=False,
         salt_buckets=0,
         **kwargs,
     )
-    return ev.groupby("partition_id").map_groups(write_counters_group, batch_format="pandas")
+    return ev.groupby("partition_id").map_groups(
+        make_write_counters(plan.keys()), batch_format="pandas"
+    )

@@ -22,10 +22,94 @@ Key design points:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import pyarrow as pa
 
 # ---------------------------------------------------------------------------
-# Lake table key
+# TableSpec: the TapTable analogue — every operator is parameterized by it
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """Logical table descriptor driving the whole engine, the Ray analogue of
+    the reference's ``TapTable`` (assembled at ``CommonDbConnector.java:90-123``
+    and threaded through every writer via ``NormalWriteRecorder.java:64-79``,
+    which derives key/column lists per table at runtime).
+
+    - ``base_schema``: the v1 payload schema; later versions are folded from
+      DDL events by :class:`~tapdata_connectors_ray.state.registry.EvolutionPlan`.
+    - ``key_columns``: the primary key.  ``None`` = no-PK fallback: ALL payload
+      columns form the key with null-safe matching (reference:
+      ``NormalWriteRecorder.java:64-79,365-376``).
+    - ``partition_columns``: the shuffle/partitioning key — a prefix of (or
+      equal to) the primary key so partitions stay key-disjoint.  Defaults to
+      the full key; the transcripts table partitions by ``conv_id`` only so a
+      conversation's turns stay co-located.
+    """
+
+    name: str
+    base_schema: pa.Schema
+    key_columns: tuple[str, ...] | None = None
+    partition_columns: tuple[str, ...] | None = None
+
+    def effective_keys(self, payload_schema: pa.Schema | None = None) -> list[str]:
+        """Key columns; for no-PK tables, every payload column (evaluated
+        against the CURRENT payload schema so DDL renames are respected)."""
+        if self.key_columns is not None:
+            return list(self.key_columns)
+        return list((payload_schema or self.base_schema).names)
+
+    def effective_partition_columns(
+        self, payload_schema: pa.Schema | None = None
+    ) -> list[str]:
+        if self.partition_columns is not None:
+            return list(self.partition_columns)
+        return self.effective_keys(payload_schema)
+
+    # -- manifest serialization (schema survives lake restarts) -------------
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name,
+            "key_columns": list(self.key_columns) if self.key_columns else None,
+            "partition_columns": (
+                list(self.partition_columns) if self.partition_columns else None
+            ),
+            "base_schema": [[f.name, str(f.type)] for f in self.base_schema],
+        }
+
+    @classmethod
+    def from_json(cls, data: dict) -> "TableSpec":
+        return cls(
+            name=data["name"],
+            base_schema=pa.schema(
+                [pa.field(n, _type_from_str(t)) for n, t in data["base_schema"]]
+            ),
+            key_columns=tuple(data["key_columns"]) if data["key_columns"] else None,
+            partition_columns=(
+                tuple(data["partition_columns"]) if data["partition_columns"] else None
+            ),
+        )
+
+
+def _type_from_str(s: str) -> pa.DataType:
+    """Inverse of ``str(pa.DataType)`` for the types a TableSpec can carry."""
+    if s.startswith("timestamp"):
+        # e.g. "timestamp[us]" or "timestamp[us, tz=UTC]"
+        inner = s[s.index("[") + 1 : s.rindex("]")]
+        parts = [p.strip() for p in inner.split(",")]
+        tz = None
+        for p in parts[1:]:
+            if p.startswith("tz="):
+                tz = p[3:]
+        return pa.timestamp(parts[0], tz=tz)
+    return pa.type_for_alias(s)
+
+
+# ---------------------------------------------------------------------------
+# Lake table key (transcripts north-star table)
 # ---------------------------------------------------------------------------
 
 KEY_COLUMNS = ("conv_id", "turn_idx")
@@ -93,3 +177,13 @@ OPS = ("I", "U", "D", "DDL")
 
 ROLES = ("user", "assistant", "system", "tool")
 TOOLS = ("search", "python", "browser", "calculator", "retrieval", None)
+
+# The north-star table as a TableSpec; partitioned by conv_id only so a
+# conversation's turns stay co-located (output order within a partition is
+# (conv_id, turn_idx) without a global sort).
+TRANSCRIPTS_SPEC = TableSpec(
+    name="transcripts",
+    base_schema=TRANSCRIPTS_SCHEMA,
+    key_columns=KEY_COLUMNS,
+    partition_columns=("conv_id",),
+)

@@ -1,4 +1,4 @@
-"""Merge stage: per-partition last-writer-wins upsert apply.
+"""Merge stage: per-partition last-writer-wins upsert apply, table-generic.
 
 The distributed analogue of the reference's ordered target writer
 (``NormalRecordWriter.java:66-153``) under the LWW-by-version merge rule the
@@ -11,13 +11,18 @@ survey maps it onto (ClickHouse ``ReplacingMergeTree`` + version column,
 - within the group: exact-duplicate replays are dropped (idempotent dedup on
   the ``exactlyOnceId``/LSN, survey §2.7), then each key keeps its max-LSN
   event (LWW), then tombstones (op == "D") are dropped;
-- output is sorted by (conv_id, turn_idx) — global order is unnecessary
-  because partitions are disjoint by conv_id hash (survey §7.2).
+- output is sorted by the key columns — global order is unnecessary because
+  partitions are key-disjoint (survey §7.2).
 
-The merged-row schema is *plan-driven* (the lake's schema as of the epoch
-being applied), so the merge functions are factories over a payload schema.
-Everything is vectorized pandas; the functions run inside
-``groupby(...).map_groups`` tasks.
+Every function is parameterized by ``keys`` — the engine's ``TableSpec``
+analogue of the reference deriving key/column lists per table at runtime
+(``NormalWriteRecorder.java:64-79``).  ``keys`` defaults to the transcripts
+north-star key for the existing call sites.
+
+Write policies (:func:`policy_collapse`) replay the reference's policy
+matrix (``WritePolicyEnum.java:3-22``; insert dispatch
+``NormalWriteRecorder.java:194-245``, update dispatch ``:305-357``)
+vectorized per partition.
 """
 
 from __future__ import annotations
@@ -57,14 +62,14 @@ def merged_schema(payload_schema: pa.Schema) -> pa.Schema:
     )
 
 
-def _dedup_replays(df: pd.DataFrame) -> pd.DataFrame:
+def _dedup_replays(df: pd.DataFrame, keys: list[str] | None = None) -> pd.DataFrame:
     """Drop verbatim duplicate-LSN replays.  Key included because the base
     snapshot legitimately shares LSN 0 across keys."""
-    return df.drop_duplicates(["lsn", *KEYS], keep="first")
+    return df.drop_duplicates(["lsn", *(keys or KEYS)], keep="first")
 
 
-def _to_table(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
-    df = df.sort_values(KEYS, kind="stable")
+def _to_table(df: pd.DataFrame, schema: pa.Schema, keys: list[str] | None = None) -> pa.Table:
+    df = df.sort_values(keys or KEYS, kind="stable")
     arrays = []
     for f in schema:
         col = df[f.name]
@@ -74,97 +79,187 @@ def _to_table(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
-def lww_collapse(df: pd.DataFrame, drop_tombstones: bool = True) -> pd.DataFrame:
-    df = _dedup_replays(df)
-    df = df.sort_values("lsn", kind="stable").drop_duplicates(KEYS, keep="last")
+def lww_collapse(
+    df: pd.DataFrame, drop_tombstones: bool = True, keys: list[str] | None = None
+) -> pd.DataFrame:
+    keys = keys or KEYS
+    df = _dedup_replays(df, keys)
+    df = df.sort_values("lsn", kind="stable").drop_duplicates(keys, keep="last")
     if drop_tombstones:
         df = df[df["op"] != "D"]
     return df
 
 
 def lww_keep_indices(
-    conv: np.ndarray, turn: np.ndarray, lsn: np.ndarray, op: np.ndarray,
-    drop_tombstones: bool = True,
+    t: pa.Table, keys: list[str], drop_tombstones: bool = True
 ) -> np.ndarray:
     """Row indices surviving dedup + LWW + tombstone-drop, computed over the
     NARROW key columns only — the wide text payload is then selected with a
     zero-copy-ish Arrow ``take`` instead of being round-tripped through
-    pandas object strings."""
-    df = pd.DataFrame({"c": conv, "t": turn, "l": lsn, "o": op})
-    df = df.drop_duplicates(["l", "c", "t"], keep="first")
-    df = df.sort_values("l", kind="stable").drop_duplicates(["c", "t"], keep="last")
+    pandas object strings.  Pandas drop_duplicates treats NaN/None as equal,
+    which is exactly the null-safe key matching the no-PK fallback needs."""
+    cols = {k: t[k].to_numpy(zero_copy_only=False) for k in keys}
+    df = pd.DataFrame(
+        {**cols, "__lsn": t["lsn"].to_numpy(), "__op": t["op"].to_numpy(zero_copy_only=False)}
+    )
+    df = df.drop_duplicates(["__lsn", *keys], keep="first")
+    df = df.sort_values("__lsn", kind="stable").drop_duplicates(keys, keep="last")
     if drop_tombstones:
-        df = df[df["o"] != "D"]
+        df = df[df["__op"] != "D"]
     return df.index.to_numpy()
 
 
-def make_lww_merge(payload_schema: pa.Schema) -> Callable[[pa.Table], pa.Table]:
+def make_lww_merge(
+    payload_schema: pa.Schema, keys: list[str] | None = None
+) -> Callable[[pa.Table], pa.Table]:
     """Final merge for one partition: dedup -> LWW per key -> drop tombstones.
     Operates on Arrow groups (``map_groups(batch_format="pyarrow")``):
     indices from the narrow key columns, payload via ``take`` + Arrow sort."""
+    keys = keys or KEYS
     out_schema = merged_schema(payload_schema)
     out_names = [f.name for f in out_schema]
+    sort_keys = [(k, "ascending") for k in keys]
 
     def lww_merge_group(t: pa.Table) -> pa.Table:
-        idx = lww_keep_indices(
-            t["conv_id"].to_numpy(zero_copy_only=False),
-            t["turn_idx"].to_numpy(zero_copy_only=False),
-            t["lsn"].to_numpy(zero_copy_only=False),
-            t["op"].to_numpy(zero_copy_only=False),
-        )
+        idx = lww_keep_indices(t, keys)
         out = t.select(out_names).take(np.sort(idx))
         for f in out_schema:
             if not out.schema.field(f.name).type.equals(f.type):
                 i = out.schema.get_field_index(f.name)
                 out = out.set_column(i, f.name, out[f.name].cast(f.type, safe=True))
-        return out.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        return out.sort_by(sort_keys)
 
     return lww_merge_group
 
 
-def lww_premerge_group(t: pa.Table) -> pa.Table:
+def make_lww_premerge(keys: list[str] | None = None) -> Callable[[pa.Table], pa.Table]:
     """Salted pre-merge: same LWW collapse but tombstones are RETAINED — a
     delete must survive to the final merge to beat older upserts (the
     ClickHouse ``is_deleted``-row precedent; dropping it early would
     resurrect rows).  Arrow-native (narrow-index + take), salt dropped."""
-    idx = lww_keep_indices(
-        t["conv_id"].to_numpy(zero_copy_only=False),
-        t["turn_idx"].to_numpy(zero_copy_only=False),
-        t["lsn"].to_numpy(zero_copy_only=False),
-        t["op"].to_numpy(zero_copy_only=False),
-        drop_tombstones=False,
-    )
-    out = t.take(np.sort(idx))
-    if "salt" in out.column_names:
-        out = out.drop_columns(["salt"])
-    return out
+    keys = keys or KEYS
+
+    def lww_premerge_group(t: pa.Table) -> pa.Table:
+        idx = lww_keep_indices(t, keys, drop_tombstones=False)
+        out = t.take(np.sort(idx))
+        if "salt" in out.column_names:
+            out = out.drop_columns(["salt"])
+        return out
+
+    return lww_premerge_group
 
 
-def write_counters_group(df: pd.DataFrame) -> pa.Table:
+# transcripts-keyed instance for existing call sites
+lww_premerge_group = make_lww_premerge()
+
+
+def make_write_counters(keys: list[str] | None = None) -> Callable[[pd.DataFrame], pa.Table]:
     """Per-partition write counters (``WriteListResult`` analogue,
     ``NormalRecordWriter.java:120-153``), replayed exactly: per key in LSN
     order, I/U on a missing key counts as inserted, on a live key as
     modified; D on a live key as removed.  Order-sensitive per key only, so
     a partition-local vectorized pass reproduces the sequential counters."""
-    pid = int(df["partition_id"].iloc[0]) if len(df) else -1
-    before = len(df)
-    d = _dedup_replays(df)
-    skipped = before - len(d)
-    d = d.sort_values([*KEYS, "lsn"], kind="stable")
-    prev_op = d.groupby(KEYS, sort=False)["op"].shift()
-    prev_alive = prev_op.notna() & (prev_op != "D")
-    is_dml = d["op"] != "D"
-    return pa.Table.from_pydict(
-        {
-            "partition_id": [pid],
-            "inserted": [int((is_dml & ~prev_alive).sum())],
-            "modified": [int((is_dml & prev_alive).sum())],
-            "removed": [int((~is_dml & prev_alive).sum())],
-            "skipped_duplicates": [int(skipped)],
-        },
-        schema=COUNTER_SCHEMA,
-    )
+    keys = keys or KEYS
+
+    def write_counters_group(df: pd.DataFrame) -> pa.Table:
+        pid = int(df["partition_id"].iloc[0]) if len(df) else -1
+        before = len(df)
+        d = _dedup_replays(df, keys)
+        skipped = before - len(d)
+        d = d.sort_values([*keys, "lsn"], kind="stable")
+        prev_op = d.groupby(keys, sort=False, dropna=False)["op"].shift()
+        prev_alive = prev_op.notna() & (prev_op != "D")
+        is_dml = d["op"] != "D"
+        return pa.Table.from_pydict(
+            {
+                "partition_id": [pid],
+                "inserted": [int((is_dml & ~prev_alive).sum())],
+                "modified": [int((is_dml & prev_alive).sum())],
+                "removed": [int((~is_dml & prev_alive).sum())],
+                "skipped_duplicates": [int(skipped)],
+            },
+            schema=COUNTER_SCHEMA,
+        )
+
+    return write_counters_group
+
+
+write_counters_group = make_write_counters()
 
 
 def max_lsn_of_group(df: pd.DataFrame) -> np.int64:
     return np.int64(df["lsn"].max()) if len(df) else np.int64(-1)
+
+
+# ---------------------------------------------------------------------------
+# Write-policy matrix (WritePolicyEnum.java:3-22)
+# ---------------------------------------------------------------------------
+
+INSERT_POLICIES = ("update_on_exists", "ignore_on_exists", "just_insert")
+UPDATE_POLICIES = ("insert_on_nonexists", "ignore_on_nonexists")
+
+
+def policy_collapse(
+    df: pd.DataFrame,
+    keys: list[str],
+    insert_policy: str = "update_on_exists",
+    update_policy: str = "insert_on_nonexists",
+    drop_tombstones: bool = True,
+) -> pd.DataFrame:
+    """Policy-aware replay of one partition's events, vectorized.
+
+    Semantics per key in LSN order, mirroring the reference's dispatch
+    (insert side ``NormalWriteRecorder.java:194-245``, update side
+    ``:305-357``):
+
+    - ``I`` on a live key: replace (``update_on_exists``), skip
+      (``ignore_on_exists`` — first writer wins), or replace
+      (``just_insert`` maps to blind upsert in a keyed lake).
+    - ``U`` on a dead/absent key: create (``insert_on_nonexists``) or skip
+      (``ignore_on_nonexists``).
+    - ``D``: kill the key (no-op when already dead).
+
+    The default pair (update_on_exists, insert_on_nonexists) degenerates to
+    plain LWW — the fast path used by the main replay.
+
+    Vectorization: "aliveness-affecting" events are all I and D, plus U iff
+    it can create.  A key is alive before event e iff the latest affecting
+    event before e is not D.  The surviving row is the max-LSN event that
+    *wrote* (I that applied, U that applied) while its key ends alive.
+    """
+    if insert_policy not in INSERT_POLICIES:
+        raise ValueError(f"unknown insert policy {insert_policy}")
+    if update_policy not in UPDATE_POLICIES:
+        raise ValueError(f"unknown update policy {update_policy}")
+    if insert_policy != "ignore_on_exists" and update_policy == "insert_on_nonexists":
+        return lww_collapse(df, drop_tombstones=drop_tombstones, keys=keys)
+
+    d = _dedup_replays(df, keys).sort_values([*keys, "lsn"], kind="stable")
+    op = d["op"].to_numpy()
+    is_i, is_u, is_d = op == "I", op == "U", op == "D"
+    u_creates = update_policy == "insert_on_nonexists"
+    affecting = is_i | is_d | (is_u if u_creates else False)
+
+    # last affecting op at-or-before each row, per key (ffill within groups)
+    gid = d.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+    aff_op = pd.Series(np.where(affecting, op, None), index=d.index, dtype=object)
+    last_aff = aff_op.groupby(gid).ffill()
+    prev_aff = last_aff.groupby(gid).shift()
+    alive_before = (prev_aff.notna() & (prev_aff != "D")).to_numpy()
+
+    writes = (
+        is_i & (~alive_before | (insert_policy != "ignore_on_exists"))
+    ) | (is_u & (alive_before | u_creates))
+
+    # final aliveness per key = last affecting op != D
+    last_aff_final = last_aff.groupby(gid).transform("last")
+    key_alive = (last_aff_final.notna() & (last_aff_final != "D")).to_numpy()
+
+    keep = d[writes & key_alive]
+    out = keep.sort_values("lsn", kind="stable").drop_duplicates(keys, keep="last")
+    if not drop_tombstones:
+        # also surface a tombstone row for keys that end dead (delta mode)
+        dead = d[is_d & ~key_alive].sort_values("lsn", kind="stable")
+        dead = dead.drop_duplicates(keys, keep="last")
+        out = pd.concat([out, dead], ignore_index=False)
+    return out

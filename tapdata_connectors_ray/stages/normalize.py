@@ -8,14 +8,22 @@ The stateless front of the replay pipeline (survey §7.2).  Per Arrow batch
    registry.py) — the plan may be *truncated* to an epoch's end LSN, so the
    output schema is the lake's schema **as of that epoch**, not a
    look-ahead final schema (live-tail never sees future DDL);
-3. filter rows at-or-below the per-partition applied-LSN watermark (the
+3. expand key-changing updates: an update whose ``before_<key>`` image names
+   a different key becomes a synthetic tombstone at the old key + the upsert
+   at the new key (the reference carries before+after images for exactly
+   this, ``MysqlReader.java:646-668``);
+4. filter rows at-or-below the per-partition applied-LSN watermark (the
    idempotent-resume path — the dedup-ledger half the reference delegates to
    its engine, survey §2.7);
-4. **pre-reduce**: keep only the max-LSN row per key within the batch — the
+5. **pre-reduce**: keep only the max-LSN row per key within the batch — the
    combiner that shrinks hot-key traffic before the one shuffle (north-rule
    skew defense; analogous to the reference's within-batch same-op run
-   batching, ``NormalRecordWriter.java:87-118``);
-5. attach ``partition_id = stable_hash(conv_id) % P`` — the shuffle key.
+   batching, ``NormalWriteRecorder.java:87-118``);
+6. attach ``partition_id = stable_hash(partition_cols) % P`` — the shuffle key.
+
+Key and partition columns come from the plan's :class:`TableSpec` — the
+stage is table-generic (``NormalWriteRecorder.java:64-79`` derives key
+lists per table the same way).
 
 Implemented as callable classes used as ``map_batches`` UDFs: plan /
 watermarks deserialize once per task, and the heavy work is Arrow/numpy
@@ -30,32 +38,32 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from tapdata_connectors_ray.functions.hashing import partition_ids, stable_hash_strings
+from tapdata_connectors_ray.functions.hashing import (
+    key_hash_columns,
+    partition_ids_for,
+)
 from tapdata_connectors_ray.state.registry import EvolutionPlan
 
 
-def prereduce_indices(conv_id: np.ndarray, turn_idx: np.ndarray, lsn: np.ndarray) -> np.ndarray:
+def prereduce_indices(key_cols: dict[str, np.ndarray], lsn: np.ndarray) -> np.ndarray:
     """Row indices keeping one (max-LSN) row per key, in ascending row order.
 
-    Works on narrow key columns only so the wide ``text`` payload is never
-    converted — the surviving rows are selected from the Arrow table with
-    ``take``.
+    Works on narrow key columns only so the wide payload is never converted —
+    the surviving rows are selected from the Arrow table with ``take``.
+    Pandas drop_duplicates treats NaN/None as equal: null-safe keys.
     """
-    df = pd.DataFrame({"c": conv_id, "t": turn_idx, "l": lsn})
-    df = df.sort_values("l", kind="stable")
-    keep = df.drop_duplicates(["c", "t"], keep="last").index.to_numpy()
+    df = pd.DataFrame({**key_cols, "__lsn": lsn})
+    df = df.sort_values("__lsn", kind="stable")
+    keep = df.drop_duplicates(list(key_cols), keep="last").index.to_numpy()
     keep.sort()
     return keep
 
 
-def _salt_column(batch: pa.Table, salt_buckets: int) -> pa.Array:
-    """Sub-bucket *within* a partition, keyed per (conv_id, turn_idx) so the
-    salted pre-merge still fully collapses each key (north-rule skew salt:
-    spread a hot conversation's turns across workers, then combine)."""
-    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
-    turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    with np.errstate(over="ignore"):
-        h = (stable_hash_strings(conv) >> np.uint64(17)) + turn.astype(np.uint64)
+def _salt_column(batch: pa.Table, keys: list[str], salt_buckets: int) -> pa.Array:
+    """Sub-bucket *within* a partition, keyed per full key so the salted
+    pre-merge still fully collapses each key (north-rule skew salt: spread a
+    hot partition's keys across workers, then combine)."""
+    h = key_hash_columns(batch, keys)
     return pa.array((h % np.uint64(salt_buckets)).astype(np.int32), pa.int32())
 
 
@@ -65,7 +73,12 @@ class _NormalizeBase:
         self.num_partitions = num_partitions
         self.salt_buckets = salt_buckets
         self.payload_schema = plan.schema_at()
+        self.keys = plan.keys()
+        self.pcols = plan.partition_columns()
         self.out_names = [*self.payload_schema.names, "lsn", "op"]
+
+    def _partition_ids(self, batch: pa.Table) -> np.ndarray:
+        return partition_ids_for(batch, self.pcols, self.num_partitions)
 
     def _finalize(self, batch: pa.Table, pids: np.ndarray) -> pa.Table:
         """Project to the epoch's logical payload schema (+ engine columns),
@@ -77,7 +90,9 @@ class _NormalizeBase:
                 batch = batch.set_column(idx, f.name, batch[f.name].cast(f.type, safe=True))
         batch = batch.append_column("partition_id", pa.array(pids, pa.int32()))
         if self.salt_buckets:
-            batch = batch.append_column("salt", _salt_column(batch, self.salt_buckets))
+            batch = batch.append_column(
+                "salt", _salt_column(batch, self.keys, self.salt_buckets)
+            )
         return batch
 
     def empty_batch(self) -> pa.Table:
@@ -89,6 +104,37 @@ class _NormalizeBase:
         if self.salt_buckets:
             fields.append(pa.field("salt", pa.int32()))
         return pa.schema(fields).empty_table()
+
+
+def expand_key_changes(batch: pa.Table, keys: list[str]) -> pa.Table:
+    """Key-changing updates -> synthetic tombstone at the old key + the
+    original upsert at the new key (same LSN; distinct keys, so replay dedup
+    is unaffected).  ``before_<key>`` columns are non-null ONLY on key-moving
+    updates; tables without before images skip this entirely."""
+    before_cols = [f"before_{k}" for k in keys]
+    if not all(c in batch.column_names for c in before_cols):
+        return batch
+    moved_mask = pc.and_(
+        pc.equal(batch["op"], "U"), pc.is_valid(batch[before_cols[0]])
+    )
+    if not pc.any(moved_mask).as_py():
+        return batch
+    moved = batch.filter(moved_mask)
+    n = len(moved)
+    arrays = []
+    for name in batch.column_names:
+        if name in keys:
+            arrays.append(moved[f"before_{name}"].cast(batch.schema.field(name).type))
+        elif name == "lsn":
+            arrays.append(moved["lsn"])
+        elif name == "op":
+            arrays.append(pa.array(np.full(n, "D", dtype=object), pa.string()))
+        elif name == "schema_ver":
+            arrays.append(moved["schema_ver"])
+        else:
+            arrays.append(pa.nulls(n, batch.schema.field(name).type))
+    tombs = pa.Table.from_arrays(arrays, schema=batch.schema)
+    return pa.concat_tables([batch, tombs])
 
 
 class NormalizeEvents(_NormalizeBase):
@@ -118,10 +164,10 @@ class NormalizeEvents(_NormalizeBase):
         batch = batch.filter(pc.not_equal(batch["op"], "DDL"))
         if len(batch) == 0:
             return self.empty_batch()
+        batch = expand_key_changes(batch, self.keys)
         batch = self.plan.rewrite_to_latest(batch)
 
-        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
-        pids = partition_ids(conv, self.num_partitions)
+        pids = self._partition_ids(batch)
         lsn = batch["lsn"].to_numpy()
 
         if self.watermarks is not None:
@@ -129,13 +175,15 @@ class NormalizeEvents(_NormalizeBase):
             if not keep.all():
                 idx = np.nonzero(keep)[0]
                 batch = batch.take(idx)
-                conv, pids, lsn = conv[idx], pids[idx], lsn[idx]
+                pids, lsn = pids[idx], lsn[idx]
             if len(batch) == 0:
                 return self.empty_batch()
 
         if self.prereduce:
-            turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
-            keep_idx = prereduce_indices(conv, turn, lsn)
+            key_cols = {
+                k: batch[k].to_numpy(zero_copy_only=False) for k in self.keys
+            }
+            keep_idx = prereduce_indices(key_cols, lsn)
             if len(keep_idx) < len(batch):
                 batch = batch.take(keep_idx)
                 pids = pids[keep_idx]
@@ -172,8 +220,7 @@ class BaseSnapshotToEvents(_NormalizeBase):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.watermarks is not None:
-            conv0 = batch["conv_id"].to_numpy(zero_copy_only=False)
-            pids0 = partition_ids(conv0, self.num_partitions)
+            pids0 = self._partition_ids(batch)
             keep = self.watermarks[pids0] < 0
             if not keep.all():
                 batch = batch.take(np.nonzero(keep)[0])
@@ -195,6 +242,5 @@ class BaseSnapshotToEvents(_NormalizeBase):
                     src_type = batch.schema.field(ch.payload["from"]).type
                     batch = batch.append_column(dst, pa.nulls(n, src_type))
         batch = self.plan.rewrite_to_latest(batch)
-        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
-        pids = partition_ids(conv, self.num_partitions)
+        pids = self._partition_ids(batch)
         return self._finalize(batch, pids)

@@ -52,6 +52,7 @@ class Manifest:
     epoch: int = 0
     schema_version: int = 1
     ddl_history: list = field(default_factory=list)  # EvolutionPlan.to_json()
+    table_spec: dict | None = None  # TableSpec.to_json() — None = transcripts
     partitions: dict[int, PartitionState] = field(default_factory=dict)
 
     def watermarks(self) -> np.ndarray:
@@ -73,6 +74,7 @@ class Manifest:
             "epoch": self.epoch,
             "schema_version": self.schema_version,
             "ddl_history": self.ddl_history,
+            "table_spec": self.table_spec,
             "partitions": {
                 str(pid): {
                     "applied_lsn": st.applied_lsn,
@@ -93,6 +95,7 @@ class Manifest:
             epoch=d["epoch"],
             schema_version=d.get("schema_version", 1),
             ddl_history=list(d.get("ddl_history", [])),
+            table_spec=d.get("table_spec"),
         )
         for pid, st in d.get("partitions", {}).items():
             m.partitions[int(pid)] = PartitionState(

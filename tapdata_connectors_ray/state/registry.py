@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from tapdata_connectors_ray.schema import LATEST_COLUMNS
+from tapdata_connectors_ray.schema import LATEST_COLUMNS, TRANSCRIPTS_SPEC, TableSpec
 
 _WIDEN_OK = {
     ("int8", "int16"), ("int8", "int32"), ("int8", "int64"),
@@ -61,14 +61,26 @@ class DDLChange:
 
 @dataclass
 class EvolutionPlan:
-    """Ordered DDL changes; knows how to rewrite old-version batches."""
+    """Ordered DDL changes over a :class:`TableSpec`; knows how to rewrite
+    old-version batches.  The spec makes the plan (and every stage that
+    closes over it) table-generic — the TapTable-driven dispatch of
+    ``CommonDbConnector.java:90-123``."""
 
     changes: list[DDLChange] = field(default_factory=list)
     base_version: int = 1
+    spec: TableSpec = TRANSCRIPTS_SPEC
 
     @property
     def latest_version(self) -> int:
         return self.changes[-1].version if self.changes else self.base_version
+
+    def keys(self) -> list[str]:
+        """Effective key columns under the LATEST payload schema (no-PK
+        tables key on every payload column, null-safe)."""
+        return self.spec.effective_keys(self.schema_at())
+
+    def partition_columns(self) -> list[str]:
+        return self.spec.effective_partition_columns(self.schema_at())
 
     def to_json(self) -> list[dict]:
         """Serializable DDL history — persisted with the checkpoint manifest
@@ -80,7 +92,9 @@ class EvolutionPlan:
         ]
 
     @classmethod
-    def from_json(cls, data: list[dict], base_version: int = 1) -> "EvolutionPlan":
+    def from_json(
+        cls, data: list[dict], base_version: int = 1, spec: TableSpec = TRANSCRIPTS_SPEC
+    ) -> "EvolutionPlan":
         return cls(
             changes=[
                 DDLChange(lsn=d["lsn"], version=d["version"], kind=d["kind"],
@@ -88,10 +102,13 @@ class EvolutionPlan:
                 for d in data
             ],
             base_version=base_version,
+            spec=spec,
         )
 
     @classmethod
-    def from_ddl_table(cls, ddl: pa.Table, base_version: int = 1) -> "EvolutionPlan":
+    def from_ddl_table(
+        cls, ddl: pa.Table, base_version: int = 1, spec: TableSpec = TRANSCRIPTS_SPEC
+    ) -> "EvolutionPlan":
         """Build from the op=="DDL" rows (columns: lsn, schema_ver, ddl_payload)."""
         rows = sorted(ddl.to_pylist(), key=lambda r: r["lsn"])
         seen: set[int] = set()
@@ -101,7 +118,7 @@ class EvolutionPlan:
                 continue
             seen.add(r["lsn"])
             changes.append(DDLChange.from_row(r["lsn"], r["schema_ver"], r["ddl_payload"]))
-        return cls(changes=changes, base_version=base_version)
+        return cls(changes=changes, base_version=base_version, spec=spec)
 
     def merged_with(self, other: "EvolutionPlan") -> "EvolutionPlan":
         """Union of two DDL histories (dedup by LSN, LSN-ordered) — used by
@@ -113,17 +130,16 @@ class EvolutionPlan:
         return EvolutionPlan(
             changes=[by_lsn[k] for k in sorted(by_lsn)],
             base_version=self.base_version,
+            spec=self.spec,
         )
 
     def schema_at(self, version: int | None = None) -> pa.Schema:
         """The logical lake payload schema at ``version`` (default: latest),
-        obtained by folding the DDL deltas over the base v1 schema — the
+        obtained by folding the DDL deltas over the spec's base schema — the
         TapTable-after-ALTERs analogue (``CommonDbConnector.java:445-488``)."""
-        from tapdata_connectors_ray.schema import TRANSCRIPTS_SCHEMA
-
         if version is None:
             version = self.latest_version
-        fields = list(TRANSCRIPTS_SCHEMA)
+        fields = list(self.spec.base_schema)
         for ch in self.changes:
             if ch.version > version:
                 break

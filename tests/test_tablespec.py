@@ -1,0 +1,161 @@
+"""Table-generic engine tests: TableSpec-driven replay of a second table,
+no-PK fallback, and the write-policy matrix.
+
+The reference derives key/column handling per table at runtime
+(``NormalWriteRecorder.java:64-79``); these tests prove the same code path
+serves tables with different shapes, and that the vectorized policy replay
+matches a brute-force sequential simulator and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tapdata_connectors_ray.schema import TRANSCRIPTS_SPEC, TableSpec
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns), ignore_index=True).astype(str)
+
+
+def test_tablespec_json_roundtrip():
+    from tapdata_connectors_ray.fixtures import CLICKS_SPEC, ORDERS_SPEC
+
+    for spec in (TRANSCRIPTS_SPEC, ORDERS_SPEC, CLICKS_SPEC):
+        back = TableSpec.from_json(spec.to_json())
+        assert back == spec
+        assert back.base_schema.equals(spec.base_schema)
+
+
+def test_effective_keys_nopk():
+    from tapdata_connectors_ray.fixtures import CLICKS_SPEC
+
+    assert CLICKS_SPEC.effective_keys() == ["uid", "page", "n"]
+    assert CLICKS_SPEC.effective_partition_columns() == ["uid", "page", "n"]
+
+
+@pytest.mark.parametrize(
+    "qname", ["cdc_replay_second_table", "cdc_replay_nopk", "cdc_write_policies"]
+)
+def test_second_table_queries_match_oracle(ray_session, qname):
+    from tapdata_connectors_ray.pipelines.entrypoints import cdc_oracle_sql, cdc_queries
+
+    got = cdc_queries()[qname]("/root/testdata/sf0.001")
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    exp = duckdb.connect().execute(cdc_oracle_sql()[qname]).fetchdf()
+    assert _norm(got).equals(_norm(exp)), f"{qname}: {len(got)} vs {len(exp)} rows"
+
+
+# -- policy_collapse vs a brute-force sequential simulator -------------------
+
+
+def _simulate(events, insert_policy, update_policy):
+    """Row-at-a-time replay of the reference's dispatch semantics."""
+    state: dict[int, tuple] = {}
+    seen = set()
+    for lsn, op, key, val in events:
+        if (lsn, key) in seen:
+            continue
+        seen.add((lsn, key))
+        alive = key in state
+        if op == "I":
+            if not alive or insert_policy != "ignore_on_exists":
+                state[key] = (lsn, val)
+        elif op == "U":
+            if alive or update_policy == "insert_on_nonexists":
+                state[key] = (lsn, val)
+        elif op == "D":
+            state.pop(key, None)
+    return {k: v for k, (_, v) in state.items()}
+
+
+@pytest.mark.parametrize("insert_policy", ["update_on_exists", "ignore_on_exists"])
+@pytest.mark.parametrize("update_policy", ["insert_on_nonexists", "ignore_on_nonexists"])
+def test_policy_collapse_matches_simulator(insert_policy, update_policy):
+    from tapdata_connectors_ray.stages.merge import policy_collapse
+
+    rng = np.random.default_rng(3)
+    n = 4_000
+    ops = np.array(["I", "U", "D"])[rng.integers(0, 3, n)]
+    keys = rng.integers(0, 60, n)
+    vals = rng.integers(0, 10_000, n)
+    lsns = np.arange(1, n + 1)
+    # inject duplicate replays
+    dup = rng.choice(n, 200, replace=False)
+    events = list(zip(lsns, ops, keys, vals)) + [
+        (lsns[i], ops[i], keys[i], vals[i]) for i in dup
+    ]
+    rng.shuffle(events)
+
+    df = pd.DataFrame(events, columns=["lsn", "op", "k", "val"])
+    got = policy_collapse(
+        df, ["k"], insert_policy=insert_policy, update_policy=update_policy
+    )
+    exp = _simulate(
+        sorted(events, key=lambda e: e[0]), insert_policy, update_policy
+    )
+    got_map = dict(zip(got["k"], got["val"]))
+    assert got_map == exp, f"{insert_policy}/{update_policy}"
+
+
+def test_policy_default_pair_equals_lww():
+    from tapdata_connectors_ray.stages.merge import lww_collapse, policy_collapse
+
+    df = pd.DataFrame(
+        {
+            "lsn": [1, 2, 3, 4, 5],
+            "op": ["I", "U", "D", "I", "U"],
+            "k": [1, 1, 1, 1, 1],
+            "val": [10, 11, None, 12, 13],
+        }
+    )
+    a = policy_collapse(df, ["k"])
+    b = lww_collapse(df, keys=["k"])
+    assert a[["lsn", "op"]].to_numpy().tolist() == b[["lsn", "op"]].to_numpy().tolist()
+
+
+def test_nullsafe_key_hashing():
+    from tapdata_connectors_ray.functions.hashing import key_hash_columns
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", None, None, "x"], pa.string()),
+            "b": pa.array([1, 2, 2, 1], pa.int64()),
+        }
+    )
+    h = key_hash_columns(t, ["a", "b"])
+    assert h[1] == h[2]  # null == null (null-safe)
+    assert h[0] == h[3]
+    assert h[0] != h[1]
+
+
+def test_generic_lookup_on_second_table(ray_session):
+    """Point lookup against a non-transcripts lake via the generic key API."""
+    import tempfile
+
+    from tapdata_connectors_ray.fixtures import ORDERS_SPEC, ensure_second_fixtures
+    from tapdata_connectors_ray.pipelines.incremental import CheckpointedIngest
+
+    d = ensure_second_fixtures()
+    import os
+
+    lake = tempfile.mkdtemp(prefix="lake_orders_", dir="/tmp")
+    ing = CheckpointedIngest(lake, num_partitions=8, spec=ORDERS_SPEC)
+    ing.ingest(
+        os.path.join(d, "orders_events.parquet"),
+        os.path.join(d, "orders_base.parquet"),
+    )
+    final = ing.final_dataset().to_pandas()
+    probe = final.iloc[5]
+    row = ing.lookup({"order_id": int(probe["order_id"])})
+    assert row is not None and row["status"] == probe["status"]
+
+    # resume: spec restored from the manifest, not the constructor default
+    reopened = CheckpointedIngest(lake, num_partitions=8)
+    assert reopened.spec.name == "orders_cdc"
