@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 
 from tapdata_connectors_ray.schema import EVENT_LOG_SCHEMA, TRANSCRIPTS_SCHEMA
 
-FIXTURE_VERSION = 6  # bump to invalidate cached fixtures
+FIXTURE_VERSION = 7  # bump to invalidate cached fixtures
 
 _EPOCH_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in microseconds
 
@@ -168,7 +168,13 @@ def generate_events(
     # inserts of the same conv are fine — LWW treats the later as an upsert)
     ins_extra = rng.integers(0, 6, n)
     upd_turn = (rng.random(n) * np.maximum(max_turn, 1)).astype(np.int64)
-    turn = np.where(op == "I", max_turn + ins_extra, upd_turn).astype(np.int32)
+    turn0 = np.where(op == "I", max_turn + ins_extra, upd_turn).astype(np.int32)
+
+    # key-changing updates (~2% of U): the row moves to a disjoint turn slot
+    # (+5000 — inserts stay < ~5000); the event carries the before-image key
+    # (MysqlReader.java:646-668 carries before+after)
+    move = (op == "U") & (rng.random(n) < 0.02)
+    turn = np.where(move, turn0 + 5000, turn0).astype(np.int32)
 
     lsn = np.arange(1, n + 1, dtype=np.int64)
 
@@ -212,6 +218,8 @@ def generate_events(
             "ts": ts.view("datetime64[us]"),
             "schema_ver": ver,
             "ddl_payload": None,
+            "before_conv_id": np.where(move, _conv_ids(spec.n_convs)[conv], None),
+            "before_turn_idx": pd.Series(turn0.astype("float64")).where(move),
         }
     )
     # deletes / DDL carry no after-image payload
@@ -236,6 +244,8 @@ def generate_events(
                 "ts": pd.Series([pd.NaT] * len(ddl_rows), dtype="datetime64[us]"),
                 "schema_ver": [v for _, v, _ in ddl_rows],
                 "ddl_payload": [p for _, _, p in ddl_rows],
+                "before_conv_id": None,
+                "before_turn_idx": np.nan,
             }
         )
         # DDL events take the LSN slot of the DML event at that position;
@@ -264,6 +274,7 @@ def generate_events(
     df["turn_idx"] = df["turn_idx"].astype("Int32")
     df["turn_score"] = df["turn_score"].astype("Int64")
     df["schema_ver"] = df["schema_ver"].astype("int32")
+    df["before_turn_idx"] = df["before_turn_idx"].astype("Int32")
     return pa.Table.from_pandas(df, schema=EVENT_LOG_SCHEMA, preserve_index=False)
 
 

@@ -82,7 +82,11 @@ class OracleReducer:
         for row in rows:
             lsn = row["lsn"]
             if lsn in self.applied_lsns:
-                self.counters.skipped_duplicates += 1
+                # counters are defined over the EXPANDED event stream (a
+                # key-moving update is tombstone + upsert), matching the
+                # distributed counter and the SQL oracle
+                is_move = row["op"] == "U" and row.get("before_turn_idx") is not None
+                self.counters.skipped_duplicates += 2 if is_move else 1
                 continue
             self.applied_lsns.add(lsn)
             op = row["op"]
@@ -94,6 +98,12 @@ class OracleReducer:
                 if self.state.pop(key, None) is not None:
                     self.counters.removed += 1
                 continue
+            # key-changing update: delete at the before-image key first
+            # (MysqlReader.java:646-668 carries before+after for this)
+            if op == "U" and row.get("before_turn_idx") is not None:
+                before_key = (row["before_conv_id"], row["before_turn_idx"])
+                if self.state.pop(before_key, None) is not None:
+                    self.counters.removed += 1
             ver = row["schema_ver"]
             tool_name = row["tool_name"] if ver >= 3 else row["tool"]
             new = {

@@ -136,43 +136,52 @@ def normalized_events(
     return ev
 
 
-def winner_set(
+def winner_rows(
     events_path: str | list[str],
     base_path: str | list[str] | None = None,
     *,
+    plan: EvolutionPlan,
+    num_partitions: int,
     max_lsn: int | None = None,
-):
-    """Pass 1 of the semi-join replay: narrow winner scan -> broadcast ref.
+) -> ray.data.Dataset:
+    """Pass 1 of the semi-join replay: narrow winner scan -> live winners as
+    normalized-schema rows (op == "W"), partitioned like the events.
 
-    Only (conv_id, turn_idx, lsn, op) leave storage; per-block pre-reduce
-    shrinks the shuffle to keys-per-block; the coarse key-bucket groupby is
-    the only all-to-all and moves 24-byte rows."""
+    Only (key columns, lsn, op) leave storage; per-block pre-reduce shrinks
+    the shuffle to keys-per-block; the coarse key-bucket groupby moves
+    key-width rows.  NOTHING reaches the driver — the winner set stays a
+    Dataset and joins the merge shuffle (partition-local join, bounded by
+    live-keys/partition)."""
     from tapdata_connectors_ray.stages.winners import (
-        collect_winner_set,
-        winner_reduce_bucket,
-        winner_scan_base,
-        winner_scan_events,
+        WinnerScanBase,
+        WinnerScanEvents,
+        WinnersToEventRows,
+        make_winner_reduce,
     )
 
+    keys = plan.keys()
     read_kwargs = {}
     if max_lsn is not None:
         read_kwargs["filter"] = pads.field("lsn") <= max_lsn
-    narrow = ray.data.read_parquet(
-        _expand_paths(events_path),
-        columns=["conv_id", "turn_idx", "lsn", "op"],
-        **read_kwargs,
-    ).map_batches(winner_scan_events, batch_format="pyarrow", zero_copy_batch=True)
+    paths = _expand_paths(events_path)
+    cols = [*keys, "lsn", "op"]
+    # include before-image key columns when the log carries them (footer-only)
+    log_schema = pads.dataset(paths[0], format="parquet").schema
+    cols += [f"before_{k}" for k in keys if f"before_{k}" in log_schema.names]
+    narrow = ray.data.read_parquet(paths, columns=cols, **read_kwargs).map_batches(
+        WinnerScanEvents(plan), batch_format="pyarrow", zero_copy_batch=True
+    )
     if base_path is not None:
         base = ray.data.read_parquet(
-            _expand_paths(base_path), columns=["conv_id", "turn_idx"]
-        ).map_batches(winner_scan_base, batch_format="pyarrow", zero_copy_batch=True)
+            _expand_paths(base_path), columns=keys
+        ).map_batches(WinnerScanBase(plan), batch_format="pyarrow", zero_copy_batch=True)
         narrow = narrow.union(base)
-    winners = (
-        narrow.groupby("kbucket")
-        .map_groups(winner_reduce_bucket, batch_format="pandas")
-        .to_pandas()
+    winners = narrow.groupby("kbucket").map_groups(
+        make_winner_reduce(keys), batch_format="pandas"
     )
-    return collect_winner_set(winners)
+    return winners.map_batches(
+        WinnersToEventRows(plan, num_partitions), batch_format="pyarrow"
+    )
 
 
 def replay_merged(
@@ -192,41 +201,47 @@ def replay_merged(
     partition_id), sorted by key within each partition.
 
     ``strategy="shuffle"``: classic one-pass keyed shuffle of full rows.
-    ``strategy="semijoin"``: two-pass winner scan (stages/winners.py) — the
-    wide ``text`` payload never crosses the all-to-all; the final partition
-    merge handles only the live set."""
+    ``strategy="semijoin"``: two-pass winner scan (stages/winners.py) — a
+    narrow pass finds each key's winning LSN; live winners then ride the one
+    merge shuffle as rows and each partition group keeps only its winners'
+    events.  No driver-side winner materialization; per-group state is
+    bounded by live-keys/partition."""
     plan = plan or scan_evolution_plan_distributed(events_path, spec)
     if strategy == "semijoin":
-        from tapdata_connectors_ray.stages.winners import WinnerFilter
+        from tapdata_connectors_ray.stages.winners import make_winner_merge
 
-        winners_ref = winner_set(events_path, base_path)
-        winner_filter = WinnerFilter(winners_ref)
-
+        winners = winner_rows(
+            events_path, base_path, plan=plan, num_partitions=num_partitions
+        )
         ev = normalized_events(
             events_path,
             base_path,
             plan=plan,
             num_partitions=num_partitions,
             salt_buckets=0,
-            prereduce=False,
-            watermarks=watermarks,
-            batch_size=batch_size,
-        ).map_batches(winner_filter, batch_format="pyarrow", zero_copy_batch=True)
-    else:
-        ev = normalized_events(
-            events_path,
-            base_path,
-            plan=plan,
-            num_partitions=num_partitions,
-            salt_buckets=salt_buckets,
             prereduce=prereduce,
             watermarks=watermarks,
             batch_size=batch_size,
         )
-        if salt_buckets:
-            ev = ev.groupby(["partition_id", "salt"]).map_groups(
-                make_lww_premerge(plan.keys()), batch_format="pyarrow"
-            )
+        return (
+            ev.union(winners)
+            .groupby("partition_id")
+            .map_groups(make_winner_merge(plan), batch_format="pyarrow")
+        )
+    ev = normalized_events(
+        events_path,
+        base_path,
+        plan=plan,
+        num_partitions=num_partitions,
+        salt_buckets=salt_buckets,
+        prereduce=prereduce,
+        watermarks=watermarks,
+        batch_size=batch_size,
+    )
+    if salt_buckets:
+        ev = ev.groupby(["partition_id", "salt"]).map_groups(
+            make_lww_premerge(plan.keys()), batch_format="pyarrow"
+        )
     merge_fn = make_lww_merge(plan.schema_at(), plan.keys())
     merged = ev.groupby("partition_id").map_groups(merge_fn, batch_format="pyarrow")
     return merged

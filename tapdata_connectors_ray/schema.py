@@ -170,6 +170,11 @@ EVENT_LOG_SCHEMA = pa.schema(
         pa.field("ts", pa.timestamp("us")),
         pa.field("schema_ver", pa.int32()),
         pa.field("ddl_payload", pa.string()),  # JSON field-delta for op == "DDL"
+        # before-image key of a key-changing update (MysqlReader.java:646-668
+        # carries before+after); non-null ONLY when an update moves the row —
+        # normalize expands it into tombstone@old-key + upsert@new-key
+        pa.field("before_conv_id", pa.string()),
+        pa.field("before_turn_idx", pa.int32()),
     ]
 )
 

@@ -17,6 +17,8 @@ def ev(lsn, op, conv="c1", turn=0, text=None, ver=1, **kw):
         "tool": kw.get("tool"), "tool_name": kw.get("tool_name"),
         "tool_meta": kw.get("tool_meta"), "turn_score": kw.get("turn_score"),
         "ts": None, "schema_ver": ver, "ddl_payload": kw.get("ddl_payload"),
+        "before_conv_id": kw.get("before_conv_id"),
+        "before_turn_idx": kw.get("before_turn_idx"),
     }
     if op in ("D", "DDL"):
         row.update({"role": None, "text": None})

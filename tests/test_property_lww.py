@@ -41,6 +41,8 @@ def event_logs(draw):
                 "ts": None,
                 "schema_ver": 1,
                 "ddl_payload": None,
+                "before_conv_id": None,
+                "before_turn_idx": None,
             }
         )
     # duplicate-LSN replays of a random sample
@@ -78,6 +80,8 @@ def event_logs(draw):
                 "turn_score": None,
                 "ts": None,
                 "schema_ver": ver,
+                "before_conv_id": None,
+                "before_turn_idx": None,
                 "ddl_payload": json.dumps(kind_payload, sort_keys=True),
             }
         )

@@ -135,6 +135,34 @@ def test_nullsafe_key_hashing():
     assert h[0] != h[1]
 
 
+def test_key_changing_update_moves_row():
+    """An update whose before-image names another key must delete the old
+    key and upsert the new one (tombstone expansion in normalize)."""
+    import pyarrow.compute as pc
+
+    from tapdata_connectors_ray.stages.normalize import expand_key_changes
+
+    batch = pa.table(
+        {
+            "lsn": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["U", "I"], pa.string()),
+            "conv_id": pa.array(["c1", "c2"], pa.string()),
+            "turn_idx": pa.array([7, 0], pa.int32()),
+            "text": pa.array(["moved", "new"], pa.string()),
+            "schema_ver": pa.array([1, 1], pa.int32()),
+            "before_conv_id": pa.array(["c1", None], pa.string()),
+            "before_turn_idx": pa.array([2, None], pa.int32()),
+        }
+    )
+    out = expand_key_changes(batch, ["conv_id", "turn_idx"])
+    assert len(out) == 3
+    tomb = out.filter(pc.equal(out["op"], "D"))
+    assert tomb["conv_id"].to_pylist() == ["c1"]
+    assert tomb["turn_idx"].to_pylist() == [2]
+    assert tomb["lsn"].to_pylist() == [1]  # same LSN as the moving update
+    assert tomb["text"].to_pylist() == [None]
+
+
 def test_generic_lookup_on_second_table(ray_session):
     """Point lookup against a non-transcripts lake via the generic key API."""
     import tempfile
