@@ -85,7 +85,7 @@ WITH aug AS (
 """
 
 # word-3-gram sets per augmented doc (lowercased, single-space tokenizer)
-_GRAMS_CTE = (
+_GRAMS_PREFIX = (
     _AUG_CTE
     + """
 , toks AS (
@@ -99,7 +99,16 @@ _GRAMS_CTE = (
     JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
 ), gcount AS (
     SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
-), inter AS (
+)
+"""
+)
+
+# exact intersection over ALL grams (the MinHash verify computes full-set
+# Jaccard, so its oracle must too)
+_GRAMS_CTE = (
+    _GRAMS_PREFIX
+    + """
+, inter AS (
     SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
     FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
     GROUP BY 1, 2
@@ -112,6 +121,33 @@ _GRAMS_CTE = (
 )
 """
 )
+
+
+def _grams_cutoff_cte() -> str:
+    """Intersection restricted to grams with document frequency <=
+    GRAM_DF_CUTOFF — the SQL twin of the inverted index's stop-gram guard
+    (``stages/dedup.GRAM_DF_CUTOFF``); per-doc gram counts stay full."""
+    from tapdata_connectors_ray.stages.dedup import GRAM_DF_CUTOFF
+
+    return (
+        _GRAMS_PREFIX
+        + f"""
+, gdf AS (
+    SELECT g FROM grams GROUP BY g HAVING count(*) <= {GRAM_DF_CUTOFF}
+), inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+    FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+    WHERE x.g IN (SELECT g FROM gdf)
+    GROUP BY 1, 2
+), pair_stats AS (
+    SELECT doc_a, doc_b, common,
+           na.n + nb.n - common AS union_n
+    FROM inter
+    JOIN gcount na ON na.doc_id = doc_a
+    JOIN gcount nb ON nb.doc_id = doc_b
+)
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -148,37 +184,22 @@ def _pair_dedupe(ds):
     )
 
 
-def _shingle_side(sf_dir: str):
-    """Driver-side build + ray.put of (doc_id -> shingle-hash set,
-    doc_id -> distinct-gram count).  Small side at conformance scale; the
-    100 TB path replaces the broadcast with a doc-keyed Dataset.join."""
-    import pyarrow.parquet as pq
-
-    from tapdata_connectors_ray.stages.dedup import augment_docs, collect_shingle_sets
-
-    raw = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    aug = augment_docs(raw).to_pandas()
-    sets = collect_shingle_sets(aug, NGRAM)
-    counts = {i: len(h) for i, h in sets.items()}
-    return ray.put(sets), ray.put(counts)
-
-
 def q_dedup_ngram_jaccard(sf_dir: str) -> Any:
-    """n-gram Jaccard near-dup via a distributed inverted index: explode
-    distinct gram hashes -> coarse-bucket groupby with a vectorized
-    self-merge per bucket (exact per-pair common counts, Sum over buckets)
-    -> vectorized union/threshold filter against broadcast gram counts."""
+    """n-gram Jaccard near-dup, fully distributed (nothing on the driver):
+    explode distinct gram hashes -> coarse-bucket groupby with a vectorized
+    self-merge per bucket (document-frequency cutoff applied exactly inside
+    each bucket; exact per-pair common counts, Sum over buckets) -> hash
+    join against the per-doc gram-count DATASET -> vectorized
+    union/threshold filter."""
     from tapdata_connectors_ray.stages.dedup import (
         add_pair_bucket,
+        doc_gram_count_batch,
         gram_pair_partials,
-        make_union_filter,
         ngram_index_rows,
         pair_sum_bucket,
+        union_filter_batch,
     )
 
-    _, counts_ref = _shingle_side(sf_dir)
     inv = _aug_docs(sf_dir).map_batches(
         ngram_index_rows(NGRAM), batch_format="pyarrow", zero_copy_batch=True
     )
@@ -188,8 +209,20 @@ def q_dedup_ngram_jaccard(sf_dir: str) -> Any:
         .groupby("pbucket")
         .map_groups(pair_sum_bucket, batch_format="pandas")
     )
-    filt = make_union_filter(counts_ref, JACCARD_THRESHOLD)
-    return common.map_batches(filt, batch_format="pyarrow", concurrency=(1, 4))
+    counts = _aug_docs(sf_dir).map_batches(
+        doc_gram_count_batch(NGRAM), batch_format="pyarrow", zero_copy_batch=True
+    )
+    j1 = common.join(
+        counts, join_type="inner", num_partitions=8, on=("doc_a",), right_on=("doc_id",)
+    ).rename_columns({"n_grams": "na"})
+    j2 = j1.join(
+        counts, join_type="inner", num_partitions=8, on=("doc_b",), right_on=("doc_id",)
+    ).rename_columns({"n_grams": "nb"})
+    return j2.map_batches(
+        lambda b: union_filter_batch(b, JACCARD_THRESHOLD),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def _minhash_candidates(sf_dir: str):
@@ -208,19 +241,12 @@ def _minhash_candidates(sf_dir: str):
 def q_dedup_minhash_lsh(sf_dir: str) -> Any:
     """MinHash(128) + LSH banding (64 bands x 2 rows: recall ~1 at j>=0.8),
     candidates exactly verified -> equals brute-force pairs (the oracle).
-    Verification reads the broadcast shingle sets (small-side pattern)."""
-    from tapdata_connectors_ray.stages.dedup import make_pair_verifier
 
-    sets_ref, _ = _shingle_side(sf_dir)
-    cand = _minhash_candidates(sf_dir)
-    verifier = make_pair_verifier(sets_ref, MINHASH_THRESHOLD, NGRAM)
-    return cand.map_batches(verifier, batch_format="pyarrow", concurrency=(1, 4))
-
-
-def q_dedup_minhash_lsh_join(sf_dir: str) -> Any:
-    """Same operator, 100 TB verification path: candidate pairs are joined
-    (hash join, distributed) against a (doc_id, shingles) side dataset twice
-    — nothing is materialized on the driver; identical output."""
+    Verification is a distributed hash join of candidate pairs against a
+    (doc_id, shingles) side dataset (twice, once per pair side) — nothing is
+    materialized on the driver.  This IS the scale path; the round-1
+    broadcast-verify variant is gone (``dedup_minhash_lsh_join`` remains as
+    an alias for conformance continuity)."""
     from tapdata_connectors_ray.stages.dedup import shingle_sets_batch, verify_pairs_batch
 
     cand = _minhash_candidates(sf_dir)
@@ -547,36 +573,35 @@ def q_curation_pipeline(sf_dir: str) -> Any:
         quality_gate, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    # stage 2: exact dedup — keep min doc_id per content hash
+    # stage 2: exact dedup — keep min doc_id per content hash.  The kept set
+    # flows as a DATASET (semi/anti joins below), never as a driver-side
+    # Python set: survivor cardinality is corpus-scale at 100 TB.
     hashed = gated.map_batches(add_text_hash, batch_format="pyarrow", zero_copy_batch=True)
-    kept_ids = set(
+    kept = (
         hashed.select_columns(["text_hash", "doc_id"])
         .groupby("text_hash")
         .aggregate(Min("doc_id", alias_name="doc_id"))
-        .to_pandas()["doc_id"]
+        .select_columns(["doc_id"])
+        .materialize()  # tiny (one id per distinct text); consumed by 3 joins
     )
 
-    # stage 3: near-dup drop among survivors (reuse the jaccard operator)
-    pairs = q_dedup_ngram_jaccard(sf_dir).to_pandas()
-    both_alive = pairs[pairs["doc_a"].isin(kept_ids) & pairs["doc_b"].isin(kept_ids)]
-    dropped = set(both_alive["doc_b"])  # deterministic rule: larger id goes
-    survivors = np.array(sorted(kept_ids - dropped), dtype=np.int64)
-    survivors_ref = ray.put(survivors)
+    # stage 3: near-dup drop among survivors (reuse the jaccard operator):
+    # pairs with BOTH sides alive -> drop the larger id of each pair
+    pairs = q_dedup_ngram_jaccard(sf_dir).select_columns(["doc_a", "doc_b"])
+    both_alive = pairs.join(
+        kept, join_type="left_semi", num_partitions=8, on=("doc_a",), right_on=("doc_id",)
+    ).join(
+        kept, join_type="left_semi", num_partitions=8, on=("doc_b",), right_on=("doc_id",)
+    )
+    dropped = both_alive.select_columns(["doc_b"])
+    survivors = kept.join(
+        dropped, join_type="left_anti", num_partitions=8, on=("doc_id",), right_on=("doc_b",)
+    )
 
-    # stage 4: token counts of survivors (broadcast id-set filter)
-    def keep_survivors(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        alive = ray.get(survivors_ref)
-        if len(alive) == 0:  # everything gated/deduped away -> empty result
-            return batch.slice(0, 0)
-        pos = np.searchsorted(alive, ids)
-        pos_c = np.minimum(pos, len(alive) - 1)
-        ok = alive[pos_c] == ids
-        return batch.take(np.nonzero(ok)[0])
-
+    # stage 4: token counts of survivors (semi join, then the counting stage)
     out = (
         _aug_docs(sf_dir)
-        .map_batches(keep_survivors, batch_format="pyarrow", zero_copy_batch=True)
+        .join(survivors, join_type="left_semi", num_partitions=8, on=("doc_id",))
         .map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
     )
     return out
@@ -587,9 +612,10 @@ def q_curation_pipeline(sf_dir: str) -> Any:
 # ---------------------------------------------------------------------------
 
 
-def _pairs_sql(threshold: float) -> str:
+def _pairs_sql(threshold: float, cutoff: bool = False) -> str:
+    cte = _grams_cutoff_cte() if cutoff else _GRAMS_CTE
     return (
-        _GRAMS_CTE
+        cte
         + f"""
 SELECT doc_a, doc_b, common, union_n
 FROM pair_stats
@@ -654,7 +680,7 @@ _CENTROID_CTE = """
 """
 
 TRAINING_SQL: dict[str, str] = {
-    "curation_pipeline": _GRAMS_CTE
+    "curation_pipeline": _grams_cutoff_cte()
     + """
 , gate AS (
     SELECT doc_id, text,
@@ -687,7 +713,7 @@ ORDER BY a.doc_id
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM aug GROUP BY text ORDER BY doc_id
 """,
-    "dedup_ngram_jaccard": _pairs_sql(JACCARD_THRESHOLD),
+    "dedup_ngram_jaccard": _pairs_sql(JACCARD_THRESHOLD, cutoff=True),
     "dedup_minhash_lsh": _pairs_sql(MINHASH_THRESHOLD),
     "dedup_minhash_lsh_join": _pairs_sql(MINHASH_THRESHOLD),
     "dedup_simhash": _SIMHASH_SQL,
@@ -836,7 +862,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_minhash_lsh_join": q_dedup_minhash_lsh_join,
+        "dedup_minhash_lsh_join": q_dedup_minhash_lsh,  # alias (join IS the path)
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,

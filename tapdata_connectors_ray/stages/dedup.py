@@ -16,12 +16,13 @@ Ray-Data-first:
 - SimHash: 64-bit signature per doc (md5-token parity with the oracle),
   candidates via 4x16-bit chunk banding (pigeonhole-exact for hamming<=3).
 
-Scale notes (100 TB): candidate verification here broadcasts the per-doc
-shingle-hash sets via ``ray.put`` (small at conformance scale); the scale
-path re-shuffles candidate pairs against a doc-keyed dataset (Dataset.join)
-so no driver materialization — the banding/groupby skeleton is unchanged.
-A 64-bit group hash collides at ~2^32 docs; the scale path widens exact-dup
-grouping to a 128-bit digest.
+Scale notes (100 TB): candidate verification is a distributed hash join of
+candidate pairs against a (doc_id, shingles) dataset — nothing touches the
+driver; per-doc gram counts likewise flow as a dataset joined into the final
+jaccard filter; the inverted index applies a document-frequency cutoff
+(``GRAM_DF_CUTOFF``, mirrored in the oracle) so no stop-gram can go
+quadratic.  A 64-bit group hash collides at ~2^32 docs; the scale path
+widens exact-dup grouping to a 128-bit digest.
 """
 
 from __future__ import annotations
@@ -180,11 +181,20 @@ def band_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return out.rename(columns={"doc_id_l": "doc_a", "doc_id_r": "doc_b"})
 
 
+# A gram shared by more docs than this contributes no candidate pairs: the
+# per-gram self-merge is O(df²), so one stop-gram shared by 10^6 docs would
+# emit 10^12 pair rows.  Standard inverted-index practice; the oracle's
+# filtered-inter CTE applies the same cutoff, so conformance is exact.
+GRAM_DF_CUTOFF = 256
+
+
 def gram_pair_partials(df: pd.DataFrame) -> pd.DataFrame:
     """One coarse bucket of inverted-index rows -> per-pair partial common
     counts (vectorized merge on the exact gram hash; the global common count
     is the Sum over buckets because each distinct gram lives in exactly one
-    bucket)."""
+    bucket — which also makes the document-frequency cutoff exact here)."""
+    dfreq = df.groupby("gram", sort=False)["doc_id"].transform("size")
+    df = df[dfreq <= GRAM_DF_CUTOFF]
     m = df.merge(df, on="gram", suffixes=("_l", "_r"))
     m = m[m["doc_id_l"] < m["doc_id_r"]]
     g = (
@@ -222,63 +232,44 @@ def pair_dedupe_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pbucket"])
 
 
-def make_union_filter(gram_counts_ref, threshold: float):
-    """Vectorized final jaccard filter: per-doc distinct-gram counts are
-    broadcast once (``ray.put``); union = n_a + n_b - common; keep pairs with
-    the same IEEE division the oracle's WHERE clause performs."""
-    import ray
+def doc_gram_count_batch(ngram: int):
+    """map_batches fn: (doc_id, n_grams) — the per-doc distinct-gram counts
+    as a DATASET (joined against candidate pairs downstream), replacing the
+    driver-built broadcast dict the round-1 design used."""
 
-    class UnionFilter:
-        def __init__(self) -> None:
-            self.counts = pd.Series(ray.get(gram_counts_ref))
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        counts = np.array(
+            [len(distinct_ngram_hashes(t, ngram)) for t in texts], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_grams": pa.array(counts, type=pa.int64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["doc_a"].to_numpy()
-            b = batch["doc_b"].to_numpy()
-            common = batch["common"].to_numpy().astype(np.int64)
-            na = self.counts.reindex(a).to_numpy()
-            nb = self.counts.reindex(b).to_numpy()
-            union = na + nb - common
-            keep = (union > 0) & (common / np.maximum(union, 1) >= threshold)
-            return pa.table(
-                {
-                    "doc_a": pa.array(a[keep], type=pa.int64()),
-                    "doc_b": pa.array(b[keep], type=pa.int64()),
-                    "common": pa.array(common[keep], type=pa.int64()),
-                    "union_n": pa.array(union[keep].astype(np.int64), type=pa.int64()),
-                }
-            )
-
-    return UnionFilter
+    return f
 
 
-def make_pair_verifier(shingle_sets_ref, threshold: float, ngram: int):
-    """map_batches verifier: exact Jaccard over broadcast shingle sets
-    (``ray.put`` once, read per task — never re-shipped per batch)."""
-    import ray
-
-    class VerifyPairs:
-        def __init__(self) -> None:
-            self.sets = ray.get(shingle_sets_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["doc_a"].to_numpy()
-            b = batch["doc_b"].to_numpy()
-            iu = [hashes_inter_union(self.sets[x], self.sets[y]) for x, y in zip(a, b)]
-            common = np.array([c for c, _ in iu], dtype=np.int64)
-            union = np.array([u for _, u in iu], dtype=np.int64)
-            # same IEEE division the oracle's WHERE clause performs
-            keep = (union > 0) & (common / np.maximum(union, 1) >= threshold)
-            return pa.table(
-                {
-                    "doc_a": pa.array(a[keep], type=pa.int64()),
-                    "doc_b": pa.array(b[keep], type=pa.int64()),
-                    "common": pa.array(common[keep], type=pa.int64()),
-                    "union_n": pa.array(union[keep], type=pa.int64()),
-                }
-            )
-
-    return VerifyPairs
+def union_filter_batch(batch: pa.Table, threshold: float) -> pa.Table:
+    """Final jaccard filter over join output carrying na/nb gram counts:
+    union = n_a + n_b - common; same IEEE division as the oracle's WHERE."""
+    a = batch["doc_a"].to_numpy()
+    b = batch["doc_b"].to_numpy()
+    common = batch["common"].to_numpy().astype(np.int64)
+    na = batch["na"].to_numpy().astype(np.int64)
+    nb = batch["nb"].to_numpy().astype(np.int64)
+    union = na + nb - common
+    keep = (union > 0) & (common / np.maximum(union, 1) >= threshold)
+    return pa.table(
+        {
+            "doc_a": pa.array(a[keep], type=pa.int64()),
+            "doc_b": pa.array(b[keep], type=pa.int64()),
+            "common": pa.array(common[keep], type=pa.int64()),
+            "union_n": pa.array(union[keep], type=pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -426,14 +417,6 @@ def verify_pairs_batch(batch: pa.Table, threshold: float) -> pa.Table:
             "union_n": pa.array(union[keep], type=pa.int64()),
         }
     )
-
-
-def collect_shingle_sets(texts_df: pd.DataFrame, ngram: int) -> dict[int, np.ndarray]:
-    """doc_id -> sorted distinct shingle hashes (broadcast small side)."""
-    return {
-        int(i): distinct_ngram_hashes(t, ngram)
-        for i, t in zip(texts_df["doc_id"], texts_df["text"])
-    }
 
 
 def ngram_index_rows(ngram: int):
