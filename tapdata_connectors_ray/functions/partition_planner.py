@@ -24,23 +24,92 @@ import ray.data
 
 
 def pk_range_boundaries(
-    path: str | list[str], pk: str, every: int = 500_000
+    path: str | list[str], pk: str, every: int = 500_000, bins: int = 4096
 ) -> pd.DataFrame:
-    """Boundary keys at rows 0, every, 2*every, ... of the pk-sorted table.
+    """Boundary keys at rows 0, every, 2*every, ... of the pk-sorted table —
+    exact distributed order statistics, NO global sort and NO driver stream
+    of the column:
 
-    Streams the sorted, column-pruned pk over the driver (metadata-scale:
-    one narrow column; boundaries are ~rows/every values)."""
-    ds = ray.data.read_parquet(path, columns=[pk]).sort(pk)
-    boundaries: list = []
-    seen = 0
-    for batch in ds.iter_batches(batch_size=64 * 1024, batch_format="pyarrow"):
-        col = batch[pk].to_numpy(zero_copy_only=False)
-        # global indices of this batch: [seen, seen+len)
-        first = (-seen) % every
-        if first < len(col):
-            boundaries.extend(col[first::every].tolist())
-        seen += len(col)
-    return pd.DataFrame({"boundary": boundaries})
+    1. one distributed histogram pass over ``bins`` value ranges;
+    2. the cumulative bin counts (tiny) locate, per target position, its bin
+       and in-bin rank;
+    3. one distributed filtered pull of ONLY the needed bins' values (~rows/
+       bins values per boundary) and a local ``np.partition`` per bin.
+
+    Driver traffic = bins + occupied-needed-bin values, not the table.
+    Falls back to a sorted stream for non-numeric keys."""
+    import pyarrow.compute as _pc
+
+    ds = ray.data.read_parquet(path, columns=[pk])
+    schema = ds.schema()
+    pk_type = schema.base_schema.field(pk).type
+    if not (pa.types.is_integer(pk_type) or pa.types.is_floating(pk_type)):
+        # non-numeric pk: sorted driver stream (narrow column, rare path)
+        sorted_ds = ds.sort(pk)
+        boundaries: list = []
+        seen = 0
+        for batch in sorted_ds.iter_batches(batch_size=64 * 1024, batch_format="pyarrow"):
+            col = batch[pk].to_numpy(zero_copy_only=False)
+            first = (-seen) % every
+            if first < len(col):
+                boundaries.extend(col[first::every].tolist())
+            seen += len(col)
+        return pd.DataFrame({"boundary": boundaries})
+
+    from ray.data.aggregate import Max, Min
+
+    row = ds.aggregate(Min(pk, alias_name="mn"), Max(pk, alias_name="mx"))
+    lo, hi = float(row["mn"]), float(row["mx"])
+    edges = np.linspace(lo, np.nextafter(hi, np.inf), bins + 1)
+    edges_ref = ray.put(edges)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        e = ray.get(edges_ref)
+        v = batch[pk].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip(np.searchsorted(e, v, side="right") - 1, 0, len(e) - 2)
+        counts = np.bincount(idx, minlength=len(e) - 1)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bin": nz.astype(np.int64), "n": counts[nz]})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .sum("n")
+        .to_pandas()
+    )
+    counts = np.zeros(bins, dtype=np.int64)
+    counts[hist["bin"].to_numpy()] = hist["sum(n)"].to_numpy()
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    total = int(cum[-1])
+
+    targets = np.arange(0, total, every)
+    t_bins = np.searchsorted(cum, targets, side="right") - 1
+    in_bin_rank = targets - cum[t_bins]
+    needed = np.unique(t_bins)
+
+    lo_e, hi_e = edges[needed], edges[needed + 1]
+
+    def pull_needed(batch: pa.Table) -> pa.Table:
+        v = batch[pk].to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = np.zeros(len(v), dtype=bool)
+        for a, b in zip(lo_e, hi_e):
+            mask |= (v >= a) & (v < b)
+        return batch.filter(pa.array(mask))
+
+    vals = (
+        ds.map_batches(pull_needed, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()[pk]
+        .to_numpy()
+    )
+    vals_f = vals.astype(np.float64)
+    boundaries = []
+    for b, rank in zip(t_bins, in_bin_rank):
+        in_bin = vals[(vals_f >= edges[b]) & (vals_f < edges[b + 1])]
+        boundaries.append(np.partition(in_bin, rank)[rank])
+    out = pd.DataFrame({"boundary": boundaries})
+    if pa.types.is_integer(pk_type):
+        out["boundary"] = out["boundary"].astype(np.int64)
+    return out
 
 
 def minmax_split_partitions(

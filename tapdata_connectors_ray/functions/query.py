@@ -61,8 +61,35 @@ def predicate_mask(batch: pa.Table, flt: AdvanceFilter) -> pa.ChunkedArray | pa.
     return mask
 
 
+def make_block_topk(sort_on: list[SortOn], k: int):
+    """Per-block top-k pre-reduce under the query's sort order: any row in
+    the GLOBAL top-k is in its block's top-k under the same comparator, so
+    the global sort afterwards only sees k rows per block instead of the
+    whole filtered stream.  Rows tied with the k-th row on every sort key
+    are kept (a tied row could still win the global tie-break)."""
+    keys = [s.field for s in sort_on]
+    order = [(s.field, "descending" if s.descending else "ascending") for s in sort_on]
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) <= k:
+            return batch
+        batch = batch.sort_by(order)
+        kth = {key: batch[key][k - 1] for key in keys}
+        tail_mask = None
+        for key in keys:
+            cond = pc.equal(batch[key], kth[key])
+            tail_mask = cond if tail_mask is None else pc.and_kleene(tail_mask, cond)
+        n_tied_after = pc.sum(pc.if_else(tail_mask, 1, 0).slice(k)).as_py() or 0
+        return batch.slice(0, k + n_tied_after)
+
+    return block_topk
+
+
 def apply_advance_filter(ds: ray.data.Dataset, flt: AdvanceFilter) -> ray.data.Dataset:
-    """Lazy pipeline: vectorized predicate -> projection -> sort -> skip/limit."""
+    """Lazy pipeline: vectorized predicate -> projection -> per-block
+    top-(skip+limit) pre-reduce -> sort -> skip/limit.  The pre-reduce means
+    a ``sort+limit 100`` over a 100 TB table shuffles k rows per block, not
+    the table."""
     if flt.match or flt.operators:
 
         def filter_batch(batch: pa.Table) -> pa.Table:
@@ -73,6 +100,13 @@ def apply_advance_filter(ds: ray.data.Dataset, flt: AdvanceFilter) -> ray.data.D
     if flt.projection:
         ds = ds.select_columns(flt.projection)
     if flt.sort_on:
+        if flt.limit is not None:
+            k = (flt.skip or 0) + flt.limit
+            ds = ds.map_batches(
+                make_block_topk(flt.sort_on, k),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         ds = ds.sort(
             [s.field for s in flt.sort_on],
             descending=[s.descending for s in flt.sort_on],

@@ -223,29 +223,63 @@ def q_events_session_windows(sf_dir: str):
     )
 
 
-def q_text_bigram_topk(sf_dir: str):
-    """Top-20 word bigrams over the documents corpus: explode bigrams inside
-    map_batches (vectorized), grouped count (partial agg inside Ray's hash
-    aggregate), driver-side top-k of the small grouped result."""
-    from ray.data.aggregate import Count as _Count
+BIGRAM_TOPK = 20
+_BIGRAM_BUCKETS = 64
 
+
+def q_text_bigram_topk(sf_dir: str):
+    """Top-20 word bigrams over the documents corpus, distributed top-k:
+    vectorized explode + in-block value_counts combiner -> coarse-bucket
+    groupby (each bigram lives in exactly one bucket) -> per-bucket exact
+    count + per-bucket top-k under the global (n DESC, bigram ASC) order ->
+    tiny driver merge of buckets x k rows.  No unbounded-cardinality
+    grouped aggregate, no full-count ``to_pandas``."""
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["text"])
 
-    def bigrams(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch["text"].to_pylist():
-            ws = t.lower().split(" ")
-            out.extend(ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1))
-        return pa.table({"bigram": pa.array(out, type=pa.string())})
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        words = (
+            pd.Series(batch["text"].to_pylist(), dtype=object)
+            .str.lower()
+            .str.split(" ")
+            .to_numpy()
+        )
+        if len(words) == 0:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "n_part": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int32())}
+            )
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=len(words))
+        keep = np.ones(max(len(flat) - 1, 0), dtype=bool)
+        keep[np.cumsum(lens)[:-1] - 1] = False  # no bigrams across doc bounds
+        bg = pd.Series(flat[:-1][keep]) + " " + pd.Series(flat[1:][keep])
+        vc = bg.value_counts()  # in-block combiner
+        grams = vc.index.to_numpy(dtype=object)
+        bucket = (
+            pd.util.hash_array(grams) % np.uint64(_BIGRAM_BUCKETS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "bigram": pa.array(grams, type=pa.string()),
+                "n_part": pa.array(vc.to_numpy(), type=pa.int64()),
+                "bucket": pa.array(bucket, type=pa.int32()),
+            }
+        )
 
-    counts = (
-        ds.map_batches(bigrams, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bigram")
-        .aggregate(_Count(alias_name="n"))
-        .to_pandas()
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bigram", sort=False)["n_part"].sum().reset_index(name="n")
+        g = g.sort_values(["n", "bigram"], ascending=[False, True], kind="stable")
+        return g.head(BIGRAM_TOPK)
+
+    cands = (
+        ds.map_batches(bigram_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()  # buckets x k rows — driver-side merge is tiny
     )
-    top = counts.sort_values(["n", "bigram"], ascending=[False, True], kind="stable").head(20)
-    return top.reset_index(drop=True)
+    top = cands.sort_values(["n", "bigram"], ascending=[False, True], kind="stable")
+    return top.head(BIGRAM_TOPK).reset_index(drop=True)
 
 
 def q_typelattice_roundtrip(sf_dir: str):

@@ -290,47 +290,69 @@ def q_dedup_simhash(sf_dir: str) -> Any:
     return _pair_dedupe(survivors)
 
 
-def _aug_embeddings_np(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """(ids, float64 matrix) of the augmented embedding corpus: verbatim
-    copies (vec_id%10==0 -> +1e6) and last-8-dims-zeroed copies
-    (vec_id%10==1 -> +2e6). Mirrors the SQL ``eaug`` CTE."""
-    import pyarrow.parquet as pq
-
+def augment_embeddings_batch(batch: pa.Table) -> pa.Table:
+    """Augmented embedding corpus as a stateless batch transform (mirrors
+    the SQL ``eaug`` CTE): verbatim copies (vec_id%10==0 -> +1e6) and
+    last-8-dims-zeroed copies (vec_id%10==1 -> +2e6)."""
     from tapdata_connectors_ray.stages.similarity import stack_embeddings
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = t["vec_id"].to_numpy()
-    mat = stack_embeddings(t)
+    ids = batch["vec_id"].to_numpy()
+    mat = stack_embeddings(batch)
     m0, m1 = ids % 10 == 0, ids % 10 == 1
     zeroed = mat[m1].copy()
     zeroed[:, -8:] = 0.0
     all_ids = np.concatenate([ids, ids[m0] + 1_000_000, ids[m1] + 2_000_000])
-    all_mat = np.concatenate([mat, mat[m0], zeroed])
-    return all_ids, all_mat
+    all_mat = np.concatenate([mat, mat[m0], zeroed]).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(all_ids, type=pa.int64()),
+            "embedding": pa.array(list(all_mat), type=pa.list_(pa.float32())),
+        }
+    )
+
+
+EMB_DIM = 64
 
 
 def q_dedup_embedding_cosine(sf_dir: str) -> Any:
-    """Embedding cosine near-dup pairs over the augmented corpus: each block
-    multiplies against the broadcast normalized corpus (``ray.put`` once)."""
-    from tapdata_connectors_ray.stages.similarity import NearDupPairs, normalize_rows
-
-    ids, mat = _aug_embeddings_np(sf_dir)
-    corpus_ref = ray.put({"ids": ids, "mat": normalize_rows(mat)})
-    # distribute the row side as a dataset of (vec_id, embedding)
-    ds = ray.data.from_arrow(
-        pa.table(
-            {
-                "vec_id": pa.array(ids, type=pa.int64()),
-                "embedding": pa.array(list(mat.astype(np.float32)), type=pa.list_(pa.float32())),
-            }
-        )
+    """Embedding cosine near-dup via random-hyperplane LSH: band rows ->
+    bucket groupby -> candidate pairs -> distributed hash-join verify with
+    exact (rounded) cosine.  Nothing is broadcast and nothing touches the
+    driver — the O(n²d) all-pairs matmul of the round-1 design is gone;
+    work is O(n·bands) bucketing + O(candidates·d) verification."""
+    from tapdata_connectors_ray.stages.dedup import band_pairs_bucket
+    from tapdata_connectors_ray.stages.similarity import (
+        HyperplaneLSH,
+        embedding_blob_batch,
+        verify_cosine_pairs,
     )
 
-    class Pairs(NearDupPairs):
-        def __init__(self) -> None:
-            super().__init__(corpus_ref, COSINE_DUP_THRESHOLD)
+    aug = (
+        _emb(sf_dir)
+        .select_columns(["vec_id", "embedding"])
+        .map_batches(augment_embeddings_batch, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
-    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 2))
+    class LSH(HyperplaneLSH):
+        def __init__(self) -> None:
+            super().__init__(EMB_DIM)
+
+    bands = aug.map_batches(LSH, batch_format="pyarrow", concurrency=(1, 4))
+    pairs = _pair_dedupe(
+        bands.groupby("sbucket").map_groups(band_pairs_bucket, batch_format="pandas")
+    )
+    blobs = aug.map_batches(embedding_blob_batch, batch_format="pyarrow", zero_copy_batch=True)
+    j1 = pairs.join(
+        blobs, join_type="inner", num_partitions=8, on=("doc_a",), right_on=("vec_id",)
+    ).rename_columns({"emb": "emb_a"})
+    j2 = j1.join(
+        blobs, join_type="inner", num_partitions=8, on=("doc_b",), right_on=("vec_id",)
+    ).rename_columns({"emb": "emb_b"})
+    return j2.map_batches(
+        lambda b: verify_cosine_pairs(b, COSINE_DUP_THRESHOLD),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 # ---------------------------------------------------------------------------

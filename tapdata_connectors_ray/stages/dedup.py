@@ -280,30 +280,39 @@ SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks: pigeonhole-exact for hamming <= 3
 
 
 class SimHash:
-    """map_batches stage: doc -> (doc_id, simhash, chunk rows).
+    """map_batches stage: doc -> (doc_id, simhash).
 
     Token hash = md5_number_lower (oracle parity, per-actor cached — the
     vocabulary is bounded so the cache amortizes to O(1) per token).
+    Signatures are computed for the WHOLE batch in one pass: all docs'
+    token hashes concatenate into one matrix, the per-doc bit-score sums
+    are segment reductions (``np.add.reduceat``) — the same trick the
+    MinHash stage uses; no per-document Python loop.
     """
 
     def __init__(self) -> None:
         self.md5 = CachedMd5()
 
-    def simhash64(self, text: str) -> np.uint64:
-        toks = tokens(text)
-        h = self.md5.many(toks)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        score = (2 * bits - 1).sum(axis=0)
-        return ((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
-            dtype=np.uint64
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        tok_lists = [tokens(t) for t in texts]
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        flat = [t for toks_ in tok_lists for t in toks_]
+        h = self.md5.many(flat)
+        # (total_tokens, 64) ±1 contributions, segment-summed per doc
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+        contrib = (2 * bits.astype(np.int32) - 1)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        scores = np.add.reduceat(contrib, starts, axis=0)  # (n_docs, 64)
+        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        return ((scores > 0).astype(np.uint64) * powers[None, :]).sum(
+            axis=1, dtype=np.uint64
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         doc_id = batch["doc_id"].to_numpy()
-        sigs = np.array([self.simhash64(t) for t in texts], dtype=np.uint64)
+        sigs = self.signatures(texts)
         return pa.table(
             {
                 "doc_id": pa.array(doc_id, type=pa.int64()),

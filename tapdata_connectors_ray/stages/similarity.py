@@ -99,33 +99,93 @@ def final_topk(candidates: pd.DataFrame, k: int) -> pd.DataFrame:
     return df[["query_id", "neighbor_id", "sim"]]
 
 
-class NearDupPairs:
-    """map_batches stage: pairs (a < b) with cosine >= threshold, batch rows
-    vs the broadcast normalized corpus."""
+class HyperplaneLSH:
+    """map_batches stage: embedding rows -> random-hyperplane LSH band rows
+    (same (band, bucket, sbucket, doc_id) layout as the MinHash banding, so
+    the candidate-pair machinery is shared).
 
-    def __init__(self, corpus_ref, threshold: float):
-        import ray
+    Sign-random-projection: P[bit agrees] = 1 - angle/pi.  At the 0.9-cosine
+    threshold (angle <= 0.451 rad) a band of ``rows_per_band=8`` bits matches
+    with p >= 0.29, so 48 bands miss a true pair with p <= (1-0.29)^48 ~ 7e-8
+    — recall is effectively total, and every candidate is exactly verified,
+    so output equals brute force (deterministic hyperplanes, seed-fixed).
+    Scale knobs: more rows_per_band shrinks buckets (O(n/2^r) per band);
+    more bands restores recall.
+    """
 
-        c = ray.get(corpus_ref)
-        self.c_ids = c["ids"]
-        self.c_mat = c["mat"]
-        self.threshold = threshold
+    def __init__(self, dim: int, num_bands: int = 48, rows_per_band: int = 8,
+                 seed: int = 0xE5CA1A):
+        rng = np.random.default_rng(seed)
+        self.num_bands = num_bands
+        self.rows_per_band = rows_per_band
+        self.planes = rng.standard_normal((dim, num_bands * rows_per_band))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = normalize_rows(stack_embeddings(batch))
+        mat = stack_embeddings(batch)  # sign of projection is norm-invariant
         ids = batch["vec_id"].to_numpy()
-        sims = mat @ self.c_mat.T
-        rounded = np.round(sims, 5)
-        # a < b avoids double emission across blocks
-        pair_mask = (rounded >= self.threshold) & (ids[:, None] < self.c_ids[None, :])
-        ii, jj = np.nonzero(pair_mask)
+        n = len(ids)
+        bits = (mat @ self.planes) > 0  # (n, B*r)
+        codes = bits.reshape(n, self.num_bands, self.rows_per_band)
+        powers = (1 << np.arange(self.rows_per_band)).astype(np.uint64)
+        digest = (codes.astype(np.uint64) * powers[None, None, :]).sum(axis=2)
+        band_idx = np.broadcast_to(
+            np.arange(self.num_bands, dtype=np.int32), (n, self.num_bands)
+        )
         return pa.table(
             {
-                "vec_a": pa.array(ids[ii], type=pa.int64()),
-                "vec_b": pa.array(self.c_ids[jj], type=pa.int64()),
-                "sim": pa.array(rounded[ii, jj], type=pa.float64()),
+                "band": pa.array(band_idx.ravel(), type=pa.int32()),
+                "bucket": pa.array(digest.ravel(), type=pa.uint64()),
+                "sbucket": pa.array(
+                    ((digest.ravel() * np.uint64(2654435761)) & np.uint64(255)).astype(
+                        np.int32
+                    )
+                ),
+                "doc_id": pa.array(np.repeat(ids, self.num_bands), type=pa.int64()),
             }
         )
+
+
+def embedding_blob_batch(batch: pa.Table) -> pa.Table:
+    """(vec_id, emb: float64le blob) — the join side for exact verification
+    (Arrow's hash join rejects list payload columns, same as shingles)."""
+    mat = stack_embeddings(batch)
+    ids = batch["vec_id"].to_numpy()
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "emb": pa.array([row.tobytes() for row in mat], type=pa.binary()),
+        }
+    )
+
+
+def verify_cosine_pairs(batch: pa.Table, threshold: float) -> pa.Table:
+    """Exact-cosine verify over joined pair rows carrying both embeddings
+    (columns emb_a / emb_b); float64, rounded to 5 decimals — the same
+    arithmetic as the oracle's list_cosine_similarity."""
+    a_ids = batch["doc_a"].to_numpy()
+    b_ids = batch["doc_b"].to_numpy()
+    if len(a_ids) == 0:
+        return pa.table(
+            {
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+    a = np.stack([np.frombuffer(x, dtype=np.float64) for x in batch["emb_a"].to_pylist()])
+    b = np.stack([np.frombuffer(x, dtype=np.float64) for x in batch["emb_b"].to_pylist()])
+    num = (a * b).sum(axis=1)
+    den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+    den[den == 0] = 1.0
+    sim = np.round(num / den, 5)
+    keep = sim >= threshold
+    return pa.table(
+        {
+            "vec_a": pa.array(a_ids[keep], type=pa.int64()),
+            "vec_b": pa.array(b_ids[keep], type=pa.int64()),
+            "sim": pa.array(sim[keep], type=pa.float64()),
+        }
+    )
 
 
 def centroids_by_label(ds) -> tuple[np.ndarray, np.ndarray]:
