@@ -40,12 +40,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from tapdata_connectors_ray.pipelines.entrypoints import cdc_oracle_sql
     from tapdata_connectors_ray.pipelines.filesource import filesource_oracle_sql
-    from tapdata_connectors_ray.pipelines.relational import RELATIONAL_SQL
+    from tapdata_connectors_ray.pipelines.relational import relational_oracle_sql
     from tapdata_connectors_ray.pipelines.training import training_oracle_sql
 
     out: dict[str, str] = {}
     out.update(cdc_oracle_sql())
-    out.update(RELATIONAL_SQL)
+    out.update(relational_oracle_sql())
     out.update(training_oracle_sql())
     out.update(filesource_oracle_sql())
     return out

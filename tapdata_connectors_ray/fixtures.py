@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 
 from tapdata_connectors_ray.schema import EVENT_LOG_SCHEMA, TRANSCRIPTS_SCHEMA
 
-FIXTURE_VERSION = 7  # bump to invalidate cached fixtures
+FIXTURE_VERSION = 8  # bump to invalidate cached fixtures
 
 _EPOCH_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in microseconds
 
@@ -291,6 +291,68 @@ def generate_fixture_tables(spec: FixtureSpec) -> tuple[pa.Table, pa.Table]:
     return base, events
 
 
+METRICS_NUM_PARTITIONS = 64
+
+
+def expected_partition_metrics(
+    base: pa.Table, events: pa.Table, num_partitions: int = METRICS_NUM_PARTITIONS
+) -> pa.Table:
+    """Expected per-partition (applied_lsn, rows) after a full single-epoch
+    ingest — a pandas twin of the LWW semantics (NOT the engine's merge code)
+    computed at fixture-generation time, so ``cdc_partition_metrics`` gets a
+    value oracle.  Only the partition-hash function is shared with the
+    engine: the partition layout is engine-defined by nature."""
+    from tapdata_connectors_ray.functions.hashing import partition_ids
+
+    ev = events.select(
+        ["lsn", "op", "conv_id", "turn_idx", "before_conv_id", "before_turn_idx"]
+    ).to_pandas()
+    ev = ev[ev["op"] != "DDL"]
+    moved = ev[(ev["op"] == "U") & ev["before_turn_idx"].notna()]
+    tomb = pd.DataFrame(
+        {
+            "lsn": moved["lsn"],
+            "op": "D",
+            "conv_id": moved["before_conv_id"],
+            "turn_idx": moved["before_turn_idx"],
+        }
+    )
+    base_df = pd.DataFrame(
+        {
+            "lsn": np.int64(0),
+            "op": "I",
+            "conv_id": base["conv_id"].to_numpy(zero_copy_only=False),
+            "turn_idx": base["turn_idx"].to_numpy(zero_copy_only=False),
+        }
+    )
+    allv = pd.concat(
+        [base_df, ev[["lsn", "op", "conv_id", "turn_idx"]], tomb], ignore_index=True
+    )
+    allv = allv.drop_duplicates(["lsn", "conv_id", "turn_idx"], keep="first")
+    lww = allv.sort_values("lsn", kind="stable").drop_duplicates(
+        ["conv_id", "turn_idx"], keep="last"
+    )
+    pids_all = partition_ids(allv["conv_id"].to_numpy(), num_partitions)
+    live = lww[lww["op"] != "D"].copy()
+    live["pid"] = partition_ids(live["conv_id"].to_numpy(), num_partitions)
+    g = live.groupby("pid")
+    rows = g.size()
+    applied = g["lsn"].max()
+    # partitions that received events but hold no live rows still commit
+    all_pids = np.unique(pids_all)
+    out = pd.DataFrame(
+        {
+            "partition_id": all_pids.astype(np.int32),
+            "applied_lsn": applied.reindex(all_pids, fill_value=-1).to_numpy(np.int64),
+            "rows": rows.reindex(all_pids, fill_value=0).to_numpy(np.int64),
+        }
+    )
+    max_ver = int(pd.Series(events["schema_ver"].to_numpy(zero_copy_only=False)).max())
+    out["epoch"] = np.int64(1)
+    out["schema_version"] = np.int64(max_ver)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 _SHARD_ROWS = 64 * 1024
 
 
@@ -343,6 +405,10 @@ def ensure_fixtures(
     # Ray schedules one read task per file, so sharding parallelizes the read
     _write_sharded(base, os.path.join(tmp, "transcripts.parquet"))
     _write_sharded(events, os.path.join(tmp, "events.parquet"))
+    pq.write_table(
+        expected_partition_metrics(base, events),
+        os.path.join(tmp, "expected_partition_metrics.parquet"),
+    )
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(
             {"fingerprint": spec.fingerprint(), "spec": asdict(spec),

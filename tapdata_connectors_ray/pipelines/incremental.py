@@ -62,14 +62,21 @@ APPLY_RESULT_SCHEMA = pa.schema(
 def _lake_file_to_events(
     table: pa.Table, plan: EvolutionPlan, from_version: int
 ) -> pd.DataFrame:
-    """Lake partition file -> merge-input rows.  Compacted files predating
-    the op column read as inserts; delta files carry their real ops so
-    retained tombstones keep suppressing older upserts."""
+    """Lake partition file -> merge-input rows (pandas; point-lookup path).
+    Compacted files predating the op column read as inserts; delta files
+    carry their real ops so retained tombstones keep suppressing older
+    upserts."""
     t = plan.migrate_table(table, from_version=from_version)
     df = t.to_pandas()
     if "op" not in df.columns:
         df["op"] = "I"
     return df
+
+
+def _lake_file_to_table(path: str, plan: EvolutionPlan, from_version: int) -> pa.Table:
+    """Arrow-native variant for the merge/compact/read hot paths — the wide
+    payload stays Arrow (no pandas object-string round-trip)."""
+    return plan.migrate_table(pq.read_table(path), from_version=from_version)
 
 
 class MergeApplyWriter:
@@ -103,25 +110,23 @@ class MergeApplyWriter:
         self.keys = plan.keys()
         self.out_schema = merged_schema(plan.schema_at())
 
-    def __call__(self, df: pd.DataFrame) -> pa.Table:
-        pid = int(df["partition_id"].iloc[0])
-        event_rows = len(df)
-        from tapdata_connectors_ray.stages.merge import _to_table
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pid = int(t["partition_id"][0].as_py())
+        event_rows = len(t)
+        from tapdata_connectors_ray.stages.merge import lww_merge_tables
 
         if self.mode == "delta":
-            merged_df = lww_collapse(df, drop_tombstones=False, keys=self.keys)
-            merged = _to_table(merged_df, self.out_schema, self.keys)
+            merged = lww_merge_tables(
+                [t], self.out_schema, self.keys, drop_tombstones=False
+            )
             name = f"delta-{self.epoch:06d}.parquet"
         else:
             prev_files, prev_vers = self.prev.get(pid, ([], []))
-            frames = [df]
-            for f, ver in zip(prev_files, prev_vers):
-                frames.append(
-                    _lake_file_to_events(pq.read_table(f), self.plan, ver)
-                )
-            merged_df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else df
-            merged_df = lww_collapse(merged_df, keys=self.keys)
-            merged = _to_table(merged_df, self.out_schema, self.keys)
+            tables = [t] + [
+                _lake_file_to_table(f, self.plan, ver)
+                for f, ver in zip(prev_files, prev_vers)
+            ]
+            merged = lww_merge_tables(tables, self.out_schema, self.keys)
             name = f"part-{self.epoch:06d}.parquet"
 
         pdir = partition_dir(self.lake_dir, pid)
@@ -133,7 +138,9 @@ class MergeApplyWriter:
         pq.write_table(merged, tmp)
         os.replace(tmp, out)
 
-        max_lsn = int(merged_df["lsn"].max()) if len(merged_df) else -1
+        import pyarrow.compute as pc
+
+        max_lsn = int(pc.max(merged["lsn"]).as_py()) if len(merged) else -1
         return pa.Table.from_pydict(
             {
                 "partition_id": [pid],
@@ -248,12 +255,12 @@ class CheckpointedIngest:
         }
         writer = MergeApplyWriter(self.lake_dir, prev, epoch, plan, mode=mode)
 
-        def merge_apply(df: pd.DataFrame) -> pa.Table:  # map_groups needs a plain fn
-            return writer(df)
+        def merge_apply(t: pa.Table) -> pa.Table:  # map_groups needs a plain fn
+            return writer(t)
 
         results = (
             ev.groupby("partition_id")
-            .map_groups(merge_apply, batch_format="pandas")
+            .map_groups(merge_apply, batch_format="pyarrow")
             .take_all()
         )
 
@@ -352,19 +359,18 @@ class CheckpointedIngest:
         spec_json = self.spec.to_json()
 
         def read_merge(batch: pd.DataFrame) -> pa.Table:
-            from tapdata_connectors_ray.stages.merge import _to_table
+            from tapdata_connectors_ray.stages.merge import lww_merge_tables
 
             plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
             keys = plan_l.keys()
             out_schema = merged_schema(plan_l.schema_at())
             outs = []
             for _, row in batch.iterrows():
-                frames = [
-                    _lake_file_to_events(pq.read_table(f), plan_l, int(v))
+                tables = [
+                    _lake_file_to_table(f, plan_l, int(v))
                     for f, v in zip(row["files"], row["vers"])
                 ]
-                df = pd.concat(frames, ignore_index=True)
-                merged = _to_table(lww_collapse(df, keys=keys), out_schema, keys)
+                merged = lww_merge_tables(tables, out_schema, keys)
                 outs.append(merged.select(payload_names))
             return pa.concat_tables(outs)
 
@@ -387,7 +393,7 @@ class CheckpointedIngest:
         lake_dir = self.lake_dir
 
         def compact_one(batch: pd.DataFrame) -> pa.Table:
-            from tapdata_connectors_ray.stages.merge import _to_table
+            from tapdata_connectors_ray.stages.merge import lww_merge_tables
 
             plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
             keys = plan_l.keys()
@@ -395,15 +401,11 @@ class CheckpointedIngest:
             rows = []
             for _, row in batch.iterrows():
                 pid = int(row["pid"])
-                frames = [
-                    _lake_file_to_events(pq.read_table(f), plan_l, int(v))
+                tables = [
+                    _lake_file_to_table(f, plan_l, int(v))
                     for f, v in zip(row["files"], row["vers"])
                 ]
-                merged = _to_table(
-                    lww_collapse(pd.concat(frames, ignore_index=True), keys=keys),
-                    out_schema,
-                    keys,
-                )
+                merged = lww_merge_tables(tables, out_schema, keys)
                 out = os.path.join(partition_dir(lake_dir, pid), f"part-{epoch:06d}.parquet")
                 tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
                 pq.write_table(merged, tmp)

@@ -409,6 +409,22 @@ RELATIONAL_SQL: dict[str, str] = {
 }
 
 
+def relational_oracle_sql() -> dict[str, str]:
+    """Static SQL plus the typelattice expectation: every portable type
+    must round-trip, rendered as a VALUES table over the lattice's type
+    names (the EveryTapValueToTargetTest pass criterion)."""
+    out = dict(RELATIONAL_SQL)
+    from tapdata_connectors_ray.functions.codecs import lattice_sample_table
+
+    names = lattice_sample_table(4).schema.names
+    values = ", ".join(f"('{n}', 256, TRUE)" for n in names)
+    out["typelattice_roundtrip"] = (
+        f"SELECT * FROM (VALUES {values}) AS t(tap_type, n_values, roundtrip_ok) "
+        "ORDER BY tap_type"
+    )
+    return out
+
+
 def relational_queries():
     return {
         "af_lineitem_filter_sort_limit": q_af_lineitem_filter_sort_limit,

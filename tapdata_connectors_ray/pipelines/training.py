@@ -333,11 +333,11 @@ def q_dedup_embedding_cosine(sf_dir: str) -> Any:
         .map_batches(augment_embeddings_batch, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    class LSH(HyperplaneLSH):
-        def __init__(self) -> None:
-            super().__init__(EMB_DIM)
-
-    bands = aug.map_batches(LSH, batch_format="pyarrow", concurrency=(1, 4))
+    # plain task stage (NOT an actor pool): the two verify joins below spawn
+    # their own aggregator actors, and an actor pool here can starve them of
+    # CPUs at small session sizes (deadlock); plane generation is cheap
+    # enough to redo per task
+    bands = aug.map_batches(HyperplaneLSH(EMB_DIM), batch_format="pyarrow")
     pairs = _pair_dedupe(
         bands.groupby("sbucket").map_groups(band_pairs_bucket, batch_format="pandas")
     )
@@ -905,6 +905,17 @@ def training_oracle_sql() -> dict[str, str]:
     # driver's correctness tier, like the CDC fixture oracles)
     out["multimodal_payload_stats"] = _payload_stats_sql("/root/testdata/sf0.01")
     out["text_fingerprint"] = _fingerprint_sql("/root/testdata/sf0.01")
-    # decode/resize features have no SQL analogue (binary parsing) -> the
-    # driver records the weaker rows-only check for those two on purpose
+    # decode/resize: expected-value side tables materialized at media-fixture
+    # generation time FROM THE GENERATOR'S variables (w/h/pixels before
+    # packing) — an independent expectation for the binary-parsing stages,
+    # which SQL cannot express directly
+    media_dir = os.path.dirname(_media_path("/root/testdata/sf0.01").rstrip("/"))
+    out["multimodal_decode_features"] = f"""
+SELECT media_id, kind, dim_a, dim_b, mean_signal
+FROM read_parquet('{media_dir}/media_expected.parquet') ORDER BY media_id
+"""
+    out["multimodal_resize_pipeline"] = f"""
+SELECT media_id, kind, dim_a, dim_b, mean_signal
+FROM read_parquet('{media_dir}/media_resized_expected.parquet') ORDER BY media_id
+"""
     return out

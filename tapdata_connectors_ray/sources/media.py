@@ -22,17 +22,25 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MEDIA_FIXTURE_VERSION = 1
+MEDIA_FIXTURE_VERSION = 2
 
 _IMG_MAGIC = b"IMG1"
 _AUD_MAGIC = b"AUD1"
 
+RESIZE_TARGET = 8
 
-def _gen_media_table(n_items: int, seed: int = 7) -> pa.Table:
-    rng = np.random.default_rng(seed)
+
+def _gen_media_table(n_items: int, seed: int = 7) -> tuple[pa.Table, pa.Table, pa.Table]:
+    """(media table, decode-expected, resize-expected).  The expected tables
+    are computed from the GENERATION-side variables (w/h/pixels before
+    packing), not by running the decode stub — so the decode/resize queries
+    get a real value oracle instead of a rows-only check."""
     ids = np.arange(n_items, dtype=np.int64)
     kinds = np.where(ids % 3 == 0, "audio", "image")
     payloads: list[bytes] = []
+    exp_rows: list[tuple] = []
+    resize_rows: list[tuple] = []
+    t = RESIZE_TARGET
     for i, kind in zip(ids, kinds):
         r = np.random.default_rng(seed * 1_000_003 + int(i))  # per-item stream
         if kind == "image":
@@ -40,12 +48,17 @@ def _gen_media_table(n_items: int, seed: int = 7) -> pa.Table:
             h = int(r.integers(8, 64))
             px = r.integers(0, 256, w * h, dtype=np.uint8)
             payloads.append(_IMG_MAGIC + struct.pack("<HH", w, h) + px.tobytes())
+            exp_rows.append((int(i), "image", w, h, round(float(px.mean()), 6)))
+            grid = px.reshape(h, w)[np.ix_((np.arange(t) * h) // t, (np.arange(t) * w) // t)]
+            resize_rows.append((int(i), "image", t, t, round(float(grid.mean()), 6)))
         else:
             sr = int(r.choice([8000, 16000]))
             ns = int(r.integers(64, 2048))
             pcm = r.integers(-128, 128, ns, dtype=np.int8)
             payloads.append(_AUD_MAGIC + struct.pack("<II", sr, ns) + pcm.tobytes())
-    return pa.table(
+            mean_abs = round(float(np.abs(pcm.astype(np.int32)).mean()), 6)
+            exp_rows.append((int(i), "audio", sr, ns, mean_abs))
+    media = pa.table(
         {
             "media_id": pa.array(ids, type=pa.int64()),
             "kind": pa.array(kinds, type=pa.string()),
@@ -53,23 +66,42 @@ def _gen_media_table(n_items: int, seed: int = 7) -> pa.Table:
         }
     )
 
+    def expected_table(rows: list[tuple]) -> pa.Table:
+        cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+        return pa.table(
+            {
+                "media_id": pa.array(cols[0], type=pa.int64()),
+                "kind": pa.array(cols[1], type=pa.string()),
+                "dim_a": pa.array(cols[2], type=pa.int64()),
+                "dim_b": pa.array(cols[3], type=pa.int64()),
+                "mean_signal": pa.array(cols[4], type=pa.float64()),
+            }
+        )
+
+    return media, expected_table(exp_rows), expected_table(resize_rows)
+
 
 MEDIA_COUNTS = {"sf0.001": 200, "sf0.01": 1_000, "sf0.1": 5_000, "sf1": 20_000}
 
 
 def ensure_media_fixture(sf: str, root: str = "/tmp/tcr_fixtures") -> str:
-    """Media parquet segment dir under the fixture root; cached by version."""
+    """Media parquet segment dir under the fixture root; cached by version.
+    Expected-value side tables (``media_expected.parquet`` /
+    ``media_resized_expected.parquet``) land next to it for the oracle."""
     out = os.path.join(root, sf, "media.parquet")
     marker = os.path.join(out, f".v{MEDIA_FIXTURE_VERSION}")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
-    table = _gen_media_table(MEDIA_COUNTS.get(sf, 1_000))
+    table, expected, resized = _gen_media_table(MEDIA_COUNTS.get(sf, 1_000))
     shard = 512  # large binary payloads -> small files/blocks
     for i in range(0, table.num_rows, shard):
         pq.write_table(
             table.slice(i, shard), os.path.join(out, f"part-{i // shard:05d}.parquet")
         )
+    parent = os.path.dirname(out)
+    pq.write_table(expected, os.path.join(parent, "media_expected.parquet"))
+    pq.write_table(resized, os.path.join(parent, "media_resized_expected.parquet"))
     open(marker, "w").close()
     return out
 

@@ -132,6 +132,35 @@ def make_lww_merge(
     return lww_merge_group
 
 
+def lww_merge_tables(
+    tables: list[pa.Table],
+    out_schema: pa.Schema,
+    keys: list[str],
+    drop_tombstones: bool = True,
+) -> pa.Table:
+    """Arrow-native merge of event/lake-file tables: concat -> dedup + LWW
+    over the NARROW key columns -> zero-copy-ish ``take`` of survivors ->
+    cast -> key sort.  The wide payload never round-trips through pandas
+    object strings (the ``make_lww_merge`` trick, shared with the
+    incremental writer/reader/compactor paths)."""
+    names = [f.name for f in out_schema]
+    parts = []
+    for t in tables:
+        if "op" not in t.column_names:  # compacted files predating the op column
+            t = t.append_column(
+                "op", pa.array(np.full(len(t), "I", dtype=object), pa.string())
+            )
+        parts.append(t.select(names))
+    t = parts[0] if len(parts) == 1 else pa.concat_tables(parts, promote_options="default")
+    idx = lww_keep_indices(t, keys, drop_tombstones=drop_tombstones)
+    out = t.take(np.sort(idx))
+    for f in out_schema:
+        if not out.schema.field(f.name).type.equals(f.type):
+            i = out.schema.get_field_index(f.name)
+            out = out.set_column(i, f.name, out[f.name].cast(f.type, safe=True))
+    return out.sort_by([(k, "ascending") for k in keys])
+
+
 def make_lww_premerge(keys: list[str] | None = None) -> Callable[[pa.Table], pa.Table]:
     """Salted pre-merge: same LWW collapse but tombstones are RETAINED — a
     delete must survive to the final merge to beat older upserts (the
