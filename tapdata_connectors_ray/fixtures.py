@@ -436,7 +436,7 @@ def sf_label_from_dir(sf_dir: str) -> str:
 
 from tapdata_connectors_ray.schema import TableSpec  # noqa: E402
 
-SECOND_FIXTURE_VERSION = 2
+SECOND_FIXTURE_VERSION = 3
 
 ORDERS_SCHEMA = pa.schema(
     [
@@ -511,6 +511,11 @@ def generate_orders_tables(
     amount = rng.integers(100, 1_000_000, n_events).astype(np.int64)
     region = _REGIONS[order_id % len(_REGIONS)]
     ts = _EPOCH_US + 5_000_000_000 + lsn * 1_000_000
+    # double-active marker: ~15% of events were written locally BY the
+    # replication engine applying the peer lake's changes (the
+    # _tap_double_active transaction tag, MysqlReader.java:576-590); a
+    # source feeding the peer must drop them or changes echo forever
+    origin = np.where(rng.random(n_events) < 0.15, "peer-engine", None)
 
     df = pd.DataFrame(
         {
@@ -523,6 +528,7 @@ def generate_orders_tables(
             "ts": ts.view("datetime64[us]"),
             "schema_ver": np.int32(1),
             "ddl_payload": None,
+            "txn_origin": origin,
         }
     )
     is_d = df["op"].to_numpy() == "D"
@@ -535,7 +541,8 @@ def generate_orders_tables(
     events_schema = pa.schema(
         [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
         + list(ORDERS_SCHEMA)
-        + [pa.field("schema_ver", pa.int32()), pa.field("ddl_payload", pa.string())]
+        + [pa.field("schema_ver", pa.int32()), pa.field("ddl_payload", pa.string()),
+           pa.field("txn_origin", pa.string())]
     )
     events = pa.Table.from_pandas(
         df[[f.name for f in events_schema]], schema=events_schema, preserve_index=False

@@ -92,6 +92,7 @@ def normalized_events(
     base_watermarks=None,
     batch_size: int = DEFAULT_BATCH_SIZE,
     max_lsn: int | None = None,
+    drop_origin: str | None = None,
 ) -> ray.data.Dataset:
     """read -> normalize(+pre-reduce) [-> union base snapshot] as one lazy Dataset.
 
@@ -115,6 +116,7 @@ def normalized_events(
             watermarks=watermarks,
             prereduce=prereduce,
             salt_buckets=salt_buckets,
+            drop_origin=drop_origin,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -196,6 +198,7 @@ def replay_merged(
     watermarks=None,
     batch_size: int = DEFAULT_BATCH_SIZE,
     strategy: str = "shuffle",
+    drop_origin: str | None = None,
 ) -> ray.data.Dataset:
     """Full replay -> merged per-partition state (latest schema + lsn +
     partition_id), sorted by key within each partition.
@@ -237,6 +240,7 @@ def replay_merged(
         prereduce=prereduce,
         watermarks=watermarks,
         batch_size=batch_size,
+        drop_origin=drop_origin,
     )
     if salt_buckets:
         ev = ev.groupby(["partition_id", "salt"]).map_groups(

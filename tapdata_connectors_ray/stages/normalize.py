@@ -147,9 +147,15 @@ class NormalizeEvents(_NormalizeBase):
         watermarks: "ray.ObjectRef | np.ndarray | None" = None,
         prereduce: bool = True,
         salt_buckets: int = 0,
+        drop_origin: str | None = None,
     ):
         super().__init__(plan, num_partitions, salt_buckets)
         self.prereduce = prereduce
+        # double-active loop prevention (MysqlReader.java:576-590,
+        # NormalRecordWriter.java:81-86): drop events whose txn_origin tag
+        # names this engine's replication marker — they were applied locally
+        # FROM the peer and must not echo back
+        self.drop_origin = drop_origin
         self._watermarks = watermarks  # ObjectRef (broadcast) or ndarray or None
 
     @property
@@ -162,6 +168,11 @@ class NormalizeEvents(_NormalizeBase):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.not_equal(batch["op"], "DDL"))
+        if self.drop_origin is not None and "txn_origin" in batch.column_names:
+            col = batch["txn_origin"]
+            batch = batch.filter(
+                pc.or_kleene(pc.is_null(col), pc.not_equal(col, self.drop_origin))
+            )
         if len(batch) == 0:
             return self.empty_batch()
         batch = expand_key_changes(batch, self.keys)
