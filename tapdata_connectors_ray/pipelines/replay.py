@@ -63,10 +63,15 @@ def scan_evolution_plan_distributed(
 ) -> EvolutionPlan:
     """Pruned distributed scan of DDL rows (op == "DDL"): column projection +
     row-group predicate pushdown at the read, tiny result to the driver."""
+    paths = _expand_paths(events_path)
+    # a handful of wide read tasks, not one per segment file: the result is
+    # metadata-scale, so per-task scheduling dominates an uncapped scan (at
+    # sf3 the log is ~550 segments -> 550 tiny tasks of pure fixed overhead)
     ddl = ray.data.read_parquet(
-        _expand_paths(events_path),
+        paths,
         columns=["lsn", "op", "schema_ver", "ddl_payload"],
         filter=(pads.field("op") == "DDL"),
+        override_num_blocks=min(len(paths), 32),
     )
     rows = ddl.take_all()  # DDL events are metadata-scale (a handful)
     import pyarrow as pa
