@@ -23,13 +23,20 @@ from tapdata_connectors_ray.sources.files import (
     FileSourceOffset,
     read_csv_segments,
     read_jsonl_segments,
+    read_xlsx_segments,
+    read_xml_segments,
     scan_new_files,
     write_csv_segments,
     write_jsonl_segments,
+    write_xlsx_segments,
+    write_xml_segments,
 )
 
-_SEG_VERSION = 1
+_SEG_VERSION = 2
 _COLS = ["user_id", "event_type", "value"]
+_EVENT_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("event_type", pa.string()), ("value", pa.float64())]
+)
 
 
 def ensure_event_segments(sf_dir: str, fmt: str) -> str:
@@ -41,10 +48,13 @@ def ensure_event_segments(sf_dir: str, fmt: str) -> str:
         return out
     table = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=_COLS)
     os.makedirs(out, exist_ok=True)
-    if fmt == "csv":
-        write_csv_segments(table, out)
-    else:
-        write_jsonl_segments(table, out)
+    writer = {
+        "csv": write_csv_segments,
+        "jsonl": write_jsonl_segments,
+        "xml": write_xml_segments,
+        "xlsx": write_xlsx_segments,
+    }[fmt]
+    writer(table, out)
     open(marker, "w").close()
     return out
 
@@ -67,10 +77,25 @@ def q_source_csv_events_agg(sf_dir: str) -> Any:
     segment) -> grouped count/min/max."""
     seg_dir = ensure_event_segments(sf_dir, "csv")
     files, _ = scan_new_files(seg_dir)
-    schema = pa.schema(
-        [("user_id", pa.int64()), ("event_type", pa.string()), ("value", pa.float64())]
-    )
-    return _event_type_agg(read_csv_segments(files, schema))
+    return _event_type_agg(read_csv_segments(files, _EVENT_SCHEMA))
+
+
+def q_source_xml_events_agg(sf_dir: str) -> Any:
+    """XML segment directory (stdlib parse, one read task per file; floats
+    written shortest-round-trip so values are bit-identical) -> same agg;
+    oracle aggregates the source parquet the segments derive from."""
+    seg_dir = ensure_event_segments(sf_dir, "xml")
+    files, _ = scan_new_files(seg_dir, suffixes=(".xml",))
+    return _event_type_agg(read_xml_segments(files, _EVENT_SCHEMA))
+
+
+def q_source_xlsx_events_agg(sf_dir: str) -> Any:
+    """XLSX segment directory — a real OOXML reader (zip + sheet XML,
+    inline strings / numeric cells) built on stdlib; the excel-connector
+    surface without POI."""
+    seg_dir = ensure_event_segments(sf_dir, "xlsx")
+    files, _ = scan_new_files(seg_dir, suffixes=(".xlsx",))
+    return _event_type_agg(read_xlsx_segments(files, _EVENT_SCHEMA))
 
 
 def q_source_jsonl_resume(sf_dir: str) -> Any:
@@ -138,6 +163,8 @@ def _fixture_paths(sf_dir: str):
 def filesource_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "source_csv_events_agg": q_source_csv_events_agg,
+        "source_xml_events_agg": q_source_xml_events_agg,
+        "source_xlsx_events_agg": q_source_xlsx_events_agg,
         "source_jsonl_resume": q_source_jsonl_resume,
         "source_partitioned_log": q_source_partitioned_log,
     }
@@ -150,6 +177,16 @@ def filesource_oracle_sql(oracle_sf_dir: str = "/root/testdata/sf0.01") -> dict[
     # by this call so the SQL always has bytes to read)
     csv_glob = _csv_glob(oracle_sf_dir)
     jsonl_files = ", ".join(f"'{p}'" for p in _jsonl_second_half(oracle_sf_dir))
+    # XML/XLSX have no DuckDB reader; their segments derive deterministically
+    # from the events table with exact float round-trip, so the oracle
+    # aggregates the source parquet (value-level check of the round trip)
+    events_agg_sql = """
+        SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+    # materialize the segment files for the Ray side
+    ensure_event_segments(oracle_sf_dir, "xml")
+    ensure_event_segments(oracle_sf_dir, "xlsx")
     return {
         "source_csv_events_agg": f"""
             SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
@@ -157,6 +194,8 @@ def filesource_oracle_sql(oracle_sf_dir: str = "/root/testdata/sf0.01") -> dict[
                           columns={{'user_id':'BIGINT','event_type':'VARCHAR','value':'DOUBLE'}})
             GROUP BY event_type ORDER BY event_type
         """,
+        "source_xml_events_agg": events_agg_sql,
+        "source_xlsx_events_agg": events_agg_sql,
         "source_partitioned_log": _final_state_sql(),
         "source_jsonl_resume": f"""
             SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx

@@ -130,3 +130,177 @@ def write_jsonl_segments(table: pa.Table, out_dir: str, rows_per_file: int = 819
                 f.write(json.dumps({c: row[c] for c in cols}, default=str) + "\n")
         paths.append(p)
     return paths
+
+
+# -- XML segments (stdlib ElementTree; the reference's xml-connector surface) -
+
+
+def write_xml_segments(table: pa.Table, out_dir: str, rows_per_file: int = 8192) -> list[str]:
+    """<records><r><col>value</col>...</r>...</records> per segment.  Floats
+    are written with ``repr`` (shortest round-trip), so parsed values are
+    bit-identical to the source column."""
+    import xml.etree.ElementTree as ET
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = table.column_names
+    paths = []
+    for i in range(0, table.num_rows, rows_per_file):
+        chunk = table.slice(i, rows_per_file).to_pylist()
+        root = ET.Element("records")
+        for row in chunk:
+            r = ET.SubElement(root, "r")
+            for c in cols:
+                v = row[c]
+                el = ET.SubElement(r, c)
+                if v is not None:
+                    el.text = repr(v) if isinstance(v, float) else str(v)
+        p = os.path.join(out_dir, f"seg-{i // rows_per_file:05d}.xml")
+        ET.ElementTree(root).write(p, encoding="utf-8", xml_declaration=True)
+        paths.append(p)
+    return paths
+
+
+def _cast_cell(text: str | None, t: pa.DataType):
+    if text is None:
+        return None
+    if pa.types.is_integer(t):
+        return int(text)
+    if pa.types.is_floating(t):
+        return float(text)
+    return text
+
+
+def read_xml_segments(files: list[str], schema: pa.Schema) -> ray.data.Dataset:
+    """XML segment files -> Dataset: ``read_binary_files`` (one task per
+    file) + a parse stage emitting typed Arrow columns.  ElementTree's C
+    parser handles the per-file decode; no per-row Python beyond the element
+    walk (XML gives no columnar access)."""
+    if not files:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import xml.etree.ElementTree as ET
+
+        cols: dict[str, list] = {f.name: [] for f in schema}
+        for blob in batch["bytes"].to_pylist():
+            root = ET.fromstring(blob)
+            for r in root:
+                cell = {el.tag: el.text for el in r}
+                for f in schema:
+                    cols[f.name].append(_cast_cell(cell.get(f.name), f.type))
+        return pa.table(
+            {f.name: pa.array(cols[f.name], type=f.type) for f in schema}
+        )
+
+    return ray.data.read_binary_files(files).map_batches(
+        parse, batch_format="pyarrow", batch_size=4
+    )
+
+
+# -- XLSX segments (a .xlsx IS a zip of XML parts; stdlib zipfile+ET gives a
+#    real reader/writer for the inline-string subset — no POI/openpyxl) ------
+
+_XLSX_CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+</Types>"""
+
+_XLSX_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_XLSX_WB = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+
+_XLSX_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+
+
+def write_xlsx_segments(table: pa.Table, out_dir: str, rows_per_file: int = 8192) -> list[str]:
+    """Minimal OOXML writer: header row + data rows, strings inline
+    (``t="inlineStr"``), numbers as shortest-round-trip text."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = table.column_names
+    paths = []
+    for i in range(0, table.num_rows, rows_per_file):
+        chunk = table.slice(i, rows_per_file).to_pylist()
+        rows_xml = ["<row>"]
+        rows_xml += [f'<c t="inlineStr"><is><t>{escape(c)}</t></is></c>' for c in cols]
+        rows_xml.append("</row>")
+        for row in chunk:
+            rows_xml.append("<row>")
+            for c in cols:
+                v = row[c]
+                if v is None:
+                    rows_xml.append("<c/>")
+                elif isinstance(v, (int, float)) and not isinstance(v, bool):
+                    rows_xml.append(f"<c><v>{repr(v) if isinstance(v, float) else v}</v></c>")
+                else:
+                    rows_xml.append(f'<c t="inlineStr"><is><t>{escape(str(v))}</t></is></c>')
+            rows_xml.append("</row>")
+        sheet = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            "<sheetData>" + "".join(rows_xml) + "</sheetData></worksheet>"
+        )
+        p = os.path.join(out_dir, f"seg-{i // rows_per_file:05d}.xlsx")
+        with zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr("[Content_Types].xml", _XLSX_CT)
+            z.writestr("_rels/.rels", _XLSX_RELS)
+            z.writestr("xl/workbook.xml", _XLSX_WB)
+            z.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
+            z.writestr("xl/worksheets/sheet1.xml", sheet)
+        paths.append(p)
+    return paths
+
+
+def read_xlsx_segments(files: list[str], schema: pa.Schema) -> ray.data.Dataset:
+    """XLSX segment files -> Dataset (header row maps cells to columns by
+    name; inline strings + numeric cells — the subset the writer and the
+    reference's excel-connector data path produce)."""
+    if not files:
+        return ray.data.from_arrow(schema.empty_table())
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import io
+        import xml.etree.ElementTree as ET
+        import zipfile
+
+        cols: dict[str, list] = {f.name: [] for f in schema}
+        for blob in batch["bytes"].to_pylist():
+            with zipfile.ZipFile(io.BytesIO(blob)) as z:
+                sheet = z.read("xl/worksheets/sheet1.xml")
+            root = ET.fromstring(sheet)
+            rows = root.find(f"{NS}sheetData").findall(f"{NS}row")
+            header = [
+                cell.findtext(f"{NS}is/{NS}t") for cell in rows[0].findall(f"{NS}c")
+            ]
+            for row in rows[1:]:
+                cells = row.findall(f"{NS}c")
+                vals = {}
+                for name, cell in zip(header, cells):
+                    if cell.get("t") == "inlineStr":
+                        vals[name] = cell.findtext(f"{NS}is/{NS}t")
+                    else:
+                        vals[name] = cell.findtext(f"{NS}v")
+                for f in schema:
+                    cols[f.name].append(_cast_cell(vals.get(f.name), f.type))
+        return pa.table(
+            {f.name: pa.array(cols[f.name], type=f.type) for f in schema}
+        )
+
+    return ray.data.read_binary_files(files).map_batches(
+        parse, batch_format="pyarrow", batch_size=4
+    )

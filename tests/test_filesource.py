@@ -79,3 +79,39 @@ def test_filesource_queries_match_oracle(ray_session):
         assert got["n"].tolist() == exp["n"].tolist(), name
         assert got["mn"].tolist() == exp["mn"].tolist(), name
         assert got["mx"].tolist() == exp["mx"].tolist(), name
+
+
+def test_xml_xlsx_roundtrip(ray_session, tmp_path):
+    """XML and XLSX segment writers/readers round-trip values exactly
+    (floats via shortest-repr, nulls, XML-escapable strings)."""
+    import pyarrow as pa
+
+    from tapdata_connectors_ray.sources.files import (
+        read_xlsx_segments,
+        read_xml_segments,
+        write_xlsx_segments,
+        write_xml_segments,
+    )
+
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()), ("value", pa.float64())]
+    )
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 2, None, 4], pa.int64()),
+            "event_type": pa.array(["a<b", 'q"&x', None, "plain"], pa.string()),
+            "value": pa.array([0.1, -2.5e-7, 3.0, None], pa.float64()),
+        },
+        schema=schema,
+    )
+    for writer, reader, sub in (
+        (write_xml_segments, read_xml_segments, "xml"),
+        (write_xlsx_segments, read_xlsx_segments, "xlsx"),
+    ):
+        d = str(tmp_path / sub)
+        files = writer(t, d, rows_per_file=3)
+        assert len(files) == 2
+        back = reader(files, schema).to_pandas()
+        back = back.sort_values("value", na_position="last").reset_index(drop=True)
+        exp = t.to_pandas().sort_values("value", na_position="last").reset_index(drop=True)
+        assert back.equals(exp), sub
