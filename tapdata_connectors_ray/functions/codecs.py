@@ -16,7 +16,7 @@ vectorized per batch, exact round-trip for every lattice type.
 from __future__ import annotations
 
 import json
-from datetime import date, datetime, time
+from datetime import date, datetime, time, timedelta, timezone
 from decimal import Decimal
 
 import numpy as np
@@ -37,7 +37,19 @@ TAP_TO_ARROW: dict[str, pa.DataType] = {
     "TapYear": pa.int16(),
     "TapArray": pa.list_(pa.int64()),
     "TapMap": pa.map_(pa.string(), pa.string()),
+    # timezone-aware datetimes: portable = UTC µs; the target dialect renders
+    # them in the connection's timezone offset and the decode path converts
+    # back (the MysqlReader.java:788-849 offset math)
+    "TapDateTime.tz": pa.timestamp("us", tz="UTC"),
+    # illegal-date preservation (TapIllegalDate round-trip,
+    # MysqlConnector.java:510-597, MysqlReader.java:597-630): a source value
+    # either parses to a real timestamp or its raw bytes are carried verbatim
+    "TapDateTime.illegal": pa.struct([("ts", pa.timestamp("us")), ("raw", pa.string())]),
 }
+
+# the target connection's display offset for tz-aware datetimes (+05:30 —
+# a half-hour zone exercises the non-trivial offset math)
+TARGET_TZ = timezone(timedelta(minutes=330))
 
 
 def _encode_column(col: pa.ChunkedArray | pa.Array, t: pa.DataType) -> pa.Array:
@@ -58,7 +70,32 @@ def _encode_column(col: pa.ChunkedArray | pa.Array, t: pa.DataType) -> pa.Array:
             ],
             pa.string(),
         )
+    if pa.types.is_struct(t):  # illegal-date carrier: raw wins verbatim
+        return pa.array(
+            [
+                None
+                if v is None
+                else (
+                    v["raw"]
+                    if v["raw"] is not None
+                    else v["ts"].isoformat(timespec="microseconds")
+                )
+                for v in col.to_pylist()
+            ],
+            pa.string(),
+        )
     if pa.types.is_timestamp(t):
+        if t.tz is not None:
+            # render in the connection's offset; portable value stays UTC
+            return pa.array(
+                [
+                    None
+                    if v is None
+                    else v.astimezone(TARGET_TZ).isoformat(timespec="microseconds")
+                    for v in col.to_pylist()
+                ],
+                pa.string(),
+            )
         return pa.array(
             [None if v is None else v.isoformat(timespec="microseconds")
              for v in col.to_pylist()],
@@ -95,7 +132,27 @@ def _decode_column(col: pa.ChunkedArray | pa.Array, t: pa.DataType) -> pa.Array:
         return pa.array(
             [None if v is None else sorted(json.loads(v).items()) for v in vals], t
         )
+    if pa.types.is_struct(t):
+        def _parse(v):
+            if v is None:
+                return None
+            try:
+                return {"ts": datetime.fromisoformat(v), "raw": None}
+            except ValueError:  # unparseable source date -> preserved verbatim
+                return {"ts": None, "raw": v}
+
+        return pa.array([_parse(v) for v in vals], t)
     if pa.types.is_timestamp(t):
+        if t.tz is not None:
+            return pa.array(
+                [
+                    None
+                    if v is None
+                    else datetime.fromisoformat(v).astimezone(timezone.utc)
+                    for v in vals
+                ],
+                t,
+            )
         return pa.array(
             [None if v is None else datetime.fromisoformat(v) for v in vals], t
         )
@@ -149,6 +206,20 @@ def lattice_sample_table(n: int = 64, seed: int = 11) -> pa.Table:
         "TapYear": mk([(1950 + i) % 2100 for i in range(n)]),
         "TapArray": mk([list(range(i % 5)) for i in range(n)]),
         "TapMap": mk([[(f"k{j}", f"v{i}-{j}") for j in range(i % 3)] for i in range(n)]),
+        "TapDateTime.tz": mk(
+            [datetime(2021, 1 + i % 12, 1 + i % 28, i % 24, i % 60, tzinfo=timezone.utc)
+             for i in range(n)]
+        ),
+        "TapDateTime.illegal": mk(
+            [
+                {"ts": None, "raw": "0000-00-00 00:00:00"}
+                if i % 5 == 0
+                else {"ts": None, "raw": f"2024-02-3{i % 2} 12:00:00"}
+                if i % 5 == 1
+                else {"ts": datetime(2022, 1 + i % 12, 1 + i % 28, i % 24), "raw": None}
+                for i in range(n)
+            ]
+        ),
     }
     schema = pa.schema([pa.field(k, TAP_TO_ARROW[k]) for k in data])
     return pa.table({k: pa.array(v, schema.field(k).type) for k, v in data.items()},
