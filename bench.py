@@ -147,7 +147,12 @@ def run_scaling(sf_label: str) -> dict:
     # sf3 = 36M events (generated+cached on first use; sf1 is overhead-bound
     # at 32 slots — see BASELINE.md measured results)
     sf_label = os.environ.get("BENCH_SCALING_SF", "sf3")
-    lo, hi = 8, 32
+    # N vs 4N slots; overridable so the pair can be sized BELOW the box's
+    # core count (e.g. 4->16 on a 32-core box) — on a shared host, co-tenant
+    # load otherwise starves the wide run asymmetrically and the measured
+    # efficiency reflects the neighbors, not the engine
+    lo = int(os.environ.get("BENCH_CPUS_LO", "8"))
+    hi = int(os.environ.get("BENCH_CPUS_HI", "32"))
     r_lo = _headline_subprocess(lo, sf_label)
     r_hi = _headline_subprocess(hi, sf_label)
     # efficiency: throughput gain vs resource gain (1.0 = perfect linear)
