@@ -367,6 +367,18 @@ RELATIONAL_SQL: dict[str, str] = {
         ORDER BY boundary
     """,
     "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1",
+    "master_subdoc_merge": """
+        WITH li AS (
+            SELECT l_orderkey,
+                   string_agg(
+                       '{"n":' || l_linenumber || ',"q":' || CAST(l_quantity AS BIGINT) || '}',
+                       ',' ORDER BY l_linenumber) AS inner_json
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o.o_orderkey, o.o_custkey, '[' || li.inner_json || ']' AS lineitems
+        FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+        ORDER BY o_orderkey
+    """,
     "events_session_windows": """
         WITH e AS (
             SELECT user_id, ts,
@@ -409,6 +421,48 @@ RELATIONAL_SQL: dict[str, str] = {
 }
 
 
+def q_master_subdoc_merge(sf_dir: str):
+    """Master/sub-document merge (``upsertMerge`` SPI — merge child rows
+    into an embedded array of the master doc; reference:
+    ``connectors/mongodb-connector/.../merge/Merge.java:8-25``,
+    ``entity/MergeBundle.java:82``): lineitem rows fold into a per-order
+    JSON array ordered by line number, joined onto the orders master.
+
+    Ray shape: coarse-bucket groupby of the child table (one vectorized
+    pandas fold per bucket — NOT a per-order grouped aggregate, which pays
+    per-group overhead across 10^4+ orders), then a distributed hash join
+    onto the master.  Child fields are integers so the embedded JSON is
+    byte-identical across engines."""
+    child = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column("obucket", pa.array((k % 256).astype(np.int32)))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_orderkey", "l_linenumber"], kind="stable")
+        frag = (
+            '{"n":' + df["l_linenumber"].astype(np.int64).astype(str)
+            + ',"q":' + df["l_quantity"].astype(np.int64).astype(str) + "}"
+        )
+        inner = frag.groupby(df["l_orderkey"].to_numpy()).agg(",".join)
+        return pd.DataFrame(
+            {"o_orderkey": inner.index.to_numpy(), "lineitems": "[" + inner + "]"}
+        ).reset_index(drop=True)
+
+    docs = (
+        child.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("obucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+    master = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    return master.join(
+        docs, join_type="inner", num_partitions=8, on=("o_orderkey",)
+    )
+
+
 def relational_oracle_sql() -> dict[str, str]:
     """Static SQL plus the typelattice expectation: every portable type
     must round-trip, rendered as a VALUES table over the lattice's type
@@ -442,4 +496,5 @@ def relational_queries():
         "events_session_windows": q_events_session_windows,
         "text_bigram_topk": q_text_bigram_topk,
         "typelattice_roundtrip": q_typelattice_roundtrip,
+        "master_subdoc_merge": q_master_subdoc_merge,
     }
