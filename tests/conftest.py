@@ -1,3 +1,12 @@
+import os
+import sys
+
+# make the suite runnable from ANY cwd: the package lives at the repo root,
+# one level above this file; PYTHONPATH so Ray WORKER processes resolve it too
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+
 import pytest
 import ray
 

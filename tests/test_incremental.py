@@ -180,3 +180,37 @@ def test_delta_ingest_read_before_and_after_compaction(paths, expected, lake_dir
     deleted = next(iter(k for k in all_keys if k not in live_keys and k[1] >= 0), None)
     if deleted is not None:
         assert ing.query_by_key(deleted[0], deleted[1]) is None
+
+
+def test_resupplied_base_does_not_resurrect(ray_session, smoke_fixture_dir, tmp_path):
+    """Live-tail restart hazard (round-1 advisor finding): a resumed job
+    re-supplies the base snapshot together with only the newest log wave,
+    with event-side watermark filtering off.  Keys whose tombstones were
+    compacted away must NOT come back — the base path keeps its
+    partition-watermark resurrection guard independently."""
+    import os
+
+    import pandas as pd
+
+    from tapdata_connectors_ray.pipelines.incremental import CheckpointedIngest
+
+    ev = smoke_fixture_dir + "/events.parquet"
+    base = smoke_fixture_dir + "/transcripts.parquet"
+    lake = str(tmp_path / "lake")
+
+    ing = CheckpointedIngest(lake, num_partitions=16)
+    ing.ingest(ev, base)
+    expected = ing.final_dataset().to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True
+    )
+
+    # restart: base re-supplied alongside just the last segment, watermarks off
+    last_seg = sorted(
+        os.path.join(ev, f) for f in os.listdir(ev) if f.endswith(".parquet")
+    )[-1]
+    resumed = CheckpointedIngest(lake, num_partitions=16)
+    resumed.ingest([last_seg], base, use_watermarks=False)
+    got = resumed.final_dataset().to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, expected)
