@@ -565,6 +565,28 @@ def q_multimodal_resize_pipeline(sf_dir: str) -> Any:
     )
 
 
+def q_multimodal_frame_sample(sf_dir: str) -> Any:
+    """frame-sample (actor pool) -> decode chained over video payloads: keep
+    every 4th frame, then extract features — the video-preprocessing layout
+    at scale.  Value-checked against a generator-side expected table."""
+    import pyarrow.compute as pc
+
+    from tapdata_connectors_ray.sources.media import DecodeMedia, FrameSampleStub
+
+    ds = ray.data.read_parquet(_media_path(sf_dir))
+    videos = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], "video")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    sampled = videos.map_batches(
+        FrameSampleStub, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+    )
+    return sampled.map_batches(
+        DecodeMedia, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+    )
+
+
 def q_curation_pipeline(sf_dir: str) -> Any:
     """End-to-end corpus curation — the composition a real training-data
     pipeline runs, chained as one lazy Dataset flow:
@@ -896,6 +918,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_payload_stats": q_multimodal_payload_stats,
         "multimodal_decode_features": q_multimodal_decode_features,
         "multimodal_resize_pipeline": q_multimodal_resize_pipeline,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -917,5 +940,9 @@ FROM read_parquet('{media_dir}/media_expected.parquet') ORDER BY media_id
     out["multimodal_resize_pipeline"] = f"""
 SELECT media_id, kind, dim_a, dim_b, mean_signal
 FROM read_parquet('{media_dir}/media_resized_expected.parquet') ORDER BY media_id
+"""
+    out["multimodal_frame_sample"] = f"""
+SELECT media_id, kind, dim_a, dim_b, mean_signal
+FROM read_parquet('{media_dir}/media_framesample_expected.parquet') ORDER BY media_id
 """
     return out

@@ -11,6 +11,8 @@ sizing, output layout) is real and tested.
 Fake container format (deterministic, seeded):
 - image: b"IMG1" + u16le width + u16le height + width*height gray bytes
 - audio: b"AUD1" + u32le sample_rate + u32le n_samples + n_samples i8 pcm
+- video: b"VID1" + u16le width + u16le height + u16le n_frames +
+  n_frames*width*height gray bytes (frame-major)
 """
 
 from __future__ import annotations
@@ -22,12 +24,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MEDIA_FIXTURE_VERSION = 2
+MEDIA_FIXTURE_VERSION = 3
 
 _IMG_MAGIC = b"IMG1"
 _AUD_MAGIC = b"AUD1"
+_VID_MAGIC = b"VID1"
 
 RESIZE_TARGET = 8
+FRAME_SAMPLE_STRIDE = 4
 
 
 def _gen_media_table(n_items: int, seed: int = 7) -> tuple[pa.Table, pa.Table, pa.Table]:
@@ -36,14 +40,30 @@ def _gen_media_table(n_items: int, seed: int = 7) -> tuple[pa.Table, pa.Table, p
     packing), not by running the decode stub — so the decode/resize queries
     get a real value oracle instead of a rows-only check."""
     ids = np.arange(n_items, dtype=np.int64)
-    kinds = np.where(ids % 3 == 0, "audio", "image")
+    kinds = np.where(
+        ids % 3 == 0, "audio", np.where(ids % 7 == 1, "video", "image")
+    )
     payloads: list[bytes] = []
     exp_rows: list[tuple] = []
     resize_rows: list[tuple] = []
+    sample_rows: list[tuple] = []
     t = RESIZE_TARGET
     for i, kind in zip(ids, kinds):
         r = np.random.default_rng(seed * 1_000_003 + int(i))  # per-item stream
-        if kind == "image":
+        if kind == "video":
+            w, h = int(r.integers(8, 24)), int(r.integers(8, 24))
+            nf = int(r.integers(8, 40))
+            frames = r.integers(0, 256, nf * w * h, dtype=np.uint8)
+            payloads.append(
+                _VID_MAGIC + struct.pack("<HHH", w, h, nf) + frames.tobytes()
+            )
+            exp_rows.append((int(i), "video", w * h, nf, round(float(frames.mean()), 6)))
+            # expected AFTER frame sampling (every FRAME_SAMPLE_STRIDE-th frame)
+            kept = frames.reshape(nf, w * h)[::FRAME_SAMPLE_STRIDE]
+            sample_rows.append(
+                (int(i), "video", w * h, len(kept), round(float(kept.mean()), 6))
+            )
+        elif kind == "image":
             w = int(r.integers(8, 64))
             h = int(r.integers(8, 64))
             px = r.integers(0, 256, w * h, dtype=np.uint8)
@@ -78,7 +98,12 @@ def _gen_media_table(n_items: int, seed: int = 7) -> tuple[pa.Table, pa.Table, p
             }
         )
 
-    return media, expected_table(exp_rows), expected_table(resize_rows)
+    return (
+        media,
+        expected_table(exp_rows),
+        expected_table(resize_rows),
+        expected_table(sample_rows),
+    )
 
 
 MEDIA_COUNTS = {"sf0.001": 200, "sf0.01": 1_000, "sf0.1": 5_000, "sf1": 20_000}
@@ -93,7 +118,7 @@ def ensure_media_fixture(sf: str, root: str = "/tmp/tcr_fixtures") -> str:
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
-    table, expected, resized = _gen_media_table(MEDIA_COUNTS.get(sf, 1_000))
+    table, expected, resized, sampled = _gen_media_table(MEDIA_COUNTS.get(sf, 1_000))
     shard = 512  # large binary payloads -> small files/blocks
     for i in range(0, table.num_rows, shard):
         pq.write_table(
@@ -102,6 +127,7 @@ def ensure_media_fixture(sf: str, root: str = "/tmp/tcr_fixtures") -> str:
     parent = os.path.dirname(out)
     pq.write_table(expected, os.path.join(parent, "media_expected.parquet"))
     pq.write_table(resized, os.path.join(parent, "media_resized_expected.parquet"))
+    pq.write_table(sampled, os.path.join(parent, "media_framesample_expected.parquet"))
     open(marker, "w").close()
     return out
 
@@ -124,12 +150,18 @@ class DecodeMedia:
     @staticmethod
     def _decode_one(kind: str, payload: bytes) -> tuple[int, int, float]:
         """-> (dim_a, dim_b, mean_signal): (w, h, mean_pixel) for images,
-        (sample_rate, n_samples, mean_abs_pcm) for audio."""
+        (sample_rate, n_samples, mean_abs_pcm) for audio,
+        (frame_pixels, n_frames, mean_pixel) for video."""
         if kind == "image":
             assert payload[:4] == _IMG_MAGIC, "bad image magic"
             w, h = struct.unpack_from("<HH", payload, 4)
             px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=8)
             return w, h, float(px.mean())
+        if kind == "video":
+            assert payload[:4] == _VID_MAGIC, "bad video magic"
+            w, h, nf = struct.unpack_from("<HHH", payload, 4)
+            px = np.frombuffer(payload, dtype=np.uint8, count=nf * w * h, offset=10)
+            return w * h, nf, float(px.mean())
         assert payload[:4] == _AUD_MAGIC, "bad audio magic"
         sr, ns = struct.unpack_from("<II", payload, 4)
         pcm = np.frombuffer(payload, dtype=np.int8, count=ns, offset=12)
@@ -173,6 +205,39 @@ class ResizeImageStub:
             xi = (np.arange(t) * w) // t
             small = px[np.ix_(yi, xi)]
             out.append(_IMG_MAGIC + struct.pack("<HH", t, t) + small.tobytes())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(out, type=pa.binary()),
+            }
+        )
+
+
+class FrameSampleStub:
+    """Actor-pool frame-sampling stage (videos only): keep every
+    ``stride``-th frame of the fake container — the video analogue of the
+    resize stage; the batch plumbing (binary in/out, metadata preserved,
+    small batch_size because payloads are the memory unit) is the
+    production layout."""
+
+    def __init__(self, stride: int = FRAME_SAMPLE_STRIDE):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for kind, payload in zip(batch["kind"].to_pylist(), batch["payload"].to_pylist()):
+            if kind != "video":
+                out.append(payload)
+                continue
+            w, h, nf = struct.unpack_from("<HHH", payload, 4)
+            frames = np.frombuffer(
+                payload, dtype=np.uint8, count=nf * w * h, offset=10
+            ).reshape(nf, w * h)
+            kept = frames[:: self.stride]
+            out.append(
+                _VID_MAGIC + struct.pack("<HHH", w, h, len(kept)) + kept.tobytes()
+            )
         return pa.table(
             {
                 "media_id": batch["media_id"],

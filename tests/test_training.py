@@ -134,7 +134,7 @@ def test_media_decode_roundtrip(ray_session):
     )
 
     feats = q_multimodal_decode_features(SF).to_pandas()
-    assert set(feats["kind"]) == {"image", "audio"}
+    assert set(feats["kind"]) == {"image", "audio", "video"}
     imgs = feats[feats["kind"] == "image"]
     assert ((imgs["dim_a"] >= 8) & (imgs["dim_a"] < 64)).all()
     assert imgs["mean_signal"].between(0, 255).all()
