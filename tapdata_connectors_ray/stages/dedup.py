@@ -98,13 +98,6 @@ def add_text_hash(batch: pa.Table) -> pa.Table:
     return batch.append_column("text_hash", pa.array(h.view(np.int64), type=pa.int64()))
 
 
-def exact_dedup_group(df: pd.DataFrame) -> pd.DataFrame:
-    """Per content-hash group: keep the smallest doc_id, count the copies."""
-    return pd.DataFrame(
-        {"doc_id": [int(df["doc_id"].min())], "n_copies": [len(df)]}
-    )
-
-
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from tapdata_connectors_ray.schema import LATEST_COLUMNS, TRANSCRIPTS_SPEC, TableSpec
+from tapdata_connectors_ray.schema import TRANSCRIPTS_SPEC, TableSpec
 
 _WIDEN_OK = {
     ("int8", "int16"), ("int8", "int32"), ("int8", "int64"),
@@ -248,19 +248,6 @@ class EvolutionPlan:
         return batch
 
 
-def scan_evolution_plan(events_path: str | list[str]) -> EvolutionPlan:
-    """Driver-side pruned scan of DDL rows only (column + predicate pushdown
-    — reads three narrow columns, filters op=="DDL" at the row-group level)."""
-    import pyarrow.dataset as pads
-
-    dataset = pads.dataset(events_path, format="parquet")
-    ddl = dataset.to_table(
-        columns=["lsn", "schema_ver", "ddl_payload"],
-        filter=pads.field("op") == "DDL",
-    )
-    return EvolutionPlan.from_ddl_table(ddl)
-
-
 @ray.remote
 class SchemaRegistryActor:
     """Named singleton for live-tail mode: holds the evolving plan; stages
@@ -286,6 +273,3 @@ class SchemaRegistryActor:
     def get_plan(self) -> EvolutionPlan:
         return self.plan
 
-
-def latest_output_columns() -> list[str]:
-    return list(LATEST_COLUMNS)
