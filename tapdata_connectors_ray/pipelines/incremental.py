@@ -161,7 +161,7 @@ class CheckpointedIngest:
         lake_dir: str,
         num_partitions: int = 64,
         salt_buckets: int = 0,
-        batch_size: int = 256 * 1024,
+        batch_size: int | None = None,  # None = auto from footer row counts
         spec: TableSpec = TRANSCRIPTS_SPEC,
     ):
         self.lake_dir = lake_dir

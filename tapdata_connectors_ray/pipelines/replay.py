@@ -35,10 +35,25 @@ from tapdata_connectors_ray.stages.normalize import BaseSnapshotToEvents, Normal
 from tapdata_connectors_ray.state.registry import EvolutionPlan
 
 DEFAULT_NUM_PARTITIONS = 64
-# 256k-row normalize batches: fewer blocks entering the shuffle cuts the
-# driver's task-scheduling load ~4x (measured 2x end-to-end at sf3/32cpu);
-# per-batch heap stays ~100 MB with the wide text column
+# normalize batch sizing is tier-dependent: big batches cut shuffle-block
+# count and driver scheduling (256k best at 36M events: 18.6 s vs 28.7 s at
+# 128k on 32 CPUs), but starve parallelism on small inputs (128k best at
+# 1.5M events: 1.93 s vs 2.65 s at 256k).  batch_size=None auto-sizes from
+# parquet footer row counts: ~10+ normalize tasks, clamped to [64k, 256k].
 DEFAULT_BATCH_SIZE = 256 * 1024
+MIN_BATCH_SIZE = 64 * 1024
+
+
+def _auto_batch_size(paths: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    rows = 0
+    for p in paths:
+        try:
+            rows += pq.read_metadata(p).num_rows
+        except OSError:
+            return DEFAULT_BATCH_SIZE
+    return int(min(max(rows // 10, MIN_BATCH_SIZE), DEFAULT_BATCH_SIZE))
 
 
 def _expand_paths(path: str | list[str]) -> list[str]:
@@ -95,7 +110,7 @@ def normalized_events(
     prereduce: bool = True,
     watermarks=None,
     base_watermarks=None,
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int | None = None,
     max_lsn: int | None = None,
     drop_origin: str | None = None,
 ) -> ray.data.Dataset:
@@ -110,10 +125,13 @@ def normalized_events(
     ``None`` it follows ``watermarks``.
     """
     plan = plan or scan_evolution_plan_distributed(events_path, spec)
+    paths = _expand_paths(events_path)
+    if batch_size is None:
+        batch_size = _auto_batch_size(paths)
     read_kwargs = {}
     if max_lsn is not None:
         read_kwargs["filter"] = pads.field("lsn") <= max_lsn
-    ev = ray.data.read_parquet(_expand_paths(events_path), **read_kwargs)
+    ev = ray.data.read_parquet(paths, **read_kwargs)
     ev = ev.map_batches(
         NormalizeEvents(
             plan,
@@ -201,7 +219,7 @@ def replay_merged(
     salt_buckets: int = 0,
     prereduce: bool = True,
     watermarks=None,
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int | None = None,
     strategy: str = "shuffle",
     drop_origin: str | None = None,
 ) -> ray.data.Dataset:
@@ -284,7 +302,7 @@ def replay_policy_final_state(
     insert_policy: str = "update_on_exists",
     update_policy: str = "insert_on_nonexists",
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int | None = None,
 ) -> ray.data.Dataset:
     """Replay under an explicit write-policy pair (the reference's policy
     matrix, ``WritePolicyEnum.java:3-22``; dispatch
