@@ -60,13 +60,57 @@ def word_ngrams(toks: list[str], n: int) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+_GRAM_PRIME = np.uint64(1099511628211)
+
+
+def _avalanche(z: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def batch_distinct_gram_hashes(
+    texts: list[str], n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated per-doc sorted-distinct gram hashes, per-doc counts) for
+    a WHOLE batch in one pass: every word is hashed once (vectorized
+    SipHash), n-gram hashes are a numeric combine of consecutive word hashes
+    (no gram strings are ever built), and per-doc dedup is one lexsort.
+    Internal representation only — gram hashes never surface to the oracle;
+    collision class is the same 64 bits as hashing the gram strings."""
+    if not texts:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    tok_lists = [t.lower().split(" ") for t in texts]
+    wlens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(texts))
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+    wh = pd.util.hash_array(flat)
+    total = len(wh)
+    m = total - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(len(texts), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        gh = wh[:m].copy()
+        for k in range(1, n):
+            gh = gh * _GRAM_PRIME ^ wh[k : k + m]
+        gh = _avalanche(gh)
+    did = np.repeat(np.arange(len(texts), dtype=np.int64), wlens)
+    valid = did[:m] == did[n - 1 :]  # window must not cross a doc boundary
+    did_g, gh = did[:m][valid], gh[valid]
+    order = np.lexsort((gh, did_g))
+    did_s, gh_s = did_g[order], gh[order]
+    keep = np.ones(len(gh_s), dtype=bool)
+    keep[1:] = (did_s[1:] != did_s[:-1]) | (gh_s[1:] != gh_s[:-1])
+    did_k, gh_k = did_s[keep], gh_s[keep]
+    counts = np.bincount(did_k, minlength=len(texts)).astype(np.int64)
+    return gh_k, counts
+
+
 def distinct_ngram_hashes(text: str, n: int) -> np.ndarray:
-    """Sorted distinct word-n-gram hashes of a doc (vectorized SipHash —
-    internal representation only, never surfaced to the oracle)."""
-    grams = word_ngrams(tokens(text), n)
-    if not grams:
-        return np.empty(0, dtype=np.uint64)
-    return np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)))
+    """Sorted distinct word-n-gram hashes of one doc (single-doc wrapper of
+    the batch kernel so every call site shares the same hash values)."""
+    gh, _ = batch_distinct_gram_hashes([text], n)
+    return gh
 
 
 def hashes_inter_union(a: np.ndarray, b: np.ndarray) -> tuple[int, int]:

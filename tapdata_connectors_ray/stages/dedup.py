@@ -34,7 +34,7 @@ import pyarrow as pa
 from tapdata_connectors_ray.functions.texthash import (
     MERSENNE_31,
     CachedMd5,
-    distinct_ngram_hashes,
+    batch_distinct_gram_hashes,
     hashes_inter_union,
     tokens,
 )
@@ -123,13 +123,13 @@ class MinHashLSH:
         self.b = rng.integers(0, MERSENNE_31, size=num_perm, dtype=np.uint64)
 
     def signatures(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """Returns (sig[n_docs, num_perm], n_shingles[n_docs])."""
-        hash_arrays = [distinct_ngram_hashes(t, self.ngram) for t in texts]
-        lens = np.array([len(h) for h in hash_arrays], dtype=np.int64)
+        """Returns (sig[n_docs, num_perm], n_shingles[n_docs]) — ONE
+        vectorized gram-hash pass for the whole batch, then segment-min."""
+        concat, lens = batch_distinct_gram_hashes(texts, self.ngram)
         sigs = np.full((len(texts), self.num_perm), MERSENNE_31, dtype=np.uint64)
         nonempty = lens > 0
         if nonempty.any():
-            concat = np.concatenate([h for h in hash_arrays if len(h)]) % MERSENNE_31
+            concat = concat % MERSENNE_31
             # (n_shingles_total, num_perm) permuted hashes, segment-min per doc
             perm = (concat[:, None] * self.a[None, :] + self.b[None, :]) % MERSENNE_31
             starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
@@ -232,9 +232,7 @@ def doc_gram_count_batch(ngram: int):
 
     def f(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        counts = np.array(
-            [len(distinct_ngram_hashes(t, ngram)) for t in texts], dtype=np.int64
-        )
+        _, counts = batch_distinct_gram_hashes(texts, ngram)
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
@@ -383,8 +381,10 @@ def shingle_sets_batch(ngram: int):
     def f(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         ids = batch["doc_id"].to_numpy()
+        concat, lens = batch_distinct_gram_hashes(texts, ngram)
         # Arrow's hash join rejects list payload columns -> uint64le blob
-        sets = [distinct_ngram_hashes(t, ngram).tobytes() for t in texts]
+        parts = np.split(concat, np.cumsum(lens)[:-1])
+        sets = [p.tobytes() for p in parts]
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -428,13 +428,7 @@ def ngram_index_rows(ngram: int):
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         ids = batch["doc_id"].to_numpy()
-        all_hashes = [distinct_ngram_hashes(t, ngram) for t in texts]
-        lens = np.array([len(h) for h in all_hashes], dtype=np.int64)
-        grams = (
-            np.concatenate([h for h in all_hashes if len(h)])
-            if lens.sum()
-            else np.empty(0, dtype=np.uint64)
-        )
+        grams, lens = batch_distinct_gram_hashes(texts, ngram)
         return pa.table(
             {
                 "gram": pa.array(grams, type=pa.uint64()),
