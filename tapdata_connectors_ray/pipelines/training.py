@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count
 
 from tapdata_connectors_ray.fixtures import sf_label_from_dir
 
@@ -156,19 +156,35 @@ def _grams_cutoff_cte() -> str:
 
 
 def q_dedup_exact(sf_dir: str) -> Any:
-    """Exact dedup: content-hash groupby, keep min doc_id per group
-    (hash-partition + per-group-first)."""
+    """Exact dedup: content hash -> coarse 1024-bucket groupby -> one
+    vectorized (min doc_id, count) fold per bucket.  Group count stays O(1k)
+    regardless of corpus size — a per-content-hash grouped aggregate would
+    create one group per distinct document (per-group overhead at 10^9+
+    docs); each distinct hash lives in exactly one bucket so the fold is
+    exact (hash-partition + per-group-first)."""
     from tapdata_connectors_ray.stages.dedup import add_text_hash
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["text_hash"].to_numpy()
+        return batch.append_column(
+            "hbucket", pa.array((h.view(np.uint64) % np.uint64(1024)).astype(np.int32))
+        )
+
+    def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text_hash", sort=False)["doc_id"]
+        return pd.DataFrame({"doc_id": g.min(), "n_copies": g.size()}).reset_index(
+            drop=True
+        )
 
     aug = _aug_docs(sf_dir).map_batches(
         add_text_hash, batch_format="pyarrow", zero_copy_batch=True
     )
-    out = (
+    return (
         aug.select_columns(["text_hash", "doc_id"])
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hbucket")
+        .map_groups(bucket_fold, batch_format="pandas")
     )
-    return out.select_columns(["doc_id", "n_copies"])
 
 
 def _pair_dedupe(ds):
@@ -621,11 +637,23 @@ def q_curation_pipeline(sf_dir: str) -> Any:
     # flows as a DATASET (semi/anti joins below), never as a driver-side
     # Python set: survivor cardinality is corpus-scale at 100 TB.
     hashed = gated.map_batches(add_text_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["text_hash"].to_numpy()
+        return batch.append_column(
+            "hbucket", pa.array((h.view(np.uint64) % np.uint64(1024)).astype(np.int32))
+        )
+
+    def bucket_min(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("text_hash", sort=False)["doc_id"].min().reset_index(drop=True)
+        ).to_frame("doc_id")
+
     kept = (
         hashed.select_columns(["text_hash", "doc_id"])
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hbucket")  # coarse buckets, not one group per distinct text
+        .map_groups(bucket_min, batch_format="pandas")
         .materialize()  # tiny (one id per distinct text); consumed by 3 joins
     )
 
