@@ -308,7 +308,14 @@ def expected_partition_metrics(
         ["lsn", "op", "conv_id", "turn_idx", "before_conv_id", "before_turn_idx"]
     ).to_pandas()
     ev = ev[ev["op"] != "DDL"]
-    moved = ev[(ev["op"] == "U") & ev["before_turn_idx"].notna()]
+    moved = ev[
+        (ev["op"] == "U")
+        & ev["before_turn_idx"].notna()
+        & (
+            (ev["before_conv_id"] != ev["conv_id"])
+            | (ev["before_turn_idx"] != ev["turn_idx"])
+        )
+    ]
     tomb = pd.DataFrame(
         {
             "lsn": moved["lsn"],

@@ -85,7 +85,12 @@ class OracleReducer:
                 # counters are defined over the EXPANDED event stream (a
                 # key-moving update is tombstone + upsert), matching the
                 # distributed counter and the SQL oracle
-                is_move = row["op"] == "U" and row.get("before_turn_idx") is not None
+                is_move = (
+                    row["op"] == "U"
+                    and row.get("before_turn_idx") is not None
+                    and (row["before_conv_id"], row["before_turn_idx"])
+                    != (row["conv_id"], row["turn_idx"])
+                )
                 self.counters.skipped_duplicates += 2 if is_move else 1
                 continue
             self.applied_lsns.add(lsn)
@@ -99,10 +104,11 @@ class OracleReducer:
                     self.counters.removed += 1
                 continue
             # key-changing update: delete at the before-image key first
-            # (MysqlReader.java:646-668 carries before+after for this)
+            # (MysqlReader.java:646-668 carries before+after); a before-image
+            # equal to the after key is an ordinary update, not a move
             if op == "U" and row.get("before_turn_idx") is not None:
                 before_key = (row["before_conv_id"], row["before_turn_idx"])
-                if self.state.pop(before_key, None) is not None:
+                if before_key != key and self.state.pop(before_key, None) is not None:
                     self.counters.removed += 1
             ver = row["schema_ver"]
             tool_name = row["tool_name"] if ver >= 3 else row["tool"]

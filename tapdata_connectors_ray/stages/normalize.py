@@ -117,8 +117,17 @@ def expand_key_changes(batch: pa.Table, keys: list[str]) -> pa.Table:
     moved_mask = pc.and_(
         pc.equal(batch["op"], "U"), pc.is_valid(batch[before_cols[0]])
     )
+    # a before-image equal to the after key is NOT a key change (an ordinary
+    # update carrying its before row); expanding it would emit a tombstone at
+    # the same (key, lsn) as the upsert and replay dedup could keep either
+    differs = None
+    for k in keys:
+        d = pc.not_equal(batch[f"before_{k}"].cast(batch.schema.field(k).type), batch[k])
+        differs = d if differs is None else pc.or_kleene(differs, d)
+    moved_mask = pc.and_kleene(moved_mask, pc.fill_null(differs, False))
     if not pc.any(moved_mask).as_py():
         return batch
+    moved_mask = pc.fill_null(moved_mask, False)
     moved = batch.filter(moved_mask)
     n = len(moved)
     arrays = []

@@ -26,6 +26,11 @@ def event_logs(draw):
         conv = draw(st.sampled_from(CONVS))
         turn = draw(st.integers(min_value=0, max_value=3))
         op = draw(st.sampled_from(["I", "U", "D"]))
+        # key-changing update: the before-image names a (possibly different)
+        # key the update moves away from
+        move = op == "U" and draw(st.booleans())
+        before_conv = draw(st.sampled_from(CONVS)) if move else None
+        before_turn = draw(st.integers(min_value=0, max_value=3)) if move else None
         rows.append(
             {
                 "lsn": lsn,
@@ -41,8 +46,8 @@ def event_logs(draw):
                 "ts": None,
                 "schema_ver": 1,
                 "ddl_payload": None,
-                "before_conv_id": None,
-                "before_turn_idx": None,
+                "before_conv_id": before_conv,
+                "before_turn_idx": before_turn,
             }
         )
     # duplicate-LSN replays of a random sample
