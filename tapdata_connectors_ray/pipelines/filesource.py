@@ -154,6 +154,46 @@ def q_source_partitioned_log(sf_dir: str) -> Any:
     return replay_final_state(consumed, base, num_partitions=64)
 
 
+def q_sink_bulk_ndjson(sf_dir: str) -> Any:
+    """Bulk-operation sink round-trip (the ES _bulk surface,
+    ``ElasticsearchRecordWriter.java:74+``): the normalized change feed
+    (key-move expansion included, combiner off — a sink must see every
+    effective event) writes action+source NDJSON segments in parallel, the
+    segments are read back and parsed, and the per-action counts must equal
+    the log's op counts."""
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from tapdata_connectors_ray.pipelines.replay import normalized_events
+    from tapdata_connectors_ray.sources.files import (
+        read_bulk_action_counts,
+        write_bulk_ndjson_batch,
+    )
+
+    ev, _ = _fixture_paths(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="bulk_sink_", dir="/tmp")
+    feed = normalized_events(ev, None, prereduce=False)
+    manifest = feed.map_batches(
+        write_bulk_ndjson_batch(out_dir, "lake", ["conv_id", "turn_idx"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()  # one row per segment file — metadata scale
+    counts = (
+        read_bulk_action_counts(manifest["file"].tolist())
+        .groupby("action")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("action")
+        .reset_index(drop=True)
+    )
+    # cross-check against the writer-side manifest totals
+    assert int(counts.loc[counts["action"] == "index", "n"].iloc[0]) == int(
+        manifest["n_index"].sum()
+    )
+    return counts
+
+
 def _fixture_paths(sf_dir: str):
     from tapdata_connectors_ray.pipelines.entrypoints import _fixture_paths_for
 
@@ -167,7 +207,28 @@ def filesource_queries() -> dict[str, Callable[[str], Any]]:
         "source_xlsx_events_agg": q_source_xlsx_events_agg,
         "source_jsonl_resume": q_source_jsonl_resume,
         "source_partitioned_log": q_source_partitioned_log,
+        "sink_bulk_ndjson": q_sink_bulk_ndjson,
     }
+
+
+def _bulk_counts_sql() -> str:
+    from tapdata_connectors_ray.pipelines.entrypoints import _oracle_events_path
+
+    ev = _oracle_events_path()
+    return f"""
+WITH ev AS (
+    SELECT op FROM read_parquet('{ev}') WHERE op <> 'DDL'
+), moved AS (
+    SELECT 'D' AS op FROM read_parquet('{ev}')
+    WHERE op = 'U' AND before_turn_idx IS NOT NULL
+      AND (before_conv_id <> conv_id OR before_turn_idx <> turn_idx)
+), allv AS (
+    SELECT * FROM ev UNION ALL SELECT * FROM moved
+)
+SELECT CASE WHEN op = 'D' THEN 'delete' ELSE 'index' END AS action,
+       count(*) AS n
+FROM allv GROUP BY 1 ORDER BY 1
+"""
 
 
 def filesource_oracle_sql(oracle_sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
@@ -196,6 +257,7 @@ def filesource_oracle_sql(oracle_sf_dir: str = "/root/testdata/sf0.01") -> dict[
         """,
         "source_xml_events_agg": events_agg_sql,
         "source_xlsx_events_agg": events_agg_sql,
+        "sink_bulk_ndjson": _bulk_counts_sql(),
         "source_partitioned_log": _final_state_sql(),
         "source_jsonl_resume": f"""
             SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx

@@ -304,3 +304,83 @@ def read_xlsx_segments(files: list[str], schema: pa.Schema) -> ray.data.Dataset:
     return ray.data.read_binary_files(files).map_batches(
         parse, batch_format="pyarrow", batch_size=4
     )
+
+
+# -- bulk-operation sink (the Elasticsearch _bulk NDJSON format) --------------
+
+
+def write_bulk_ndjson_batch(out_dir: str, index_name: str, key_cols: list[str]):
+    """map_batches sink stage: normalized change events -> one ES-style
+    ``_bulk`` NDJSON segment per batch (action line + source line for
+    upserts, action-only for deletes — ``ElasticsearchRecordWriter.java:74+``
+    re-expressed as a file sink; each task writes its own segment, so the
+    sink parallelizes with the stream and nothing funnels through the
+    driver).  Emits one manifest row per segment."""
+    import uuid as _uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(batch: pa.Table) -> pa.Table:
+        ids = [
+            ":".join(str(v) for v in vals)
+            for vals in zip(*(batch[c].to_pylist() for c in key_cols))
+        ]
+        ops = batch["op"].to_pylist()
+        docs = batch.to_pylist()
+        lines: list[str] = []
+        n_index = n_delete = 0
+        for rid, op, doc in zip(ids, ops, docs):
+            if op == "D":
+                lines.append(json.dumps({"delete": {"_index": index_name, "_id": rid}}))
+                n_delete += 1
+            else:
+                lines.append(json.dumps({"index": {"_index": index_name, "_id": rid}}))
+                lines.append(json.dumps({k: v for k, v in doc.items()}, default=str))
+                n_index += 1
+        path = os.path.join(out_dir, f"bulk-{_uuid.uuid4().hex}.ndjson")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        return pa.table(
+            {
+                "file": pa.array([path], pa.string()),
+                "n_index": pa.array([n_index], pa.int64()),
+                "n_delete": pa.array([n_delete], pa.int64()),
+            }
+        )
+
+    return write
+
+
+def read_bulk_action_counts(files: list[str]) -> ray.data.Dataset:
+    """Parse bulk NDJSON segments back: (action, n) partials per file —
+    the read-back half of the sink round-trip check."""
+    if not files:
+        return ray.data.from_arrow(
+            pa.table({"action": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for blob in batch["bytes"].to_pylist():
+            expect_doc = False
+            for line in blob.decode().splitlines():
+                if not line:
+                    continue
+                if expect_doc:  # source document line of an index action
+                    expect_doc = False
+                    continue
+                obj = json.loads(line)
+                action = next(iter(obj))
+                counts[action] = counts.get(action, 0) + 1
+                expect_doc = action == "index"
+        items = sorted(counts.items())
+        return pa.table(
+            {
+                "action": pa.array([a for a, _ in items], pa.string()),
+                "n": pa.array([n for _, n in items], pa.int64()),
+            }
+        )
+
+    return ray.data.read_binary_files(files).map_batches(
+        parse, batch_format="pyarrow", batch_size=8
+    )
