@@ -187,3 +187,63 @@ def test_generic_lookup_on_second_table(ray_session):
     # resume: spec restored from the manifest, not the constructor default
     reopened = CheckpointedIngest(lake, num_partitions=8)
     assert reopened.spec.name == "orders_cdc"
+
+
+def test_nopk_replay_matches_content_reducer(ray_session, tmp_path):
+    """No-PK replay (null-safe all-columns keys) vs a brute-force dict keyed
+    on full row content, over a randomized I/D log with nulls and repeated
+    content — the null-safe fallback's randomized gate."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.fixtures import CLICKS_SPEC
+    from tapdata_connectors_ray.pipelines.replay import replay_final_state
+
+    rng = np.random.default_rng(99)
+    n = 3_000
+    uids = np.array(["u1", "u2", None, "u3"], dtype=object)
+    pages = np.array(["/a", "/b"], dtype=object)
+    uid = uids[rng.integers(0, len(uids), n)]
+    page = pages[rng.integers(0, len(pages), n)]
+    nn = rng.integers(0, 3, n).astype(np.int64)
+    op = np.where(rng.random(n) < 0.7, "I", "D")
+    rows = pa.table(
+        {
+            "lsn": pa.array(np.arange(1, n + 1), pa.int64()),
+            "op": pa.array(op, pa.string()),
+            "uid": pa.array(uid, pa.string()),
+            "page": pa.array(page, pa.string()),
+            "n": pa.array(nn, pa.int64()),
+            "schema_ver": pa.array(np.full(n, 1, np.int32)),
+            "ddl_payload": pa.array([None] * n, pa.string()),
+        }
+    )
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(rows, path)
+
+    # brute force: content tuple -> alive?
+    state: dict[tuple, bool] = {}
+    for r in rows.to_pylist():
+        key = (r["uid"], r["page"], r["n"])
+        if r["op"] == "I":
+            state[key] = True
+        else:
+            state.pop(key, None)
+    key_fn = lambda k: (k[0] is None, k[0] or "", k[1], k[2])  # noqa: E731
+    expected = sorted(state, key=key_fn)
+
+    got = (
+        replay_final_state(path, None, spec=CLICKS_SPEC, num_partitions=8)
+        .to_pandas()
+    )
+    got_keys = sorted(
+        (
+            (None if pd.isna(u) else u, p, int(v))
+            for u, p, v in zip(got["uid"], got["page"], got["n"])
+        ),
+        key=key_fn,
+    )
+    assert got_keys == expected
+    assert os.path.exists(path)
