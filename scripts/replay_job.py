@@ -15,7 +15,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# runnable as a plain script from anywhere: the package lives one level up,
+# and Ray WORKER processes need it on PYTHONPATH to deserialize the UDFs
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> None:
