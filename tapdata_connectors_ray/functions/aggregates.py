@@ -44,19 +44,41 @@ def min_max(ds: ray.data.Dataset, column: str) -> tuple:
     return row["mn"], row["mx"]
 
 
-def canonical_row_strings(batch: pa.Table, columns: list[str]) -> pd.Series:
+def _canonical_column(col: pa.ChunkedArray) -> pa.ChunkedArray | pa.Array:
+    """One column -> VARCHAR with the null sentinel, matching DuckDB's
+    ``coalesce(cast(c as varchar), '∅')``.  Int/string columns cast inside
+    Arrow (zero Python per cell); float columns go through pandas
+    ``astype(str)`` (numpy's shortest-roundtrip repr == DuckDB's double
+    printing — an Arrow float->string cast is NOT guaranteed to agree);
+    anything else falls back to per-cell ``str``."""
+    import pyarrow.compute as pc
+
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pc.fill_null(col, NULL_SENTINEL)
+    if pa.types.is_integer(t):
+        return pc.fill_null(col.cast(pa.string()), NULL_SENTINEL)
+    s = col.to_pandas()
+    mask = s.isna()
+    out = s.astype(str) if t and pa.types.is_floating(t) else s.map(str)
+    if mask.any():
+        out = out.where(~mask, NULL_SENTINEL)
+    return pa.array(out, type=pa.string())
+
+
+def canonical_row_strings(batch: pa.Table, columns: list[str]) -> list[str]:
     """'|'-joined stringification matching the oracle SQL's
     ``concat_ws('|', coalesce(cast(c as varchar), '∅'), ...)`` — DuckDB and
-    Python both print shortest-roundtrip doubles, so the strings agree."""
-    parts = []
-    for c in columns:
-        col = batch[c].to_pandas()
-        s = col.map(lambda v: NULL_SENTINEL if pd.isna(v) else str(v))
-        parts.append(s)
-    out = parts[0]
-    for s in parts[1:]:
-        out = out + "|" + s
-    return out
+    Python both print shortest-roundtrip doubles, so the strings agree.
+    Vectorized end-to-end: Arrow casts + one ``binary_join_element_wise``."""
+    import pyarrow.compute as pc
+
+    parts = [_canonical_column(batch[c]) for c in columns]
+    if len(parts) == 1:
+        joined = parts[0]
+    else:
+        joined = pc.binary_join_element_wise(*parts, "|")
+    return joined.to_pylist()
 
 
 def table_hash(ds: ray.data.Dataset, columns: list[str]) -> int:
@@ -67,7 +89,7 @@ def table_hash(ds: ray.data.Dataset, columns: list[str]) -> int:
 
     def partial(batch: pa.Table) -> pa.Table:
         strs = canonical_row_strings(batch, columns)
-        h = md5_number_lower(strs.tolist()) % np.uint64(HASH_MOD)
+        h = md5_number_lower(strs) % np.uint64(HASH_MOD)
         return pa.table({"partial": [int(h.sum(dtype=np.uint64))]})
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)

@@ -349,7 +349,11 @@ def replay_write_counters(
     **kwargs,
 ) -> ray.data.Dataset:
     """Per-partition write counters (WriteListResult analogue).  Pre-reduce is
-    disabled: counters are defined over every effective (deduped) event."""
+    disabled: counters are defined over every effective (deduped) event.
+
+    Counters are metadata, not payload (``NormalRecordWriter.java:120-153``):
+    the groupby input is projected to key + lsn + op + partition_id before the
+    shuffle, so the wide text payload never rides the all-to-all."""
     plan = kwargs.pop("plan", None) or scan_evolution_plan_distributed(events_path, spec)
     ev = normalized_events(
         events_path,
@@ -360,6 +364,7 @@ def replay_write_counters(
         salt_buckets=0,
         **kwargs,
     )
-    return ev.groupby("partition_id").map_groups(
+    narrow = ev.select_columns([*plan.keys(), "lsn", "op", "partition_id"])
+    return narrow.groupby("partition_id").map_groups(
         make_write_counters(plan.keys()), batch_format="pandas"
     )

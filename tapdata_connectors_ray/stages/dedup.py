@@ -35,7 +35,6 @@ from tapdata_connectors_ray.functions.texthash import (
     MERSENNE_31,
     CachedMd5,
     batch_distinct_gram_hashes,
-    hashes_inter_union,
     tokens,
 )
 
@@ -396,20 +395,32 @@ def shingle_sets_batch(ngram: int):
 
 
 def verify_pairs_batch(batch: pa.Table, threshold: float) -> pa.Table:
-    """Vectorized exact-Jaccard verify over joined pair rows carrying both
-    docs' shingle blobs (columns shingles_a / shingles_b)."""
+    """Exact-Jaccard verify over joined pair rows carrying both docs' shingle
+    blobs (columns shingles_a / shingles_b), vectorized across ALL pairs in
+    the batch: one concatenated (pair_id, hash) lexsort counts, per pair, the
+    values present on both sides (each side's hashes are distinct, so a
+    within-pair duplicate == an intersection hit).  No per-pair Python loop."""
     a = batch["doc_a"].to_numpy()
     b = batch["doc_b"].to_numpy()
-    sa = batch["shingles_a"].to_pylist()
-    sb = batch["shingles_b"].to_pylist()
-    iu = [
-        hashes_inter_union(
-            np.frombuffer(x, dtype=np.uint64), np.frombuffer(y, dtype=np.uint64)
+    n = len(a)
+    if n == 0:
+        common = np.empty(0, dtype=np.int64)
+        union = np.empty(0, dtype=np.int64)
+    else:
+        sa = batch["shingles_a"].to_pylist()
+        sb = batch["shingles_b"].to_pylist()
+        la = np.fromiter((len(x) >> 3 for x in sa), np.int64, count=n)
+        lb = np.fromiter((len(y) >> 3 for y in sb), np.int64, count=n)
+        vals = np.frombuffer(b"".join(sa) + b"".join(sb), dtype=np.uint64)
+        pid = np.concatenate(
+            [np.repeat(np.arange(n, dtype=np.int64), la),
+             np.repeat(np.arange(n, dtype=np.int64), lb)]
         )
-        for x, y in zip(sa, sb)
-    ]
-    common = np.array([c for c, _ in iu], dtype=np.int64)
-    union = np.array([u for _, u in iu], dtype=np.int64)
+        order = np.lexsort((vals, pid))
+        pid_s, vals_s = pid[order], vals[order]
+        dup = (pid_s[1:] == pid_s[:-1]) & (vals_s[1:] == vals_s[:-1])
+        common = np.bincount(pid_s[1:][dup], minlength=n).astype(np.int64)
+        union = la + lb - common
     keep = (union > 0) & (common / np.maximum(union, 1) >= threshold)
     return pa.table(
         {

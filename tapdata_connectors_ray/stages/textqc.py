@@ -38,6 +38,22 @@ LANG_PRIORITY = ("en", "de", "es", "fr")  # deterministic tie-break order
 QUALITY_STOPWORDS = STOPWORDS["en"]
 
 
+def _stopword_pattern(words: tuple[str, ...]) -> str:
+    """Count pattern equivalent to membership of a single-space split token
+    in ``words``: consume the leading boundary (string start or the one
+    delimiter space), look ahead at the trailing one.  Adjacent stopwords
+    each consume their own leading space, so counts match the split-token
+    scan exactly; alternatives are longest-first so 'a' can't shadow 'and';
+    ``\\Z`` (not ``$``, which also matches before a trailing newline) keeps
+    a token like ``'the\\n'`` a non-match, same as the split scan."""
+    alts = "|".join(sorted(map(re.escape, words), key=len, reverse=True))
+    return rf"(?:\A| )(?:{alts})(?=[ ]|\Z)"
+
+
+_QUALITY_STOP_RE = _stopword_pattern(QUALITY_STOPWORDS)
+_LANG_STOP_RE = {lang: _stopword_pattern(sws) for lang, sws in STOPWORDS.items()}
+
+
 def _lower_series(batch: pa.Table) -> pd.Series:
     return pd.Series(batch["text"].to_pylist(), dtype=object).str.lower()
 
@@ -63,9 +79,7 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     words = low.str.split(" ")
     n_words = words.map(len).to_numpy(dtype=np.int64)
     alpha = low.str.count("[a-z]").to_numpy(dtype=np.float64)
-    stop_hits = words.map(
-        lambda ws: sum(1 for w in ws if w in QUALITY_STOPWORDS)
-    ).to_numpy(dtype=np.float64)
+    stop_hits = low.str.count(_QUALITY_STOP_RE).to_numpy(dtype=np.float64)
     mean_wlen = np.where(n_words > 0, (n_chars - (n_words - 1)) / np.maximum(n_words, 1), 0.0)
     alpha_ratio = np.where(n_chars > 0, alpha / np.maximum(n_chars, 1), 0.0)
     stop_ratio = np.where(n_words > 0, stop_hits / np.maximum(n_words, 1), 0.0)
@@ -85,14 +99,12 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
 
 def language_id_batch(batch: pa.Table) -> pa.Table:
     """Stopword-frequency language ID with a fixed priority tie-break."""
-    words = _lower_series(batch).str.split(" ")
+    low = _lower_series(batch)
     hits = {
-        lang: words.map(lambda ws, sw=set(sws): sum(1 for w in ws if w in sw)).to_numpy(
-            dtype=np.int64
-        )
-        for lang, sws in STOPWORDS.items()
+        lang: low.str.count(_LANG_STOP_RE[lang]).to_numpy(dtype=np.int64)
+        for lang in STOPWORDS
     }
-    n = len(words)
+    n = len(low)
     # first lang in priority order reaching the max hit count wins
     maxh = np.maximum.reduce([hits[lang] for lang in LANG_PRIORITY])
     pred = np.full(n, LANG_PRIORITY[-1], dtype=object)
