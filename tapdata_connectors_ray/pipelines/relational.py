@@ -457,9 +457,15 @@ def q_master_subdoc_merge(sf_dir: str):
         .groupby("obucket")
         .map_groups(fold, batch_format="pandas")
     )
+    from tapdata_connectors_ray.fixtures import parquet_num_rows
+    from tapdata_connectors_ray.functions.sizing import join_partitions
+
     master = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
     return master.join(
-        docs, join_type="inner", num_partitions=8, on=("o_orderkey",)
+        docs,
+        join_type="inner",
+        num_partitions=join_partitions(parquet_num_rows(_t(sf_dir, "orders"))),
+        on=("o_orderkey",),
     )
 
 

@@ -28,6 +28,7 @@ import ray.data
 from ray.data.aggregate import Count
 
 from tapdata_connectors_ray.fixtures import sf_label_from_dir
+from tapdata_connectors_ray.functions.sizing import join_partitions
 
 NGRAM = 3
 JACCARD_THRESHOLD = 0.6
@@ -50,8 +51,11 @@ def _blocks_for(path: str, rows_per_block: int = 2_000) -> int:
 
 def _docs(sf_dir: str):
     path = os.path.join(sf_dir, "documents.parquet")
+    # gram-hash stages cost ~10x a typical per-row transform, so doc blocks
+    # are sized ~8x smaller than the default or the heavy dedup stages run
+    # as a handful of tasks and starve the CPUs
     return ray.data.read_parquet(
-        path, columns=["doc_id", "text"], override_num_blocks=_blocks_for(path)
+        path, columns=["doc_id", "text"], override_num_blocks=_blocks_for(path, 256)
     )
 
 
@@ -228,11 +232,12 @@ def q_dedup_ngram_jaccard(sf_dir: str) -> Any:
     counts = _aug_docs(sf_dir).map_batches(
         doc_gram_count_batch(NGRAM), batch_format="pyarrow", zero_copy_batch=True
     )
+    n_join = join_partitions(_aug_rows_est(sf_dir))
     j1 = common.join(
-        counts, join_type="inner", num_partitions=8, on=("doc_a",), right_on=("doc_id",)
+        counts, join_type="inner", num_partitions=n_join, on=("doc_a",), right_on=("doc_id",)
     ).rename_columns({"n_grams": "na"})
     j2 = j1.join(
-        counts, join_type="inner", num_partitions=8, on=("doc_b",), right_on=("doc_id",)
+        counts, join_type="inner", num_partitions=n_join, on=("doc_b",), right_on=("doc_id",)
     ).rename_columns({"n_grams": "nb"})
     return j2.map_batches(
         lambda b: union_filter_batch(b, JACCARD_THRESHOLD),
@@ -241,45 +246,136 @@ def q_dedup_ngram_jaccard(sf_dir: str) -> Any:
     )
 
 
-def _minhash_candidates(sf_dir: str):
-    """Shared LSH candidate generation: signatures -> banding -> one coarse
-    groupby -> distinct (doc_a, doc_b) pairs."""
-    from tapdata_connectors_ray.stages.dedup import MinHashLSH, band_pairs_bucket
+def _aug_rows_est(sf_dir: str) -> int:
+    """Augmented-corpus row estimate from the parquet footer (verbatim +
+    perturbed copies add ~2/5)."""
+    from tapdata_connectors_ray.fixtures import parquet_num_rows
 
-    bands = _aug_docs(sf_dir).map_batches(
-        MinHashLSH(ngram=NGRAM, num_perm=128, num_bands=64),
-        batch_format="pyarrow",
-    )
-    pairs = bands.groupby("sbucket").map_groups(band_pairs_bucket, batch_format="pandas")
-    return _pair_dedupe(pairs)
+    return parquet_num_rows(os.path.join(sf_dir, "documents.parquet")) * 7 // 5
+
+
+def _emb_rows_est(sf_dir: str) -> int:
+    """Augmented-embedding row estimate (copies add ~1/5)."""
+    from tapdata_connectors_ray.fixtures import parquet_num_rows
+
+    return parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")) * 6 // 5
 
 
 def q_dedup_minhash_lsh(sf_dir: str) -> Any:
-    """MinHash(128) + LSH banding (64 bands x 2 rows: recall ~1 at j>=0.8),
-    candidates exactly verified -> equals brute-force pairs (the oracle).
+    """MinHash(128) + LSH banding (64 bands x 2 rows: recall ~1 at j>=0.8)
+    over exact-dup cluster REPRESENTATIVES, verified exactly, then expanded
+    back to all member pairs -> equals brute-force pairs (the oracle).
 
-    Verification is a distributed hash join of candidate pairs against a
-    (doc_id, shingles) side dataset (twice, once per pair side) — nothing is
-    materialized on the driver.  This IS the scale path; the round-1
-    broadcast-verify variant is gone (``dedup_minhash_lsh_join`` remains as
-    an alias for conformance continuity)."""
-    from tapdata_connectors_ray.stages.dedup import shingle_sets_batch, verify_pairs_batch
-
-    cand = _minhash_candidates(sf_dir)
-    sets = _aug_docs(sf_dir).map_batches(
-        shingle_sets_batch(NGRAM), batch_format="pyarrow", zero_copy_batch=True
+    Scale shape (nothing on the driver, joins sized from input):
+    0. ONE text scan builds the per-doc profile (text_hash, n_grams,
+       shingle-hash blob; ``doc_profile_batch``), materialized to the object
+       store and reused by every branch below — banding, the join-verify
+       side table and the cluster fold each read the profile instead of
+       re-shingling the corpus.  At cluster scale the same profile would be
+       written once to partitioned parquet (the engine's resumable-output
+       pattern) rather than recomputed per branch; the object-store copy
+       spills, never the driver.
+    1. banding with the exact-dedup occupancy guard (band rows carry
+       text_hash; ``band_pairs_bucket`` collapses each exact-dup cluster to
+       its min-doc_id representative per (band, bucket) BEFORE the
+       self-merge, so an exact flood of size m costs O(m) band rows instead
+       of O(64·m²) pair rows) -> rep-to-rep candidate pairs;
+    2. distributed hash-join verify against the (doc_id, shingles) profile
+       columns (twice, once per side) -> surviving rep pairs with exact
+       (common, union);
+    3. exact-dup cluster membership fold (coarse text-hash buckets) ->
+       (doc_id, rep_id, n_grams, csize) rows, materialized (4 narrow int
+       columns — ~32 B/doc, scale-safe); clusters of size >= 2 with a
+       non-empty shingle set emit a (rep, rep, n_grams, n_grams) self-pair
+       (within-cluster Jaccard is exactly 1);
+    4. two membership joins expand rep pairs to member pairs (identical
+       texts have identical shingle sets, so (common, union) carries over);
+       min/max-normalize and coarse-bucket dedupe (self-pair expansion emits
+       each within-cluster pair twice)."""
+    from tapdata_connectors_ray.functions.sizing import join_partitions
+    from tapdata_connectors_ray.stages.dedup import (
+        MinHashLSH,
+        band_pairs_bucket,
+        cluster_members_bucket,
+        doc_profile_batch,
+        verify_pairs_batch,
     )
+
+    n_join = join_partitions(_aug_rows_est(sf_dir))
+    profile = (
+        _aug_docs(sf_dir)
+        .map_batches(doc_profile_batch(NGRAM), batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    bands = profile.map_batches(
+        MinHashLSH(ngram=NGRAM, num_perm=128, num_bands=64, with_text_hash=True),
+        batch_format="pyarrow",
+    )
+    cand = _pair_dedupe(
+        bands.groupby("sbucket").map_groups(band_pairs_bucket, batch_format="pandas")
+    )
+    sets = profile.select_columns(["doc_id", "shingles"])
     # the right key column is coalesced into the left's in the join output
     j1 = cand.join(
-        sets, join_type="inner", num_partitions=8, on=("doc_a",), right_on=("doc_id",)
+        sets, join_type="inner", num_partitions=n_join, on=("doc_a",), right_on=("doc_id",)
     ).rename_columns({"shingles": "shingles_a"})
     j2 = j1.join(
-        sets, join_type="inner", num_partitions=8, on=("doc_b",), right_on=("doc_id",)
+        sets, join_type="inner", num_partitions=n_join, on=("doc_b",), right_on=("doc_id",)
     ).rename_columns({"shingles": "shingles_b"})
-    return j2.map_batches(
+    verified = j2.map_batches(
         lambda b: verify_pairs_batch(b, MINHASH_THRESHOLD),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+    members = (
+        profile.select_columns(["doc_id", "text_hash", "n_grams", "hbucket"])
+        .groupby("hbucket")
+        .map_groups(cluster_members_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    def self_pairs(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy()
+        rep = batch["rep_id"].to_numpy()
+        ng = batch["n_grams"].to_numpy()
+        cs = batch["csize"].to_numpy()
+        keep = (doc == rep) & (cs >= 2) & (ng > 0)
+        return pa.table(
+            {
+                "doc_a": pa.array(doc[keep], type=pa.int64()),
+                "doc_b": pa.array(doc[keep], type=pa.int64()),
+                "common": pa.array(ng[keep], type=pa.int64()),
+                "union_n": pa.array(ng[keep], type=pa.int64()),
+            }
+        )
+
+    rep_pairs = verified.union(
+        members.map_batches(self_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    mem = members.select_columns(["doc_id", "rep_id"])
+    e1 = rep_pairs.join(
+        mem, join_type="inner", num_partitions=n_join, on=("doc_a",), right_on=("rep_id",)
+    ).rename_columns({"doc_id": "doc_x"})
+    e2 = e1.join(
+        mem, join_type="inner", num_partitions=n_join, on=("doc_b",), right_on=("rep_id",)
+    ).rename_columns({"doc_id": "doc_y"})
+
+    def normalize_pairs(batch: pa.Table) -> pa.Table:
+        x = batch["doc_x"].to_numpy()
+        y = batch["doc_y"].to_numpy()
+        keep = x != y
+        return pa.table(
+            {
+                "doc_a": pa.array(np.minimum(x, y)[keep], type=pa.int64()),
+                "doc_b": pa.array(np.maximum(x, y)[keep], type=pa.int64()),
+                "common": batch["common"].take(np.nonzero(keep)[0]),
+                "union_n": batch["union_n"].take(np.nonzero(keep)[0]),
+            }
+        )
+
+    return _pair_dedupe(
+        e2.map_batches(normalize_pairs, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -358,11 +454,12 @@ def q_dedup_embedding_cosine(sf_dir: str) -> Any:
         bands.groupby("sbucket").map_groups(band_pairs_bucket, batch_format="pandas")
     )
     blobs = aug.map_batches(embedding_blob_batch, batch_format="pyarrow", zero_copy_batch=True)
+    n_join = join_partitions(_emb_rows_est(sf_dir))
     j1 = pairs.join(
-        blobs, join_type="inner", num_partitions=8, on=("doc_a",), right_on=("vec_id",)
+        blobs, join_type="inner", num_partitions=n_join, on=("doc_a",), right_on=("vec_id",)
     ).rename_columns({"emb": "emb_a"})
     j2 = j1.join(
-        blobs, join_type="inner", num_partitions=8, on=("doc_b",), right_on=("vec_id",)
+        blobs, join_type="inner", num_partitions=n_join, on=("doc_b",), right_on=("vec_id",)
     ).rename_columns({"emb": "emb_b"})
     return j2.map_batches(
         lambda b: verify_cosine_pairs(b, COSINE_DUP_THRESHOLD),
@@ -660,20 +757,21 @@ def q_curation_pipeline(sf_dir: str) -> Any:
     # stage 3: near-dup drop among survivors (reuse the jaccard operator):
     # pairs with BOTH sides alive -> drop the larger id of each pair
     pairs = q_dedup_ngram_jaccard(sf_dir).select_columns(["doc_a", "doc_b"])
+    n_join = join_partitions(_aug_rows_est(sf_dir))
     both_alive = pairs.join(
-        kept, join_type="left_semi", num_partitions=8, on=("doc_a",), right_on=("doc_id",)
+        kept, join_type="left_semi", num_partitions=n_join, on=("doc_a",), right_on=("doc_id",)
     ).join(
-        kept, join_type="left_semi", num_partitions=8, on=("doc_b",), right_on=("doc_id",)
+        kept, join_type="left_semi", num_partitions=n_join, on=("doc_b",), right_on=("doc_id",)
     )
     dropped = both_alive.select_columns(["doc_b"])
     survivors = kept.join(
-        dropped, join_type="left_anti", num_partitions=8, on=("doc_id",), right_on=("doc_b",)
+        dropped, join_type="left_anti", num_partitions=n_join, on=("doc_id",), right_on=("doc_b",)
     )
 
     # stage 4: token counts of survivors (semi join, then the counting stage)
     out = (
         _aug_docs(sf_dir)
-        .join(survivors, join_type="left_semi", num_partitions=8, on=("doc_id",))
+        .join(survivors, join_type="left_semi", num_partitions=n_join, on=("doc_id",))
         .map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
     )
     return out

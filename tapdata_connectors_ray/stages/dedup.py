@@ -111,35 +111,79 @@ class MinHashLSH:
     then emits ``num_bands`` rows per doc keyed by the band digest.
     """
 
-    def __init__(self, ngram: int = 3, num_perm: int = 128, num_bands: int = 64):
+    def __init__(
+        self,
+        ngram: int = 3,
+        num_perm: int = 128,
+        num_bands: int = 64,
+        with_text_hash: bool = False,
+    ):
         assert num_perm % num_bands == 0
         self.ngram = ngram
         self.num_perm = num_perm
         self.num_bands = num_bands
         self.rows_per_band = num_perm // num_bands
+        # with_text_hash attaches the exact-content hash to every band row so
+        # the pair stage can collapse exact-duplicate clusters to one
+        # representative per (band, bucket) — the occupancy guard.  It is
+        # read from the input's ``text_hash`` column when present (profile
+        # input) and computed from the text otherwise.
+        self.with_text_hash = with_text_hash
         rng = np.random.default_rng(0xC0FFEE)
         self.a = rng.integers(1, MERSENNE_31, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, MERSENNE_31, size=num_perm, dtype=np.uint64)
+
+    def signatures_from_hashes(
+        self, concat: np.ndarray, lens: np.ndarray
+    ) -> np.ndarray:
+        """(concatenated distinct gram hashes, per-doc lens) ->
+        sig[n_docs, num_perm]: one permute matrix + segment-min
+        (``np.minimum.reduceat``) for the whole batch."""
+        sigs = np.full((len(lens), self.num_perm), MERSENNE_31, dtype=np.uint64)
+        nonempty = lens > 0
+        if nonempty.any():
+            concat = concat % MERSENNE_31
+            # (n_shingles_total, num_perm) permuted hashes, segment-min per
+            # doc.  a*h+b < 2^62, reduced mod the Mersenne prime by two
+            # shift-add folds + one conditional subtract — ~3x faster than
+            # np.mod's 64-bit division on the dominant matrix.
+            m = np.uint64(MERSENNE_31)
+            s31 = np.uint64(31)
+            perm = concat[:, None] * self.a[None, :] + self.b[None, :]
+            perm = (perm >> s31) + (perm & m)
+            perm = (perm >> s31) + (perm & m)
+            np.subtract(perm, m, out=perm, where=perm >= m)
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[nonempty])[:-1]
+            sigs[nonempty] = np.minimum.reduceat(perm, starts, axis=0)
+        return sigs
 
     def signatures(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """Returns (sig[n_docs, num_perm], n_shingles[n_docs]) — ONE
         vectorized gram-hash pass for the whole batch, then segment-min."""
         concat, lens = batch_distinct_gram_hashes(texts, self.ngram)
-        sigs = np.full((len(texts), self.num_perm), MERSENNE_31, dtype=np.uint64)
-        nonempty = lens > 0
-        if nonempty.any():
-            concat = concat % MERSENNE_31
-            # (n_shingles_total, num_perm) permuted hashes, segment-min per doc
-            perm = (concat[:, None] * self.a[None, :] + self.b[None, :]) % MERSENNE_31
-            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            starts[1:] = np.cumsum(lens[nonempty])[:-1]
-            sigs[nonempty] = np.minimum.reduceat(perm, starts, axis=0)
-        return sigs, lens
+        return self.signatures_from_hashes(concat, lens), lens
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
         doc_id = batch["doc_id"].to_numpy()
-        sigs, lens = self.signatures(texts)
+        if "shingles" in batch.column_names:
+            # profile input (``doc_profile_batch``): signatures from the
+            # already-hashed shingle blobs — no re-shingling pass
+            blobs = batch["shingles"].to_pylist()
+            lens = np.fromiter((len(x) >> 3 for x in blobs), np.int64, count=len(blobs))
+            concat = np.frombuffer(b"".join(blobs), dtype=np.uint64)
+            sigs = self.signatures_from_hashes(concat, lens)
+            th_all = (
+                batch["text_hash"].to_numpy() if self.with_text_hash else None
+            )
+        else:
+            texts = batch["text"].to_pylist()
+            sigs, lens = self.signatures(texts)
+            th_all = (
+                pd.util.hash_array(np.asarray(texts, dtype=object)).view(np.int64)
+                if self.with_text_hash
+                else None
+            )
         keep = lens > 0  # shingle-less docs can't be near-dups
         sigs, ids = sigs[keep], doc_id[keep]
         n = len(ids)
@@ -150,15 +194,18 @@ class MinHashLSH:
         for r in range(self.rows_per_band):
             digest = (digest * mix) ^ band_sigs[:, :, r]
         band_idx = np.broadcast_to(np.arange(self.num_bands, dtype=np.int32), (n, self.num_bands))
-        return pa.table(
-            {
-                "band": pa.array(band_idx.ravel(), type=pa.int32()),
-                "bucket": pa.array(digest.ravel(), type=pa.uint64()),
-                # coarse shuffle key: O(256) groups, each one vectorized merge
-                "sbucket": pa.array((digest.ravel() & np.uint64(255)).astype(np.int32)),
-                "doc_id": pa.array(np.repeat(ids, self.num_bands), type=pa.int64()),
-            }
-        )
+        cols = {
+            "band": pa.array(band_idx.ravel(), type=pa.int32()),
+            "bucket": pa.array(digest.ravel(), type=pa.uint64()),
+            # coarse shuffle key: O(256) groups, each one vectorized merge
+            "sbucket": pa.array((digest.ravel() & np.uint64(255)).astype(np.int32)),
+            "doc_id": pa.array(np.repeat(ids, self.num_bands), type=pa.int64()),
+        }
+        if th_all is not None:
+            cols["text_hash"] = pa.array(
+                np.repeat(th_all[keep], self.num_bands), type=pa.int64()
+            )
+        return pa.table(cols)
 
 
 def band_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -166,7 +213,21 @@ def band_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
     pairs, fully vectorized: pandas self-merge on the exact (band, bucket)
     key.  The coarse bucket (``sbucket``) exists only to keep group count =
     O(256), not O(#buckets), so the shuffle stays cheap and the per-group
-    work is one vectorized merge."""
+    work is one vectorized merge.
+
+    Occupancy guard: when band rows carry ``text_hash`` (the minhash query's
+    exact-dedup prefilter), each exact-duplicate cluster collapses to its
+    min-doc_id representative inside every (band, bucket) BEFORE the
+    self-merge — all copies share one signature, so the per-bucket
+    representative is the cluster's global min and candidate pairs come out
+    canonically rep-to-rep.  The m² term is then bounded by the number of
+    DISTINCT texts sharing a band digest (adversarial near-dup floods are
+    further damped by the verify stage; exact floods — the common corpus
+    pathology — cost O(m) here instead of O(64·m²))."""
+    if "text_hash" in df.columns:
+        df = df.sort_values("doc_id").drop_duplicates(
+            ["band", "bucket", "text_hash"], keep="first"
+        )
     m = df.merge(df, on=["band", "bucket"], suffixes=("_l", "_r"))
     m = m[m["doc_id_l"] < m["doc_id_r"]]
     out = m[["doc_id_l", "doc_id_r"]].drop_duplicates()
@@ -222,6 +283,50 @@ def pair_sum_bucket(df: pd.DataFrame) -> pd.DataFrame:
 def pair_dedupe_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """One pair bucket: drop duplicate candidate pairs (vectorized)."""
     return df.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pbucket"])
+
+
+def doc_profile_batch(ngram: int, n_buckets: int = 256):
+    """map_batches fn: docs -> the per-doc dedup PROFILE
+    (doc_id, text_hash, n_grams, hbucket, shingles) — text is hashed and
+    shingled exactly once; every downstream branch of the minhash query
+    (banding, join-verify side table, exact-dup cluster fold) reads this
+    instead of re-scanning + re-shingling the corpus.  ``shingles`` is the
+    distinct gram-hash set as a uint64le blob (Arrow's hash join rejects
+    list payload columns)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy()
+        th = pd.util.hash_array(np.asarray(texts, dtype=object))
+        concat, lens = batch_distinct_gram_hashes(texts, ngram)
+        parts = np.split(concat, np.cumsum(lens)[:-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text_hash": pa.array(th.view(np.int64), type=pa.int64()),
+                "n_grams": pa.array(lens, type=pa.int64()),
+                "hbucket": pa.array((th % np.uint64(n_buckets)).astype(np.int32)),
+                "shingles": pa.array([p.tobytes() for p in parts], type=pa.binary()),
+            }
+        )
+
+    return f
+
+
+def cluster_members_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One text-hash bucket -> exact-dup cluster membership rows
+    (doc_id, rep_id = min doc_id of the cluster, n_grams, csize), one
+    vectorized transform per bucket (each distinct text lives in exactly one
+    bucket, so rep/csize are globally exact)."""
+    g = df.groupby("text_hash", sort=False)["doc_id"]
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "rep_id": g.transform("min"),
+            "n_grams": df["n_grams"],
+            "csize": g.transform("size"),
+        }
+    ).reset_index(drop=True)
 
 
 def doc_gram_count_batch(ngram: int):
@@ -371,27 +476,6 @@ def hamming_filter(batch: pa.Table, max_hamming: int = 3) -> pa.Table:
             "hamming": pa.array(ham[keep], type=pa.int64()),
         }
     )
-
-
-def shingle_sets_batch(ngram: int):
-    """map_batches fn: docs -> (doc_id, shingles: list<uint64>) — the
-    distributed side table for join-based candidate verification."""
-
-    def f(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        ids = batch["doc_id"].to_numpy()
-        concat, lens = batch_distinct_gram_hashes(texts, ngram)
-        # Arrow's hash join rejects list payload columns -> uint64le blob
-        parts = np.split(concat, np.cumsum(lens)[:-1])
-        sets = [p.tobytes() for p in parts]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "shingles": pa.array(sets, type=pa.binary()),
-            }
-        )
-
-    return f
 
 
 def verify_pairs_batch(batch: pa.Table, threshold: float) -> pa.Table:
