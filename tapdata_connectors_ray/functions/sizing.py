@@ -27,6 +27,9 @@ COARSE_BUCKET_TARGET_ROWS = 64 * 1024
 
 JOIN_PARTITION_MAX = 256
 JOIN_ROWS_PER_PARTITION = 1_000_000
+# a join partition below this row count costs more in aggregator-actor
+# startup than it buys in parallelism — small inputs get few partitions
+JOIN_ROWS_PER_PARTITION_MIN = 32_768
 
 
 def _cluster_cpus(default: int = 8) -> int:
@@ -52,10 +55,13 @@ def coarse_buckets(est_rows: int | None = None) -> int:
 
 
 def join_partitions(est_rows: int | None = None) -> int:
-    """Partition count for ``Dataset.join``: ~CPUs/2 aggregator actors,
-    raised so an expected partition holds ≲ JOIN_ROWS_PER_PARTITION rows of
-    the larger side, capped at JOIN_PARTITION_MAX."""
+    """Partition count for ``Dataset.join``: ~CPUs/2 aggregator actors —
+    lowered when the data doesn't fill them (a partition under ~32k rows is
+    aggregator-startup-bound), raised so an expected partition holds
+    ≲ JOIN_ROWS_PER_PARTITION rows of the larger side, capped at
+    JOIN_PARTITION_MAX."""
     p = max(2, _cluster_cpus() // 2)
     if est_rows is not None:
+        p = min(p, max(2, est_rows // JOIN_ROWS_PER_PARTITION_MIN))
         p = max(p, min(JOIN_PARTITION_MAX, est_rows // JOIN_ROWS_PER_PARTITION))
     return int(min(p, JOIN_PARTITION_MAX))

@@ -275,19 +275,20 @@ def q_dedup_minhash_lsh(sf_dir: str) -> Any:
        written once to partitioned parquet (the engine's resumable-output
        pattern) rather than recomputed per branch; the object-store copy
        spills, never the driver.
-    1. banding with the exact-dedup occupancy guard (band rows carry
-       text_hash; ``band_pairs_bucket`` collapses each exact-dup cluster to
-       its min-doc_id representative per (band, bucket) BEFORE the
-       self-merge, so an exact flood of size m costs O(m) band rows instead
-       of O(64·m²) pair rows) -> rep-to-rep candidate pairs;
-    2. distributed hash-join verify against the (doc_id, shingles) profile
-       columns (twice, once per side) -> surviving rep pairs with exact
-       (common, union);
-    3. exact-dup cluster membership fold (coarse text-hash buckets) ->
+    1. exact-dup cluster membership fold (coarse text-hash buckets) ->
        (doc_id, rep_id, n_grams, csize) rows, materialized (4 narrow int
        columns — ~32 B/doc, scale-safe); clusters of size >= 2 with a
        non-empty shingle set emit a (rep, rep, n_grams, n_grams) self-pair
        (within-cluster Jaccard is exactly 1);
+    2. signing + banding runs over REPRESENTATIVES only (semi join of the
+       profile against min-id cluster reps), so the O(shingles x 128)
+       permute matrix — the dominant compute — scales with DISTINCT texts,
+       and an exact flood of size m costs one signature instead of m (and
+       can't flood any (band, bucket): O(m) total instead of O(64·m²) pair
+       rows) -> rep-to-rep candidate pairs;
+    3. distributed hash-join verify against the reps' (doc_id, shingles)
+       profile columns (twice, once per side) -> surviving rep pairs with
+       exact (common, union);
     4. two membership joins expand rep pairs to member pairs (identical
        texts have identical shingle sets, so (common, union) carries over);
        min/max-normalize and coarse-bucket dedupe (self-pair expansion emits
@@ -307,14 +308,35 @@ def q_dedup_minhash_lsh(sf_dir: str) -> Any:
         .map_batches(doc_profile_batch(NGRAM), batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
-    bands = profile.map_batches(
-        MinHashLSH(ngram=NGRAM, num_perm=128, num_bands=64, with_text_hash=True),
+
+    members = (
+        profile.select_columns(["doc_id", "text_hash", "n_grams", "hbucket"])
+        .groupby("hbucket")
+        .map_groups(cluster_members_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    def rep_ids(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy()
+        keep = doc == batch["rep_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(doc[keep], type=pa.int64())})
+
+    # banding cost scales with DISTINCT texts: only cluster representatives
+    # are signed/banded; member pairs are recovered by the membership joins
+    rep_profile = profile.join(
+        members.map_batches(rep_ids, batch_format="pyarrow", zero_copy_batch=True),
+        join_type="left_semi",
+        num_partitions=n_join,
+        on=("doc_id",),
+    ).materialize()
+    bands = rep_profile.map_batches(
+        MinHashLSH(ngram=NGRAM, num_perm=128, num_bands=64),
         batch_format="pyarrow",
     )
     cand = _pair_dedupe(
         bands.groupby("sbucket").map_groups(band_pairs_bucket, batch_format="pandas")
     )
-    sets = profile.select_columns(["doc_id", "shingles"])
+    sets = rep_profile.select_columns(["doc_id", "shingles"])
     # the right key column is coalesced into the left's in the join output
     j1 = cand.join(
         sets, join_type="inner", num_partitions=n_join, on=("doc_a",), right_on=("doc_id",)
@@ -326,13 +348,6 @@ def q_dedup_minhash_lsh(sf_dir: str) -> Any:
         lambda b: verify_pairs_batch(b, MINHASH_THRESHOLD),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
-
-    members = (
-        profile.select_columns(["doc_id", "text_hash", "n_grams", "hbucket"])
-        .groupby("hbucket")
-        .map_groups(cluster_members_bucket, batch_format="pandas")
-        .materialize()
     )
 
     def self_pairs(batch: pa.Table) -> pa.Table:

@@ -146,16 +146,21 @@ class MinHashLSH:
             # (n_shingles_total, num_perm) permuted hashes, segment-min per
             # doc.  a*h+b < 2^62, reduced mod the Mersenne prime by two
             # shift-add folds + one conditional subtract — ~3x faster than
-            # np.mod's 64-bit division on the dominant matrix.
+            # np.mod's 64-bit division on the dominant matrix.  The permute
+            # matrix is computed in perm-column chunks so peak memory per
+            # task stays ~n_shingles x 16 x 8 B regardless of num_perm.
             m = np.uint64(MERSENNE_31)
             s31 = np.uint64(31)
-            perm = concat[:, None] * self.a[None, :] + self.b[None, :]
-            perm = (perm >> s31) + (perm & m)
-            perm = (perm >> s31) + (perm & m)
-            np.subtract(perm, m, out=perm, where=perm >= m)
             starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
             starts[1:] = np.cumsum(lens[nonempty])[:-1]
-            sigs[nonempty] = np.minimum.reduceat(perm, starts, axis=0)
+            col = concat[:, None]
+            for lo in range(0, self.num_perm, 16):
+                hi = min(lo + 16, self.num_perm)
+                perm = col * self.a[None, lo:hi] + self.b[None, lo:hi]
+                perm = (perm >> s31) + (perm & m)
+                perm = (perm >> s31) + (perm & m)
+                np.subtract(perm, m, out=perm, where=perm >= m)
+                sigs[nonempty, lo:hi] = np.minimum.reduceat(perm, starts, axis=0)
         return sigs
 
     def signatures(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
