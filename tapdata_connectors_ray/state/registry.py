@@ -41,21 +41,38 @@ _WIDEN_OK = {
 }
 
 
+_KNOWN_DDL_KINDS = frozenset({"add_field", "rename_field", "widen_field", "drop_field"})
+
+
 @dataclass(frozen=True)
 class DDLChange:
     lsn: int
     version: int  # schema version AFTER this change
-    kind: str     # add_field | rename_field | widen_field
+    kind: str     # add_field | rename_field | widen_field | drop_field | unknown
     payload: dict
 
     @classmethod
     def from_row(cls, lsn: int, version: int, ddl_payload: str) -> "DDLChange":
-        p = json.loads(ddl_payload)
-        kind = p["kind"]
-        if kind == "widen_field":
-            pair = (p["from_type"], p["to_type"])
-            if pair not in _WIDEN_OK:
-                raise ValueError(f"unsafe type change {pair} at lsn={lsn}")
+        """Parse one DDL log row.  Unparseable payloads, unrecognized kinds
+        and unsafe type changes degrade to ``kind="unknown"`` — a schema
+        no-op that is preserved in the history (and therefore surfaced by
+        the schema-history query) instead of killing the replay, mirroring
+        the reference's ``TapDDLUnknownEvent`` fallback
+        (``DDLFactory.java:63-88``, ``MysqlReader.java:722-731``)."""
+        try:
+            p = json.loads(ddl_payload)
+            kind = p["kind"]
+            if kind not in _KNOWN_DDL_KINDS:
+                raise ValueError(f"unrecognized DDL kind {kind!r}")
+            if kind == "widen_field":
+                pair = (p["from_type"], p["to_type"])
+                if pair not in _WIDEN_OK:
+                    raise ValueError(f"unsafe type change {pair}")
+        except (ValueError, KeyError, TypeError) as exc:
+            return cls(
+                lsn=lsn, version=version, kind="unknown",
+                payload={"raw": ddl_payload, "reason": str(exc)},
+            )
         return cls(lsn=lsn, version=version, kind=kind, payload=p)
 
 
@@ -243,6 +260,8 @@ class EvolutionPlan:
                 name = ch.payload["name"]
                 if name in batch.column_names:
                     batch = batch.drop_columns([name])
+            elif ch.kind == "unknown":
+                pass  # degraded DDL: preserved in history, schema no-op
             else:
                 raise ValueError(f"unknown DDL kind {ch.kind}")
         return batch
