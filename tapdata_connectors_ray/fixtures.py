@@ -305,7 +305,7 @@ def expected_partition_metrics(
     from tapdata_connectors_ray.functions.hashing import partition_ids
 
     ev = events.select(
-        ["lsn", "op", "conv_id", "turn_idx", "before_conv_id", "before_turn_idx"]
+        ["lsn", "op", "conv_id", "turn_idx", "before_conv_id", "before_turn_idx", "ts"]
     ).to_pandas()
     ev = ev[ev["op"] != "DDL"]
     moved = ev[
@@ -357,6 +357,17 @@ def expected_partition_metrics(
     max_ver = int(pd.Series(events["schema_ver"].to_numpy(zero_copy_only=False)).max())
     out["epoch"] = np.int64(1)
     out["schema_version"] = np.int64(max_ver)
+    # source-clock watermark twin: max event ts (µs) per POST-image routed
+    # partition (event ts is monotone in lsn, so prereduce/LWW drops on the
+    # engine side can never lose a partition's max; synthetic key-move
+    # tombstones carry null ts there and don't route ts to the old key's
+    # partition here either)
+    wm = (
+        pd.Series(ev["ts"].astype("int64").to_numpy())
+        .groupby(partition_ids(ev["conv_id"].to_numpy(), num_partitions))
+        .max()
+    )
+    out["watermark_ts"] = wm.reindex(all_pids, fill_value=-1).to_numpy(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -384,6 +395,24 @@ def parquet_num_rows(path: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def _upgrade_expected_metrics(out: str) -> None:
+    """Refresh a cached ``expected_partition_metrics.parquet`` whose schema
+    predates a metrics-surface addition (e.g. ``watermark_ts``) WITHOUT
+    regenerating the whole fixture — base/events parquet are untouched, only
+    the pandas twin is recomputed from them."""
+    expected = os.path.join(out, "expected_partition_metrics.parquet")
+    try:
+        if "watermark_ts" in pq.read_schema(expected).names:
+            return
+    except (OSError, pa.ArrowInvalid):
+        return  # no expected file in this layout — nothing to upgrade
+    base = pq.read_table(os.path.join(out, "transcripts.parquet"))
+    events = pq.read_table(os.path.join(out, "events.parquet"))
+    tmp = expected + ".tmp"
+    pq.write_table(expected_partition_metrics(base, events), tmp)
+    os.replace(tmp, expected)
+
+
 def ensure_fixtures(
     sf: str = "sf0.001",
     root: str = DEFAULT_FIXTURE_ROOT,
@@ -401,6 +430,7 @@ def ensure_fixtures(
         try:
             with open(meta_path) as f:
                 if json.load(f).get("fingerprint") == spec.fingerprint():
+                    _upgrade_expected_metrics(out)
                     return out
         except (json.JSONDecodeError, OSError):
             pass

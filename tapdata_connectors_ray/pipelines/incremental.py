@@ -55,6 +55,11 @@ APPLY_RESULT_SCHEMA = pa.schema(
         pa.field("rows", pa.int64()),
         pa.field("max_lsn", pa.int64()),
         pa.field("event_rows", pa.int64()),
+        # source-clock watermark: max event `ts` (µs) applied this epoch —
+        # the signal a lag monitor compares to wall clock (reference:
+        # heartbeat/referenceTime, MysqlReader.java:514-519).  -1 = no
+        # ts-bearing event (base-only partition / ts-less table).
+        pa.field("watermark_ts", pa.int64()),
     ]
 )
 
@@ -141,6 +146,17 @@ class MergeApplyWriter:
         import pyarrow.compute as pc
 
         max_lsn = int(pc.max(merged["lsn"]).as_py()) if len(merged) else -1
+        # source-clock watermark over the epoch's real log events (lsn>0
+        # excludes base-snapshot rows whose ts is payload, not stream clock;
+        # synthetic key-move tombstones carry null ts and drop out of max)
+        wm_ts = -1
+        if "ts" in t.column_names:
+            ev_ts = t.filter(pc.greater(t["lsn"], 0))["ts"]
+            if len(ev_ts):
+                # tz-safe µs: timestamp[us] -> int64 is a raw reinterpret
+                m = pc.max(ev_ts.cast(pa.int64())).as_py()
+                if m is not None:
+                    wm_ts = int(m)
         return pa.Table.from_pydict(
             {
                 "partition_id": [pid],
@@ -148,6 +164,7 @@ class MergeApplyWriter:
                 "rows": [merged.num_rows],
                 "max_lsn": [max_lsn],
                 "event_rows": [event_rows],
+                "watermark_ts": [wm_ts],
             },
             schema=APPLY_RESULT_SCHEMA,
         )
@@ -282,6 +299,7 @@ class CheckpointedIngest:
             else:
                 files = [r["file"]]
                 fvers = [plan.latest_version]
+            prev_wm_ts = int((prev_st.lineage if prev_st else {}).get("watermark_ts", -1))
             new.partitions[pid] = PartitionState(
                 applied_lsn=max(prev_wm, int(r["max_lsn"])),
                 files=files,
@@ -292,6 +310,9 @@ class CheckpointedIngest:
                     "epoch": epoch,
                     "event_rows": int(r["event_rows"]),
                     "prev_applied_lsn": prev_wm,
+                    # per-partition source-clock watermark (µs), monotone
+                    # across epochs — the lag-monitor signal
+                    "watermark_ts": max(prev_wm_ts, int(r["watermark_ts"])),
                 },
             )
         if commit:
@@ -569,11 +590,20 @@ class CheckpointedIngest:
         """Per-partition throughput/lag surface (north rule: metrics exported)."""
         wm = self.manifest.watermarks()
         live = wm[wm >= 0]
+        wts = [
+            int(st.lineage.get("watermark_ts", -1))
+            for st in self.manifest.partitions.values()
+        ]
+        live_ts = [w for w in wts if w >= 0]
         return {
             "epoch": self.manifest.epoch,
             "partitions": int((wm >= 0).sum()),
             "rows": int(sum(st.rows for st in self.manifest.partitions.values())),
             "applied_lsn_min": int(live.min()) if len(live) else -1,
             "applied_lsn_max": int(live.max()) if len(live) else -1,
+            # source-clock watermark spread: min = laggiest partition (lag =
+            # now - min), max = stream head reached
+            "watermark_ts_min": min(live_ts) if live_ts else -1,
+            "watermark_ts_max": max(live_ts) if live_ts else -1,
             "schema_version": self.manifest.schema_version,
         }
