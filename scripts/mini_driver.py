@@ -58,6 +58,11 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     sys.path.insert(0, "/root/repo")
+    # render oracle_sql() for THIS tier (the round driver leaves the default,
+    # sf0.01; exporting it here proves the gate is tier-independent)
+    import os
+
+    os.environ["TCR_ORACLE_SF_DIR"] = sf_dir
     import __ray_entry__ as mod
 
     con = duckdb.connect()

@@ -463,6 +463,16 @@ def sf_label_from_dir(sf_dir: str) -> str:
     return label if label in SCALE_PRESETS else "sf0.01"
 
 
+def oracle_sf_dir() -> str:
+    """The testdata tier ``oracle_sql()`` strings are rendered for.
+
+    The round driver runs correctness at sf0.01 (the default); local gates
+    (scripts/mini_driver.py) export ``TCR_ORACLE_SF_DIR`` so the same oracle
+    strings can be re-rendered for any tier — nothing else in the engine
+    reads this (queries always take their ``sf_dir`` as an argument)."""
+    return os.environ.get("TCR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
 # ---------------------------------------------------------------------------
 # Second-table fixtures: the table-generic conformance surface.
 #

@@ -231,8 +231,12 @@ FROM allv GROUP BY 1 ORDER BY 1
 """
 
 
-def filesource_oracle_sql(oracle_sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+def filesource_oracle_sql(oracle_sf_dir: str | None = None) -> dict[str, str]:
+    from tapdata_connectors_ray.fixtures import oracle_sf_dir as _default_tier
     from tapdata_connectors_ray.pipelines.entrypoints import _final_state_sql
+
+    if oracle_sf_dir is None:
+        oracle_sf_dir = _default_tier()
 
     # render against the driver's correctness tier (files are materialized
     # by this call so the SQL always has bytes to read)

@@ -1064,16 +1064,19 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
 
 
 def training_oracle_sql() -> dict[str, str]:
+    from tapdata_connectors_ray.fixtures import oracle_sf_dir
+
+    sf_dir = oracle_sf_dir()
     out = dict(TRAINING_SQL)
     # media oracle reads the fixture files directly (rendered for the
     # driver's correctness tier, like the CDC fixture oracles)
-    out["multimodal_payload_stats"] = _payload_stats_sql("/root/testdata/sf0.01")
-    out["text_fingerprint"] = _fingerprint_sql("/root/testdata/sf0.01")
+    out["multimodal_payload_stats"] = _payload_stats_sql(sf_dir)
+    out["text_fingerprint"] = _fingerprint_sql(sf_dir)
     # decode/resize: expected-value side tables materialized at media-fixture
     # generation time FROM THE GENERATOR'S variables (w/h/pixels before
     # packing) — an independent expectation for the binary-parsing stages,
     # which SQL cannot express directly
-    media_dir = os.path.dirname(_media_path("/root/testdata/sf0.01").rstrip("/"))
+    media_dir = os.path.dirname(_media_path(sf_dir).rstrip("/"))
     out["multimodal_decode_features"] = f"""
 SELECT media_id, kind, dim_a, dim_b, mean_signal
 FROM read_parquet('{media_dir}/media_expected.parquet') ORDER BY media_id
