@@ -115,6 +115,26 @@ def q_source_jsonl_resume(sf_dir: str) -> Any:
     return _event_type_agg(read_jsonl_segments(fresh))
 
 
+def q_source_storage_mock_backend(sf_dir: str) -> Any:
+    """Round trip through the pluggable storage SPI's mock network backend
+    (the FTP/SFTP/SMB/S3/OSS stand-in, ``file-storages/.../FileStorage``):
+    events -> CSV segments written via ``storage.write_bytes`` into a
+    ``MemoryFileStorage``, polled with the same new/modified scanner, parsed
+    from storage bytes — same aggregate, same oracle as the local-dir CSV
+    query, proving backend choice doesn't change results."""
+    from tapdata_connectors_ray.sources.files import (
+        read_csv_segment_bytes,
+        write_csv_segment_bytes,
+    )
+    from tapdata_connectors_ray.sources.storage import MemoryFileStorage
+
+    table = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=_COLS)
+    mem = MemoryFileStorage()
+    write_csv_segment_bytes(table, "/mock/events_csv", storage=mem)
+    files, _ = scan_new_files("/mock/events_csv", suffixes=(".csv",), storage=mem)
+    return _event_type_agg(read_csv_segment_bytes(files, _EVENT_SCHEMA, storage=mem))
+
+
 def _csv_glob(sf_dir: str) -> str:
     return ensure_event_segments(sf_dir, "csv") + "/*.csv"
 
@@ -206,6 +226,7 @@ def filesource_queries() -> dict[str, Callable[[str], Any]]:
         "source_xml_events_agg": q_source_xml_events_agg,
         "source_xlsx_events_agg": q_source_xlsx_events_agg,
         "source_jsonl_resume": q_source_jsonl_resume,
+        "source_storage_mock_backend": q_source_storage_mock_backend,
         "source_partitioned_log": q_source_partitioned_log,
         "sink_bulk_ndjson": q_sink_bulk_ndjson,
     }
@@ -261,6 +282,9 @@ def filesource_oracle_sql(oracle_sf_dir: str | None = None) -> dict[str, str]:
         """,
         "source_xml_events_agg": events_agg_sql,
         "source_xlsx_events_agg": events_agg_sql,
+        # mock-backend round trip derives from the same events table; the
+        # backend must be invisible in the values
+        "source_storage_mock_backend": events_agg_sql,
         "sink_bulk_ndjson": _bulk_counts_sql(),
         "source_partitioned_log": _final_state_sql(),
         "source_jsonl_resume": f"""

@@ -29,6 +29,12 @@ import pyarrow as pa
 import pyarrow.csv as pacsv
 import ray.data
 
+from tapdata_connectors_ray.sources.storage import (
+    LOCAL,
+    FileStorage,
+    LocalFileStorage,
+)
+
 
 @dataclass
 class FileSourceOffset:
@@ -45,31 +51,88 @@ class FileSourceOffset:
         return cls({k: (int(a), int(b)) for k, (a, b) in json.loads(s).items()})
 
 
-def _list_segments(src_dir: str, suffixes: tuple[str, ...]) -> list[str]:
-    return sorted(
-        os.path.join(src_dir, f)
-        for f in os.listdir(src_dir)
-        if f.endswith(suffixes)
-    )
-
-
 def scan_new_files(
     src_dir: str,
     offset: FileSourceOffset | None = None,
     suffixes: tuple[str, ...] = (".csv", ".jsonl", ".json"),
+    storage: FileStorage = LOCAL,
 ) -> tuple[list[str], FileSourceOffset]:
     """One polling cycle: returns (new-or-modified files, advanced offset).
-    The directory-diff core of the reference's 60 s polling stream."""
+    The directory-diff core of the reference's 60 s polling stream, over any
+    :class:`FileStorage` backend (local dir, or the mock network backend)."""
     offset = offset or FileSourceOffset()
     fresh: list[str] = []
     new_known = dict(offset.known)
-    for path in _list_segments(src_dir, suffixes):
-        st = os.stat(path)
-        sig = (st.st_mtime_ns, st.st_size)
-        if offset.known.get(path) != sig:
-            fresh.append(path)
-            new_known[path] = sig
+    for st in storage.list(src_dir, suffixes):
+        sig = (st.mtime_ns, st.size)
+        if offset.known.get(st.path) != sig:
+            fresh.append(st.path)
+            new_known[st.path] = sig
     return fresh, FileSourceOffset(new_known)
+
+
+def read_segment_bytes(files: list[str], storage: FileStorage = LOCAL) -> ray.data.Dataset:
+    """Segment files -> Dataset of ``{path, bytes}``.  Local backend keeps
+    the parallel zero-driver ``read_binary_files`` path (tasks open the
+    paths themselves); a non-local backend ships each segment's bytes by
+    value — the conformance-scale path for the mock network storages."""
+    if not files:
+        return ray.data.from_arrow(
+            pa.table({"path": pa.array([], pa.string()), "bytes": pa.array([], pa.binary())})
+        )
+    if isinstance(storage, LocalFileStorage):
+        return ray.data.read_binary_files(files, include_paths=True)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "path": pa.array(files, pa.string()),
+                "bytes": pa.array([storage.read_bytes(p) for p in files], pa.binary()),
+            }
+        )
+    )
+
+
+def read_csv_segment_bytes(
+    files: list[str], schema: pa.Schema, storage: FileStorage = LOCAL
+) -> ray.data.Dataset:
+    """CSV segments -> Dataset via the storage SPI: bytes from any backend,
+    parsed with the Arrow CSV reader inside ``map_batches`` (the path the
+    mock network storages use; local dirs prefer :func:`read_csv_segments`)."""
+    import io
+
+    column_types = {f.name: f.type for f in schema}  # ConvertOptions isn't picklable
+
+    def parse(batch: pa.Table) -> pa.Table:
+        opts = pacsv.ConvertOptions(column_types=column_types)
+        tables = [
+            pacsv.read_csv(io.BytesIO(blob), convert_options=opts)
+            for blob in batch["bytes"].to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else schema.empty_table()
+
+    return read_segment_bytes(files, storage).map_batches(
+        parse, batch_format="pyarrow", batch_size=4
+    )
+
+
+def write_csv_segment_bytes(
+    table: pa.Table,
+    out_dir: str,
+    storage: FileStorage = LOCAL,
+    rows_per_file: int = 8192,
+) -> list[str]:
+    """CSV segment writer routed through the storage SPI (the sink half of
+    the reference's file-storage write path)."""
+    import io
+
+    paths = []
+    for i in range(0, table.num_rows, rows_per_file):
+        buf = io.BytesIO()
+        pacsv.write_csv(table.slice(i, rows_per_file), buf)
+        p = f"{out_dir.rstrip('/')}/seg-{i // rows_per_file:05d}.csv"
+        storage.write_bytes(p, buf.getvalue())
+        paths.append(p)
+    return paths
 
 
 def read_csv_segments(

@@ -1,0 +1,117 @@
+"""Pluggable file-storage backends for the file sources/sinks.
+
+The reference routes every file connector through a storage SPI
+(``file-storages/.../storage/*/...FileStorage.java`` — local, FTP, SFTP,
+SMB, S3, OSS implementations of one list/open/write/delete surface) so the
+CSV/XML/XLSX readers never touch ``java.io`` directly.  This module is that
+SPI re-expressed for the Ray engine: a small protocol the segment scanners
+and readers depend on, with
+
+- :class:`LocalFileStorage` — the real os/filesystem backend, and
+- :class:`MemoryFileStorage` — an in-memory mock with the same observable
+  semantics (mtime advances on rewrite), standing in for the network
+  backends the sandbox cannot reach.
+
+Scale note: a ``MemoryFileStorage`` instance is plain data (dict of bytes),
+so when a read routes through it the segment payloads ship to Ray tasks by
+value — correct for the conformance-sized corpora it exists for, while
+``LocalFileStorage`` keeps the zero-copy ``read_binary_files`` /
+``read_csv`` path where Ray tasks open paths themselves.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Protocol, runtime_checkable
+
+
+@dataclass(frozen=True)
+class FileStat:
+    """The listing attributes the offset map keys on (``TapFile`` analogue:
+    path + last-modified + length)."""
+
+    path: str
+    mtime_ns: int
+    size: int
+
+
+@runtime_checkable
+class FileStorage(Protocol):
+    """list/read/write/delete — the surface every reference
+    ``...FileStorage.java`` implements."""
+
+    def list(self, src_dir: str, suffixes: tuple[str, ...]) -> list[FileStat]: ...
+
+    def read_bytes(self, path: str) -> bytes: ...
+
+    def write_bytes(self, path: str, data: bytes) -> None: ...
+
+    def exists(self, path: str) -> bool: ...
+
+    def delete(self, path: str) -> None: ...
+
+
+class LocalFileStorage:
+    """The os-backed storage every production path uses; paths are visible
+    to Ray tasks, so bulk reads stay on ``ray.data.read_*`` (no bytes
+    through the driver)."""
+
+    def list(self, src_dir: str, suffixes: tuple[str, ...]) -> list[FileStat]:
+        out = []
+        for f in sorted(os.listdir(src_dir)):
+            if f.endswith(suffixes):
+                p = os.path.join(src_dir, f)
+                st = os.stat(p)
+                out.append(FileStat(p, st.st_mtime_ns, st.st_size))
+        return out
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def delete(self, path: str) -> None:
+        os.unlink(path)
+
+
+@dataclass
+class MemoryFileStorage:
+    """In-memory mock backend: the stand-in for the FTP/SFTP/SMB/S3/OSS
+    storages (no network in the sandbox).  Observable contract matches
+    LocalFileStorage — listings sort by path, a rewrite advances mtime —
+    so the polling scanner's new/modified diff behaves identically."""
+
+    files: dict[str, tuple[int, bytes]] = field(default_factory=dict)
+    _clock: int = 0
+
+    def list(self, src_dir: str, suffixes: tuple[str, ...]) -> list[FileStat]:
+        prefix = src_dir.rstrip("/") + "/"
+        return [
+            FileStat(p, mtime, len(data))
+            for p, (mtime, data) in sorted(self.files.items())
+            if p.startswith(prefix) and p.endswith(suffixes)
+        ]
+
+    def read_bytes(self, path: str) -> bytes:
+        return self.files[path][1]
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self._clock += 1
+        self.files[path] = (self._clock, data)
+
+    def exists(self, path: str) -> bool:
+        return path in self.files
+
+    def delete(self, path: str) -> None:
+        del self.files[path]
+
+
+LOCAL = LocalFileStorage()

@@ -115,3 +115,46 @@ def test_xml_xlsx_roundtrip(ray_session, tmp_path):
         back = back.sort_values("value", na_position="last").reset_index(drop=True)
         exp = t.to_pandas().sort_values("value", na_position="last").reset_index(drop=True)
         assert back.equals(exp), sub
+
+
+def test_memory_storage_scan_semantics():
+    """Mock backend honours the same new/modified diff contract as the
+    local dir (rewrite advances mtime -> file re-listed)."""
+    from tapdata_connectors_ray.sources.storage import MemoryFileStorage
+
+    mem = MemoryFileStorage()
+    mem.write_bytes("/mock/d/a.csv", b"a\n1\n")
+    mem.write_bytes("/mock/d/b.csv", b"a\n2\n")
+    mem.write_bytes("/mock/other/c.csv", b"a\n3\n")  # outside src_dir
+    files, off = scan_new_files("/mock/d", suffixes=(".csv",), storage=mem)
+    assert files == ["/mock/d/a.csv", "/mock/d/b.csv"]
+    fresh, off2 = scan_new_files("/mock/d", off, suffixes=(".csv",), storage=mem)
+    assert fresh == []
+    mem.write_bytes("/mock/d/a.csv", b"a\n1\n9\n")  # rewrite -> modified
+    fresh, _ = scan_new_files("/mock/d", off2, suffixes=(".csv",), storage=mem)
+    assert fresh == ["/mock/d/a.csv"]
+    # offset survives the persisted-stateMap JSON round trip here too
+    assert FileSourceOffset.from_json(off.to_json()).known == off.known
+
+
+def test_storage_backends_agree(ray_session, tmp_path):
+    """Same table written through the local and mock backends reads back
+    identically — the backend is invisible in the values."""
+    from tapdata_connectors_ray.sources.files import (
+        read_csv_segment_bytes,
+        write_csv_segment_bytes,
+    )
+    from tapdata_connectors_ray.sources.storage import LOCAL, MemoryFileStorage
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    t = pa.table({"a": list(range(50)), "b": [f"s{i}" for i in range(50)]}, schema=schema)
+    mem = MemoryFileStorage()
+    write_csv_segment_bytes(t, str(tmp_path / "loc"), storage=LOCAL, rows_per_file=16)
+    write_csv_segment_bytes(t, "/mock/seg", storage=mem, rows_per_file=16)
+    loc_files, _ = scan_new_files(str(tmp_path / "loc"), suffixes=(".csv",))
+    mem_files, _ = scan_new_files("/mock/seg", suffixes=(".csv",), storage=mem)
+    assert len(loc_files) == len(mem_files) == 4
+    a = read_csv_segment_bytes(loc_files, schema).to_pandas().sort_values("a").reset_index(drop=True)
+    b = read_csv_segment_bytes(mem_files, schema, storage=mem).to_pandas().sort_values("a").reset_index(drop=True)
+    assert a.equals(b)
+    assert a["a"].tolist() == list(range(50))
