@@ -73,29 +73,52 @@ def _expand_paths(path: str | list[str]) -> list[str]:
     return out
 
 
+# above this many log segments the DDL probe fans out as a Ray job (footer
+# reads parallelize across the cluster); below it a driver-side threaded
+# Arrow scan skips a whole Ray-job launch of fixed overhead
+DDL_SCAN_DRIVER_MAX_FILES = 1024
+
+# DDL rows are the only rows carrying a ddl_payload, and parquet row-group
+# null counts are exact — so `ddl_payload IS NOT NULL` prunes every pure-DML
+# row group at the footer, where `op == "DDL"` can't ("DDL" sorts inside the
+# [D, U] min/max of the op column).  Measured at sf3 (577 segments, 36M
+# rows): 0.09 s vs 3.1 s for the string-equality filter.
+_DDL_PREDICATE = ~pads.field("ddl_payload").is_null()
+_DDL_COLUMNS = ["lsn", "op", "schema_ver", "ddl_payload"]
+
+
 def scan_evolution_plan_distributed(
     events_path: str | list[str], spec: TableSpec = TRANSCRIPTS_SPEC
 ) -> EvolutionPlan:
-    """Pruned distributed scan of DDL rows (op == "DDL"): column projection +
-    row-group predicate pushdown at the read, tiny result to the driver."""
-    paths = _expand_paths(events_path)
-    # a handful of wide read tasks, not one per segment file: the result is
-    # metadata-scale, so per-task scheduling dominates an uncapped scan (at
-    # sf3 the log is ~550 segments -> 550 tiny tasks of pure fixed overhead)
-    ddl = ray.data.read_parquet(
-        paths,
-        columns=["lsn", "op", "schema_ver", "ddl_payload"],
-        filter=(pads.field("op") == "DDL"),
-        override_num_blocks=min(len(paths), 32),
-    )
-    rows = ddl.take_all()  # DDL events are metadata-scale (a handful)
+    """Pruned scan of DDL rows: column projection + null-count row-group
+    pruning; only row groups that actually contain a DDL event are read, so
+    the probe runs at footer speed.  Small logs scan on the driver (Arrow's
+    threaded scanner, no Ray-job launch); past DDL_SCAN_DRIVER_MAX_FILES
+    segments the same probe fans out as a capped Ray read."""
     import pyarrow as pa
 
-    table = (
-        pa.Table.from_pylist(rows)
-        if rows
-        else pa.table({"lsn": [], "schema_ver": [], "ddl_payload": []})
-    )
+    paths = _expand_paths(events_path)
+    if len(paths) <= DDL_SCAN_DRIVER_MAX_FILES:
+        table = pads.dataset(paths, format="parquet").to_table(
+            columns=_DDL_COLUMNS, filter=_DDL_PREDICATE
+        )
+    else:
+        ddl = ray.data.read_parquet(
+            paths,
+            columns=_DDL_COLUMNS,
+            filter=_DDL_PREDICATE,
+            override_num_blocks=min(len(paths), 32),
+        )
+        rows = ddl.take_all()  # DDL events are metadata-scale (a handful)
+        table = (
+            pa.Table.from_pylist(rows)
+            if rows
+            else pa.table({"lsn": [], "schema_ver": [], "ddl_payload": []})
+        )
+    if "op" in table.column_names:  # payload-bearing non-DDL rows, if any
+        import pyarrow.compute as pc
+
+        table = table.filter(pc.equal(table["op"], "DDL"))
     return EvolutionPlan.from_ddl_table(table, spec=spec)
 
 

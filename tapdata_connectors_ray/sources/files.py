@@ -329,12 +329,23 @@ def write_xlsx_segments(table: pa.Table, out_dir: str, rows_per_file: int = 8192
 
 def read_xlsx_segments(files: list[str], schema: pa.Schema) -> ray.data.Dataset:
     """XLSX segment files -> Dataset (header row maps cells to columns by
-    name; inline strings + numeric cells — the subset the writer and the
-    reference's excel-connector data path produce)."""
+    name).  Handles the two string encodings real files use: inline strings
+    (``t="inlineStr"``, what our writer emits) AND the shared-strings table
+    (``t="s"`` cells indexing ``xl/sharedStrings.xml`` — what Excel itself
+    and the reference's POI path write), plus plain numeric ``<v>`` cells."""
     if not files:
         return ray.data.from_arrow(schema.empty_table())
 
     NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+    def _cell_text(cell, shared: list[str]) -> str | None:
+        t = cell.get("t")
+        if t == "inlineStr":
+            return cell.findtext(f"{NS}is/{NS}t")
+        v = cell.findtext(f"{NS}v")
+        if t == "s" and v is not None:
+            return shared[int(v)]
+        return v
 
     def parse(batch: pa.Table) -> pa.Table:
         import io
@@ -345,19 +356,23 @@ def read_xlsx_segments(files: list[str], schema: pa.Schema) -> ray.data.Dataset:
         for blob in batch["bytes"].to_pylist():
             with zipfile.ZipFile(io.BytesIO(blob)) as z:
                 sheet = z.read("xl/worksheets/sheet1.xml")
+                shared: list[str] = []
+                if "xl/sharedStrings.xml" in z.namelist():
+                    sroot = ET.fromstring(z.read("xl/sharedStrings.xml"))
+                    # an <si> is one shared string: plain <t>, or rich-text
+                    # runs (<r><t>..</t></r>...) that concatenate
+                    shared = [
+                        "".join(t.text or "" for t in si.iter(f"{NS}t"))
+                        for si in sroot.findall(f"{NS}si")
+                    ]
             root = ET.fromstring(sheet)
             rows = root.find(f"{NS}sheetData").findall(f"{NS}row")
-            header = [
-                cell.findtext(f"{NS}is/{NS}t") for cell in rows[0].findall(f"{NS}c")
-            ]
+            header = [_cell_text(cell, shared) for cell in rows[0].findall(f"{NS}c")]
             for row in rows[1:]:
                 cells = row.findall(f"{NS}c")
                 vals = {}
                 for name, cell in zip(header, cells):
-                    if cell.get("t") == "inlineStr":
-                        vals[name] = cell.findtext(f"{NS}is/{NS}t")
-                    else:
-                        vals[name] = cell.findtext(f"{NS}v")
+                    vals[name] = _cell_text(cell, shared)
                 for f in schema:
                     cols[f.name].append(_cast_cell(vals.get(f.name), f.type))
         return pa.table(

@@ -158,3 +158,43 @@ def test_storage_backends_agree(ray_session, tmp_path):
     b = read_csv_segment_bytes(mem_files, schema, storage=mem).to_pandas().sort_values("a").reset_index(drop=True)
     assert a.equals(b)
     assert a["a"].tolist() == list(range(50))
+
+
+def test_xlsx_shared_strings(ray_session, tmp_path):
+    """Excel/POI-style files keep strings in xl/sharedStrings.xml with
+    t="s" index cells (incl. rich-text runs) — the reader must handle both
+    that and our writer's inline-string subset."""
+    import zipfile
+
+    from tapdata_connectors_ray.sources import files as F
+    from tapdata_connectors_ray.sources.files import read_xlsx_segments
+
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row><c t="s"><v>0</v></c><c t="s"><v>1</v></c></row>'      # header via shared strings
+        '<row><c><v>7</v></c><c t="s"><v>2</v></c></row>'
+        '<row><c><v>8</v></c><c t="s"><v>3</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">'
+        "<si><t>a</t></si><si><t>b</t></si>"
+        "<si><t>plain</t></si>"
+        "<si><r><t>rich </t></r><r><t>text</t></r></si>"             # rich-text runs concatenate
+        "</sst>"
+    )
+    p = str(tmp_path / "shared.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", F._XLSX_CT)
+        z.writestr("_rels/.rels", F._XLSX_RELS)
+        z.writestr("xl/workbook.xml", F._XLSX_WB)
+        z.writestr("xl/_rels/workbook.xml.rels", F._XLSX_WB_RELS)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    got = read_xlsx_segments([p], schema).to_pandas().sort_values("a").reset_index(drop=True)
+    assert got["a"].tolist() == [7, 8]
+    assert got["b"].tolist() == ["plain", "rich text"]
