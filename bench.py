@@ -154,7 +154,10 @@ def run_scaling(sf_label: str) -> dict:
     lo = int(os.environ.get("BENCH_CPUS_LO", "8"))
     hi = int(os.environ.get("BENCH_CPUS_HI", "32"))
     r_lo = _headline_subprocess(lo, sf_label)
+    # partial progress on stderr: a killed/timed-out run still yields the leg
+    print(f"[scaling] lo leg done: {r_lo}", file=sys.stderr, flush=True)
     r_hi = _headline_subprocess(hi, sf_label)
+    print(f"[scaling] hi leg done: {r_hi}", file=sys.stderr, flush=True)
     # efficiency: throughput gain vs resource gain (1.0 = perfect linear)
     eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
     return {
