@@ -30,6 +30,7 @@ _RUN_FIRST = (
     "source_xml_events_agg",
     "source_xlsx_events_agg",
     "source_jsonl_resume",
+    "source_csv_dialect",
     "source_storage_mock_backend",
     "source_partitioned_log",
     "sink_bulk_ndjson",

@@ -115,6 +115,40 @@ def q_source_jsonl_resume(sf_dir: str) -> Any:
     return _event_type_agg(read_jsonl_segments(fresh))
 
 
+def ensure_tsv_segments(sf_dir: str) -> str:
+    """events -> tab-separated segments with quoted strings (a non-default
+    dialect: separator='\\t'), deterministic content, cached under /tmp."""
+    import pyarrow.csv as pacsv
+
+    sf = sf_label_from_dir(sf_dir)
+    out = f"/tmp/tcr_fixtures/{sf}/events_tsv"
+    marker = os.path.join(out, f".v{_SEG_VERSION}")
+    if os.path.exists(marker):
+        return out
+    table = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=_COLS)
+    os.makedirs(out, exist_ok=True)
+    wo = pacsv.WriteOptions(delimiter="\t")
+    for i in range(0, table.num_rows, 8192):
+        pacsv.write_csv(
+            table.slice(i, 8192), os.path.join(out, f"seg-{i // 8192:05d}.tsv"), wo
+        )
+    open(marker, "w").close()
+    return out
+
+
+def q_source_csv_dialect(sf_dir: str) -> Any:
+    """Non-default CSV dialect (tab separator) through CsvReadOptions — the
+    reference's separator/quoteChar config surface (CsvConfig.java) mapped
+    onto the Arrow CSV reader; oracle reads the same bytes with DuckDB's
+    read_csv(sep='\\t')."""
+    from tapdata_connectors_ray.sources.files import CsvReadOptions
+
+    seg_dir = ensure_tsv_segments(sf_dir)
+    files, _ = scan_new_files(seg_dir, suffixes=(".tsv",))
+    ds = read_csv_segments(files, _EVENT_SCHEMA, options=CsvReadOptions(separator="\t"))
+    return _event_type_agg(ds)
+
+
 def q_source_storage_mock_backend(sf_dir: str) -> Any:
     """Round trip through the pluggable storage SPI's mock network backend
     (the FTP/SFTP/SMB/S3/OSS stand-in, ``file-storages/.../FileStorage``):
@@ -226,6 +260,7 @@ def filesource_queries() -> dict[str, Callable[[str], Any]]:
         "source_xml_events_agg": q_source_xml_events_agg,
         "source_xlsx_events_agg": q_source_xlsx_events_agg,
         "source_jsonl_resume": q_source_jsonl_resume,
+        "source_csv_dialect": q_source_csv_dialect,
         "source_storage_mock_backend": q_source_storage_mock_backend,
         "source_partitioned_log": q_source_partitioned_log,
         "sink_bulk_ndjson": q_sink_bulk_ndjson,
@@ -273,7 +308,14 @@ def filesource_oracle_sql(oracle_sf_dir: str | None = None) -> dict[str, str]:
     # materialize the segment files for the Ray side
     ensure_event_segments(oracle_sf_dir, "xml")
     ensure_event_segments(oracle_sf_dir, "xlsx")
+    tsv_glob = ensure_tsv_segments(oracle_sf_dir) + "/*.tsv"
     return {
+        "source_csv_dialect": f"""
+            SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
+            FROM read_csv('{tsv_glob}', header=true, sep='\t',
+                          columns={{'user_id':'BIGINT','event_type':'VARCHAR','value':'DOUBLE'}})
+            GROUP BY event_type ORDER BY event_type
+        """,
         "source_csv_events_agg": f"""
             SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
             FROM read_csv('{csv_glob}', header=true,

@@ -56,14 +56,30 @@ def scan_new_files(
     offset: FileSourceOffset | None = None,
     suffixes: tuple[str, ...] = (".csv", ".jsonl", ".json"),
     storage: FileStorage = LOCAL,
+    include_regex: str | None = None,
+    exclude_regex: str | None = None,
+    recursive: bool = False,
 ) -> tuple[list[str], FileSourceOffset]:
     """One polling cycle: returns (new-or-modified files, advanced offset).
     The directory-diff core of the reference's 60 s polling stream, over any
-    :class:`FileStorage` backend (local dir, or the mock network backend)."""
+    :class:`FileStorage` backend (local dir, or the mock network backend).
+
+    ``include_regex`` / ``exclude_regex`` filter on the file NAME (the
+    reference's ``includeRegString`` / ``excludeRegString``,
+    ``FileConfig.java``); exclude wins over include."""
+    import re
+
     offset = offset or FileSourceOffset()
+    inc = re.compile(include_regex) if include_regex else None
+    exc = re.compile(exclude_regex) if exclude_regex else None
     fresh: list[str] = []
     new_known = dict(offset.known)
-    for st in storage.list(src_dir, suffixes):
+    for st in storage.list(src_dir, suffixes, recursive=recursive):
+        name = os.path.basename(st.path)
+        if inc is not None and not inc.search(name):
+            continue
+        if exc is not None and exc.search(name):
+            continue
         sig = (st.mtime_ns, st.size)
         if offset.known.get(st.path) != sig:
             fresh.append(st.path)
@@ -135,13 +151,60 @@ def write_csv_segment_bytes(
     return paths
 
 
+@dataclass(frozen=True)
+class CsvReadOptions:
+    """CSV dialect surface (the reference's ``CsvConfig`` + ``FileConfig``
+    knobs: separator/quoteChar/fileEncoding/headerLine/header/dataStartLine/
+    justString, ``config/CsvConfig.java``) mapped onto the Arrow CSV reader.
+
+    ``header`` (explicit column names) takes precedence over the file's
+    header line; ``data_start_line`` is 1-based like the reference (rows
+    before it — beyond the header — are skipped); ``just_string`` reads
+    every column as string (the reference's untyped mode)."""
+
+    separator: str = ","
+    quote_char: str | bool = '"'
+    encoding: str = "utf8"
+    header: list[str] | None = None
+    data_start_line: int = 2  # 1-based first data row (reference default: after header)
+    just_string: bool = False
+
+    def arrow_args(self, schema: pa.Schema | None) -> dict:
+        read_kwargs: dict = {"encoding": self.encoding}
+        if self.header is not None:
+            read_kwargs["column_names"] = list(self.header)
+            # no header line in the file: data starts at line data_start_line-1 rows in
+            read_kwargs["skip_rows"] = self.data_start_line - 1
+        else:
+            read_kwargs["skip_rows_after_names"] = self.data_start_line - 2
+        out = {
+            "read_options": pacsv.ReadOptions(**read_kwargs),
+            "parse_options": pacsv.ParseOptions(
+                delimiter=self.separator, quote_char=self.quote_char
+            ),
+        }
+        if self.just_string and schema is not None:
+            schema = pa.schema([pa.field(f.name, pa.string()) for f in schema])
+        if schema is not None:
+            out["convert_options"] = pacsv.ConvertOptions(
+                column_types={f.name: f.type for f in schema}
+            )
+        return out
+
+
 def read_csv_segments(
-    files: list[str], schema: pa.Schema | None = None
+    files: list[str],
+    schema: pa.Schema | None = None,
+    options: CsvReadOptions | None = None,
 ) -> ray.data.Dataset:
     """CSV segments -> Dataset (one read task per file; explicit schema
-    disables sampling-based inference so segments can't drift apart)."""
+    disables sampling-based inference so segments can't drift apart;
+    ``options`` carries the dialect — separator/quote/encoding/header
+    placement, reference ``CsvConnector.java:110-235``)."""
     if not files:
         return ray.data.from_arrow(pa.table({}))
+    if options is not None:
+        return ray.data.read_csv(files, **options.arrow_args(schema))
     kwargs = {}
     if schema is not None:
         kwargs["convert_options"] = pacsv.ConvertOptions(
@@ -150,10 +213,83 @@ def read_csv_segments(
     return ray.data.read_csv(files, **kwargs)
 
 
+def read_offstandard_lines(
+    files: list[str],
+    line_expression: str,
+    columns: list[str],
+    storage: FileStorage = LOCAL,
+    encoding: str = "utf-8",
+) -> ray.data.Dataset:
+    """Off-standard "CSV": each line is decoded by repeatedly matching
+    ``line_expression`` and taking group(1) — the reference's escape hatch
+    for exports no dialect setting can describe (``OffStandardFilter.java``,
+    ``OffStandardCsvSchema.java``).  Inherently regex-per-line; the pattern
+    compiles once per task and all columns come back as strings (the
+    reference's justString contract for this mode)."""
+    import re
+
+    if not files:
+        return ray.data.from_arrow(
+            pa.schema([(c, pa.string()) for c in columns]).empty_table()
+        )
+    pat = re.compile(line_expression)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {c: [] for c in columns}
+        for blob in batch["bytes"].to_pylist():
+            for line in blob.decode(encoding).splitlines():
+                if not line:
+                    continue
+                vals = [m.group(1) for m in pat.finditer(line)]
+                if not vals:
+                    continue  # unmatched line -> skipped, like the reference's null return
+                for i, c in enumerate(columns):
+                    cols[c].append(vals[i] if i < len(vals) else None)
+        return pa.table({c: pa.array(cols[c], pa.string()) for c in columns})
+
+    return read_segment_bytes(files, storage).map_batches(
+        parse, batch_format="pyarrow", batch_size=4
+    )
+
+
 def read_jsonl_segments(files: list[str]) -> ray.data.Dataset:
     if not files:
         return ray.data.from_arrow(pa.table({}))
     return ray.data.read_json(files)
+
+
+def read_json_file_segments(
+    files: list[str],
+    schema: pa.Schema,
+    json_type: str = "array",
+    storage: FileStorage = LOCAL,
+) -> ray.data.Dataset:
+    """Whole-file JSON documents -> Dataset — the reference json-connector's
+    ``jsonType`` surface (``JsonConnector.java`` / ``JsonReaderUtil.java``):
+
+    - ``"array"``:  the file is one JSON array of row objects;
+    - ``"object"``: the file is one JSON object whose VALUES are the row
+      objects (map keys are identifiers, discarded like the reference).
+
+    (Line-delimited JSON stays on the zero-copy ``read_jsonl_segments``
+    path.)  One parse task per file via ``read_segment_bytes``."""
+    if json_type not in ("array", "object"):
+        raise ValueError(f"json_type must be 'array' or 'object', got {json_type!r}")
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for blob in batch["bytes"].to_pylist():
+            doc = json.loads(blob)
+            rows.extend(doc.values() if isinstance(doc, dict) else doc)
+        cols = {
+            f.name: pa.array([r.get(f.name) for r in rows], type=f.type)
+            for f in schema
+        }
+        return pa.table(cols)
+
+    return read_segment_bytes(files, storage).map_batches(
+        parse, batch_format="pyarrow", batch_size=4
+    )
 
 
 def batch_then_poll(
@@ -286,53 +422,89 @@ _XLSX_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 </Relationships>"""
 
 
-def write_xlsx_segments(table: pa.Table, out_dir: str, rows_per_file: int = 8192) -> list[str]:
-    """Minimal OOXML writer: header row + data rows, strings inline
-    (``t="inlineStr"``), numbers as shortest-round-trip text."""
-    import zipfile
+def _sheet_xml(chunk: list[dict], cols: list[str]) -> str:
     from xml.sax.saxutils import escape
+
+    rows_xml = ["<row>"]
+    rows_xml += [f'<c t="inlineStr"><is><t>{escape(c)}</t></is></c>' for c in cols]
+    rows_xml.append("</row>")
+    for row in chunk:
+        rows_xml.append("<row>")
+        for c in cols:
+            v = row[c]
+            if v is None:
+                rows_xml.append("<c/>")
+            elif isinstance(v, (int, float)) and not isinstance(v, bool):
+                rows_xml.append(f"<c><v>{repr(v) if isinstance(v, float) else v}</v></c>")
+            else:
+                rows_xml.append(f'<c t="inlineStr"><is><t>{escape(str(v))}</t></is></c>')
+        rows_xml.append("</row>")
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(rows_xml) + "</sheetData></worksheet>"
+    )
+
+
+def write_xlsx_segments(
+    table: pa.Table, out_dir: str, rows_per_file: int = 8192, num_sheets: int = 1
+) -> list[str]:
+    """Minimal OOXML writer: header row + data rows, strings inline
+    (``t="inlineStr"``), numbers as shortest-round-trip text.
+    ``num_sheets`` splits each segment's rows contiguously across that many
+    worksheets (each repeating the header) — the multi-sheet workbook shape
+    the reference's sheet selector targets."""
+    import zipfile
 
     os.makedirs(out_dir, exist_ok=True)
     cols = table.column_names
     paths = []
     for i in range(0, table.num_rows, rows_per_file):
         chunk = table.slice(i, rows_per_file).to_pylist()
-        rows_xml = ["<row>"]
-        rows_xml += [f'<c t="inlineStr"><is><t>{escape(c)}</t></is></c>' for c in cols]
-        rows_xml.append("</row>")
-        for row in chunk:
-            rows_xml.append("<row>")
-            for c in cols:
-                v = row[c]
-                if v is None:
-                    rows_xml.append("<c/>")
-                elif isinstance(v, (int, float)) and not isinstance(v, bool):
-                    rows_xml.append(f"<c><v>{repr(v) if isinstance(v, float) else v}</v></c>")
-                else:
-                    rows_xml.append(f'<c t="inlineStr"><is><t>{escape(str(v))}</t></is></c>')
-            rows_xml.append("</row>")
-        sheet = (
-            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-            "<sheetData>" + "".join(rows_xml) + "</sheetData></worksheet>"
-        )
+        per = -(-len(chunk) // num_sheets) if chunk else 1
         p = os.path.join(out_dir, f"seg-{i // rows_per_file:05d}.xlsx")
         with zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) as z:
             z.writestr("[Content_Types].xml", _XLSX_CT)
             z.writestr("_rels/.rels", _XLSX_RELS)
             z.writestr("xl/workbook.xml", _XLSX_WB)
             z.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
-            z.writestr("xl/worksheets/sheet1.xml", sheet)
+            for s in range(num_sheets):
+                z.writestr(
+                    f"xl/worksheets/sheet{s + 1}.xml",
+                    _sheet_xml(chunk[s * per : (s + 1) * per], cols),
+                )
         paths.append(p)
     return paths
 
 
-def read_xlsx_segments(files: list[str], schema: pa.Schema) -> ray.data.Dataset:
+def _col_index_from_ref(ref: str) -> int | None:
+    """'B7' -> 1 (0-based column).  Excel omits empty cells and instead
+    stamps each <c> with its position — positional zip misaligns there."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return n - 1 if n else None
+
+
+def read_xlsx_segments(
+    files: list[str],
+    schema: pa.Schema,
+    sheets: list[int] | None = None,
+    col_range: tuple[int, int] | None = None,
+) -> ray.data.Dataset:
     """XLSX segment files -> Dataset (header row maps cells to columns by
-    name).  Handles the two string encodings real files use: inline strings
-    (``t="inlineStr"``, what our writer emits) AND the shared-strings table
-    (``t="s"`` cells indexing ``xl/sharedStrings.xml`` — what Excel itself
-    and the reference's POI path write), plus plain numeric ``<v>`` cells."""
+    name).  Handles the string encodings real files use — inline strings
+    (``t="inlineStr"``), the shared-strings table (``t="s"`` indexing
+    ``xl/sharedStrings.xml``, what Excel/POI write), plain numeric ``<v>``
+    cells — and sparse rows via the cell ``r`` position attribute.
+
+    ``sheets`` selects 1-based worksheet numbers (the reference's
+    ``sheetNum``/``sheetLocation``, ``ExcelConfig.java``; default = all
+    sheets, each expected to repeat the header).  ``col_range`` is a 1-based
+    inclusive positional column window (``firstColumn``/``lastColumn``)."""
     if not files:
         return ray.data.from_arrow(schema.empty_table())
 
@@ -347,15 +519,35 @@ def read_xlsx_segments(files: list[str], schema: pa.Schema) -> ray.data.Dataset:
             return shared[int(v)]
         return v
 
+    def _row_cells(row, shared: list[str]) -> dict[int, str | None]:
+        out: dict[int, str | None] = {}
+        pos = 0
+        for cell in row.findall(f"{NS}c"):
+            idx = _col_index_from_ref(cell.get("r", ""))
+            pos = idx if idx is not None else pos
+            out[pos] = _cell_text(cell, shared)
+            pos += 1
+        if col_range is not None:
+            lo, hi = col_range[0] - 1, col_range[1] - 1
+            out = {i: v for i, v in out.items() if lo <= i <= hi}
+        return out
+
     def parse(batch: pa.Table) -> pa.Table:
         import io
+        import re
         import xml.etree.ElementTree as ET
         import zipfile
 
         cols: dict[str, list] = {f.name: [] for f in schema}
         for blob in batch["bytes"].to_pylist():
             with zipfile.ZipFile(io.BytesIO(blob)) as z:
-                sheet = z.read("xl/worksheets/sheet1.xml")
+                nums = sorted(
+                    int(m.group(1))
+                    for n in z.namelist()
+                    if (m := re.fullmatch(r"xl/worksheets/sheet(\d+)\.xml", n))
+                )
+                chosen = [n for n in nums if sheets is None or n in sheets]
+                sheet_blobs = [z.read(f"xl/worksheets/sheet{n}.xml") for n in chosen]
                 shared: list[str] = []
                 if "xl/sharedStrings.xml" in z.namelist():
                     sroot = ET.fromstring(z.read("xl/sharedStrings.xml"))
@@ -365,16 +557,20 @@ def read_xlsx_segments(files: list[str], schema: pa.Schema) -> ray.data.Dataset:
                         "".join(t.text or "" for t in si.iter(f"{NS}t"))
                         for si in sroot.findall(f"{NS}si")
                     ]
-            root = ET.fromstring(sheet)
-            rows = root.find(f"{NS}sheetData").findall(f"{NS}row")
-            header = [_cell_text(cell, shared) for cell in rows[0].findall(f"{NS}c")]
-            for row in rows[1:]:
-                cells = row.findall(f"{NS}c")
-                vals = {}
-                for name, cell in zip(header, cells):
-                    vals[name] = _cell_text(cell, shared)
-                for f in schema:
-                    cols[f.name].append(_cast_cell(vals.get(f.name), f.type))
+            for sheet in sheet_blobs:
+                root = ET.fromstring(sheet)
+                rows = root.find(f"{NS}sheetData").findall(f"{NS}row")
+                if not rows:
+                    continue
+                header = _row_cells(rows[0], shared)
+                for row in rows[1:]:
+                    vals = {
+                        header.get(i): v
+                        for i, v in _row_cells(row, shared).items()
+                        if header.get(i) is not None
+                    }
+                    for f in schema:
+                        cols[f.name].append(_cast_cell(vals.get(f.name), f.type))
         return pa.table(
             {f.name: pa.array(cols[f.name], type=f.type) for f in schema}
         )

@@ -41,7 +41,9 @@ class FileStorage(Protocol):
     """list/read/write/delete — the surface every reference
     ``...FileStorage.java`` implements."""
 
-    def list(self, src_dir: str, suffixes: tuple[str, ...]) -> list[FileStat]: ...
+    def list(
+        self, src_dir: str, suffixes: tuple[str, ...], recursive: bool = False
+    ) -> list[FileStat]: ...
 
     def read_bytes(self, path: str) -> bytes: ...
 
@@ -51,15 +53,33 @@ class FileStorage(Protocol):
 
     def delete(self, path: str) -> None: ...
 
+    def stat(self, path: str) -> FileStat: ...
+
+    def move(self, src: str, dst: str) -> None: ...
+
 
 class LocalFileStorage:
     """The os-backed storage every production path uses; paths are visible
     to Ray tasks, so bulk reads stay on ``ray.data.read_*`` (no bytes
     through the driver)."""
 
-    def list(self, src_dir: str, suffixes: tuple[str, ...]) -> list[FileStat]:
+    def list(
+        self, src_dir: str, suffixes: tuple[str, ...], recursive: bool = False
+    ) -> list[FileStat]:
+        names: list[str]
+        if recursive:
+            names = [
+                os.path.relpath(os.path.join(root, f), src_dir)
+                for root, _, fs in os.walk(src_dir)
+                for f in fs
+            ]
+        else:
+            names = [
+                f for f in os.listdir(src_dir)
+                if os.path.isfile(os.path.join(src_dir, f))
+            ]
         out = []
-        for f in sorted(os.listdir(src_dir)):
+        for f in sorted(names):
             if f.endswith(suffixes):
                 p = os.path.join(src_dir, f)
                 st = os.stat(p)
@@ -81,6 +101,14 @@ class LocalFileStorage:
     def delete(self, path: str) -> None:
         os.unlink(path)
 
+    def stat(self, path: str) -> FileStat:
+        st = os.stat(path)
+        return FileStat(path, st.st_mtime_ns, st.st_size)
+
+    def move(self, src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+
 
 @dataclass
 class MemoryFileStorage:
@@ -92,12 +120,16 @@ class MemoryFileStorage:
     files: dict[str, tuple[int, bytes]] = field(default_factory=dict)
     _clock: int = 0
 
-    def list(self, src_dir: str, suffixes: tuple[str, ...]) -> list[FileStat]:
+    def list(
+        self, src_dir: str, suffixes: tuple[str, ...], recursive: bool = False
+    ) -> list[FileStat]:
         prefix = src_dir.rstrip("/") + "/"
         return [
             FileStat(p, mtime, len(data))
             for p, (mtime, data) in sorted(self.files.items())
-            if p.startswith(prefix) and p.endswith(suffixes)
+            if p.startswith(prefix)
+            and p.endswith(suffixes)
+            and (recursive or "/" not in p[len(prefix):])
         ]
 
     def read_bytes(self, path: str) -> bytes:
@@ -112,6 +144,16 @@ class MemoryFileStorage:
 
     def delete(self, path: str) -> None:
         del self.files[path]
+
+    def stat(self, path: str) -> FileStat:
+        mtime, data = self.files[path]
+        return FileStat(path, mtime, len(data))
+
+    def move(self, src: str, dst: str) -> None:
+        # like a rename on a remote store: dst adopts a fresh mtime (the
+        # polling scanner must see it as new at the destination)
+        self._clock += 1
+        self.files[dst] = (self._clock, self.files.pop(src)[1])
 
 
 LOCAL = LocalFileStorage()

@@ -198,3 +198,162 @@ def test_xlsx_shared_strings(ray_session, tmp_path):
     got = read_xlsx_segments([p], schema).to_pandas().sort_values("a").reset_index(drop=True)
     assert got["a"].tolist() == [7, 8]
     assert got["b"].tolist() == ["plain", "rich text"]
+
+
+def test_csv_dialect_options(ray_session, tmp_path):
+    """Separator/quote/header/data-start/just-string knobs (the reference's
+    CsvConfig surface) round-trip through the Arrow reader."""
+    from tapdata_connectors_ray.sources.files import CsvReadOptions, read_csv_segments
+
+    p = str(tmp_path / "d.csv")
+    with open(p, "w") as f:
+        f.write('a;b\n#;comment\n1;"x;y"\n2;q\n')
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    # header in file, data starts at line 3 (skip the comment row)
+    got = read_csv_segments(
+        [p], schema, options=CsvReadOptions(separator=";", data_start_line=3)
+    ).to_pandas().sort_values("a").reset_index(drop=True)
+    assert got["a"].tolist() == [1, 2]
+    assert got["b"].tolist() == ["x;y", "q"]  # quoted separator survives
+    # explicit header + headerless file region (skip the real header + comment)
+    got2 = read_csv_segments(
+        [p], schema,
+        options=CsvReadOptions(separator=";", header=["a", "b"], data_start_line=3),
+    ).to_pandas()
+    assert got2["a"].tolist() == [1, 2]
+    # just_string: every column reads as string
+    got3 = read_csv_segments(
+        [p], schema,
+        options=CsvReadOptions(separator=";", data_start_line=3, just_string=True),
+    ).to_pandas()
+    assert got3["a"].tolist() == ["1", "2"]
+
+
+def test_scan_include_exclude_recursive(tmp_path):
+    from tapdata_connectors_ray.sources.storage import LOCAL
+
+    (tmp_path / "sub").mkdir()
+    for name in ("keep-1.csv", "keep-2.csv", "skip-1.csv", "sub/keep-3.csv"):
+        (tmp_path / name).write_text("a\n1\n")
+    files, _ = scan_new_files(str(tmp_path), include_regex=r"^keep-", suffixes=(".csv",))
+    assert [os.path.basename(f) for f in files] == ["keep-1.csv", "keep-2.csv"]
+    files, _ = scan_new_files(str(tmp_path), exclude_regex=r"skip", suffixes=(".csv",))
+    assert [os.path.basename(f) for f in files] == ["keep-1.csv", "keep-2.csv"]
+    files, _ = scan_new_files(
+        str(tmp_path), include_regex=r"^keep-", suffixes=(".csv",), recursive=True
+    )
+    assert [os.path.basename(f) for f in files] == ["keep-1.csv", "keep-2.csv", "keep-3.csv"]
+    # memory backend honours recursive the same way
+    from tapdata_connectors_ray.sources.storage import MemoryFileStorage
+
+    mem = MemoryFileStorage()
+    mem.write_bytes("/m/a.csv", b"x")
+    mem.write_bytes("/m/deep/b.csv", b"x")
+    assert [s.path for s in mem.list("/m", (".csv",))] == ["/m/a.csv"]
+    assert [s.path for s in mem.list("/m", (".csv",), recursive=True)] == [
+        "/m/a.csv", "/m/deep/b.csv"
+    ]
+
+
+def test_offstandard_line_expression(ray_session, tmp_path):
+    """The reference's OffStandardFilter escape hatch: a regex whose group(1)
+    captures each field, applied per line."""
+    from tapdata_connectors_ray.sources.files import read_offstandard_lines
+
+    p = str(tmp_path / "weird.txt")
+    with open(p, "w") as f:
+        f.write('<<id=1>><<name=ann>>\n<<id=2>><<name=bob>>\nnoise line\n')
+    got = (
+        read_offstandard_lines([p], r"<<\w+=(\w+)>>", ["id", "name"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert got["id"].tolist() == ["1", "2"]
+    assert got["name"].tolist() == ["ann", "bob"]
+
+
+def test_xlsx_multisheet_colrange_sparse(ray_session, tmp_path):
+    """Reference ExcelConfig surface: sheetNum selection, first/lastColumn
+    window, and Excel's sparse rows (cells placed by r="B2"-style refs)."""
+    import zipfile
+
+    import pandas as pd
+
+    from tapdata_connectors_ray.sources import files as F
+    from tapdata_connectors_ray.sources.files import read_xlsx_segments, write_xlsx_segments
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    t = pa.table({"a": list(range(10)), "b": [f"s{i}" for i in range(10)]}, schema=schema)
+    d = str(tmp_path / "multi")
+    files = write_xlsx_segments(t, d, num_sheets=3)
+    # all sheets (default) -> full table
+    got = read_xlsx_segments(files, schema).to_pandas().sort_values("a")
+    assert got["a"].tolist() == list(range(10))
+    # sheet 1 only -> first ceil(10/3)=4 rows
+    got1 = read_xlsx_segments(files, schema, sheets=[1]).to_pandas()
+    assert got1["a"].tolist() == [0, 1, 2, 3]
+    # sheets 2+3 -> the rest
+    got23 = read_xlsx_segments(files, schema, sheets=[2, 3]).to_pandas().sort_values("a")
+    assert got23["a"].tolist() == [4, 5, 6, 7, 8, 9]
+    # column window: only column 1 (a) -> b reads as null
+    gotw = read_xlsx_segments(files, schema, sheets=[1], col_range=(1, 1)).to_pandas()
+    assert gotw["a"].tolist() == [0, 1, 2, 3] and gotw["b"].isna().all()
+    # sparse row: cell b placed by r= ref with a omitted
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>b</t></is></c></row>'
+        '<row r="2"><c r="B2" t="inlineStr"><is><t>only-b</t></is></c></row>'
+        '<row r="3"><c r="A3"><v>5</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    p = str(tmp_path / "sparse.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", F._XLSX_CT)
+        z.writestr("_rels/.rels", F._XLSX_RELS)
+        z.writestr("xl/workbook.xml", F._XLSX_WB)
+        z.writestr("xl/_rels/workbook.xml.rels", F._XLSX_WB_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    gots = read_xlsx_segments([p], schema).to_pandas()
+    assert gots["a"].tolist()[1] == 5 and pd.isna(gots["a"].tolist()[0])
+    assert gots["b"].tolist()[0] == "only-b" and gots["b"].tolist()[1] is None
+
+
+def test_json_array_and_object_files(ray_session, tmp_path):
+    """jsonType surface of the reference json-connector: whole-file JSON
+    array of rows, and object-of-rows (map values are the rows)."""
+    import json as _json
+
+    from tapdata_connectors_ray.sources.files import read_json_file_segments
+
+    schema = pa.schema([("id", pa.int64()), ("name", pa.string())])
+    rows = [{"id": 1, "name": "x"}, {"id": 2, "name": "y"}]
+    pa_file = str(tmp_path / "arr.json")
+    with open(pa_file, "w") as f:
+        _json.dump(rows, f)
+    po_file = str(tmp_path / "obj.json")
+    with open(po_file, "w") as f:
+        _json.dump({"r1": rows[0], "r2": rows[1]}, f)
+    ga = read_json_file_segments([pa_file], schema, "array").to_pandas().sort_values("id")
+    go = read_json_file_segments([po_file], schema, "object").to_pandas().sort_values("id")
+    assert ga["id"].tolist() == go["id"].tolist() == [1, 2]
+    assert ga["name"].tolist() == go["name"].tolist() == ["x", "y"]
+    with pytest.raises(ValueError):
+        read_json_file_segments([pa_file], schema, "lines")
+
+
+def test_storage_stat_and_move(tmp_path):
+    """stat/move round the SPI surface (reference LocalFileStorage.getFile /
+    move); a moved file re-appears as NEW at its destination to the scanner."""
+    from tapdata_connectors_ray.sources.storage import LOCAL, MemoryFileStorage
+
+    for store, base in ((LOCAL, str(tmp_path)), (MemoryFileStorage(), "/m")):
+        store.write_bytes(f"{base}/in/x.csv", b"a\n1\n")
+        st = store.stat(f"{base}/in/x.csv")
+        assert st.size == 4 and st.path.endswith("/in/x.csv")
+        store.move(f"{base}/in/x.csv", f"{base}/done/x.csv")
+        assert not store.exists(f"{base}/in/x.csv")
+        assert store.read_bytes(f"{base}/done/x.csv") == b"a\n1\n"
+        fresh, _ = scan_new_files(f"{base}/done", suffixes=(".csv",), storage=store)
+        assert [os.path.basename(p) for p in fresh] == ["x.csv"]
