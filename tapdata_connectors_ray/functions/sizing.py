@@ -65,3 +65,11 @@ def join_partitions(est_rows: int | None = None) -> int:
         p = min(p, max(2, est_rows // JOIN_ROWS_PER_PARTITION_MIN))
         p = max(p, min(JOIN_PARTITION_MAX, est_rows // JOIN_ROWS_PER_PARTITION))
     return int(min(p, JOIN_PARTITION_MAX))
+
+
+def actor_pool(max_frac: float = 0.5, min_actors: int = 1) -> tuple[int, int]:
+    """(min, max) for an autoscaling actor-pool ``map_batches`` stage: start
+    small (setup cost is per-actor), let backlog grow the pool to
+    ~``max_frac`` of cluster CPUs.  Replaces literal ``concurrency=(1, 2)``
+    caps that starve the stage on bigger clusters."""
+    return (min_actors, max(2, int(_cluster_cpus() * max_frac)))

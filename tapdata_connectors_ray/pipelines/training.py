@@ -28,7 +28,7 @@ import ray.data
 from ray.data.aggregate import Count
 
 from tapdata_connectors_ray.fixtures import sf_label_from_dir
-from tapdata_connectors_ray.functions.sizing import join_partitions
+from tapdata_connectors_ray.functions.sizing import actor_pool, join_partitions
 
 NGRAM = 3
 JACCARD_THRESHOLD = 0.6
@@ -293,7 +293,7 @@ def q_dedup_minhash_lsh(sf_dir: str) -> Any:
        texts have identical shingle sets, so (common, union) carries over);
        min/max-normalize and coarse-bucket dedupe (self-pair expansion emits
        each within-cluster pair twice)."""
-    from tapdata_connectors_ray.functions.sizing import join_partitions
+    from tapdata_connectors_ray.functions.sizing import actor_pool, join_partitions
     from tapdata_connectors_ray.stages.dedup import (
         MinHashLSH,
         band_pairs_bucket,
@@ -521,7 +521,7 @@ def q_ann_cosine_topk(sf_dir: str) -> Any:
     cands = (
         _emb(sf_dir)
         .select_columns(["vec_id", "embedding"])
-        .map_batches(TopK, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(TopK, batch_format="pyarrow", concurrency=actor_pool())
         .to_pandas()
     )
     return final_topk(cands, ANN_K)
@@ -590,7 +590,7 @@ def q_ann_ivf_topk(sf_dir: str) -> Any:
         os.path.join(sf_dir, "embeddings.parquet"),
         filter=pads.field("label").isin(probed_union),  # prune at the read
     )
-    cands = ds.map_batches(IVFTopK, batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+    cands = ds.map_batches(IVFTopK, batch_format="pyarrow", concurrency=actor_pool()).to_pandas()
     return final_topk(cands, ANN_K)
 
 
@@ -626,7 +626,7 @@ def q_text_language_id(sf_dir: str) -> Any:
 def q_text_fingerprint(sf_dir: str) -> Any:
     from tapdata_connectors_ray.stages.textqc import Fingerprint
 
-    return _docs(sf_dir).map_batches(Fingerprint, batch_format="pyarrow", concurrency=(1, 4))
+    return _docs(sf_dir).map_batches(Fingerprint, batch_format="pyarrow", concurrency=actor_pool())
 
 
 # ---------------------------------------------------------------------------
@@ -668,7 +668,7 @@ def q_multimodal_decode_features(sf_dir: str) -> Any:
     from tapdata_connectors_ray.sources.media import DecodeMedia
 
     return ray.data.read_parquet(_media_path(sf_dir)).map_batches(
-        DecodeMedia, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+        DecodeMedia, batch_format="pyarrow", batch_size=256, concurrency=actor_pool()
     )
 
 
@@ -686,10 +686,10 @@ def q_multimodal_resize_pipeline(sf_dir: str) -> Any:
         zero_copy_batch=True,
     )
     resized = images.map_batches(
-        ResizeImageStub, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+        ResizeImageStub, batch_format="pyarrow", batch_size=256, concurrency=actor_pool()
     )
     return resized.map_batches(
-        DecodeMedia, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+        DecodeMedia, batch_format="pyarrow", batch_size=256, concurrency=actor_pool()
     )
 
 
@@ -708,10 +708,10 @@ def q_multimodal_frame_sample(sf_dir: str) -> Any:
         zero_copy_batch=True,
     )
     sampled = videos.map_batches(
-        FrameSampleStub, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+        FrameSampleStub, batch_format="pyarrow", batch_size=256, concurrency=actor_pool()
     )
     return sampled.map_batches(
-        DecodeMedia, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+        DecodeMedia, batch_format="pyarrow", batch_size=256, concurrency=actor_pool()
     )
 
 
