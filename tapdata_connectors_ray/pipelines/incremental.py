@@ -48,6 +48,16 @@ from tapdata_connectors_ray.state.checkpoint import (
 )
 from tapdata_connectors_ray.state.registry import EvolutionPlan
 
+# Transient-sink retry classification (reference: retryable-exception
+# collection + reconnect-before-retry, ConnectorBase.java:391-406,
+# exceptionCollector.collect*): I/O errors during the partition write are
+# safe to retry at the TASK level because the write is idempotent —
+# deterministic final file name + write-tmp-then-atomic-rename, and the
+# manifest swap (the only externally visible commit) happens after all
+# partitions land.  Non-I/O errors keep failing fast.
+SINK_MAX_RETRIES = 4
+RETRYABLE_SINK_EXCEPTIONS: tuple[type[BaseException], ...] = (OSError,)
+
 APPLY_RESULT_SCHEMA = pa.schema(
     [
         pa.field("partition_id", pa.int32()),
@@ -106,6 +116,7 @@ class MergeApplyWriter:
         epoch: int,
         plan: EvolutionPlan,
         mode: str = "rewrite",
+        fault_injector=None,
     ):
         self.lake_dir = lake_dir
         self.prev = prev
@@ -114,9 +125,15 @@ class MergeApplyWriter:
         self.mode = mode
         self.keys = plan.keys()
         self.out_schema = merged_schema(plan.schema_at())
+        # test hook: called with the partition id before writing; lets a
+        # conformance test raise a transient error on first attempt and
+        # prove the retried task converges (idempotent file names)
+        self.fault_injector = fault_injector
 
     def __call__(self, t: pa.Table) -> pa.Table:
         pid = int(t["partition_id"][0].as_py())
+        if self.fault_injector is not None:
+            self.fault_injector(pid)
         event_rows = len(t)
         from tapdata_connectors_ray.stages.merge import lww_merge_tables
 
@@ -210,6 +227,7 @@ class CheckpointedIngest:
         commit: bool = True,
         use_watermarks: bool = True,
         mode: str = "rewrite",
+        fault_injector=None,
     ) -> Manifest:
         """Apply all events with ``watermark < lsn [<= end_lsn]``; optionally
         commit the manifest (``commit=False`` models a crash after data files
@@ -270,14 +288,21 @@ class CheckpointedIngest:
             pid: (list(st.files), st.versions())
             for pid, st in self.manifest.partitions.items()
         }
-        writer = MergeApplyWriter(self.lake_dir, prev, epoch, plan, mode=mode)
+        writer = MergeApplyWriter(
+            self.lake_dir, prev, epoch, plan, mode=mode, fault_injector=fault_injector
+        )
 
         def merge_apply(t: pa.Table) -> pa.Table:  # map_groups needs a plain fn
             return writer(t)
 
         results = (
             ev.groupby("partition_id")
-            .map_groups(merge_apply, batch_format="pyarrow")
+            .map_groups(
+                merge_apply,
+                batch_format="pyarrow",
+                max_retries=SINK_MAX_RETRIES,
+                retry_exceptions=list(RETRYABLE_SINK_EXCEPTIONS),
+            )
             .take_all()
         )
 

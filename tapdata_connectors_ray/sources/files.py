@@ -304,6 +304,39 @@ def batch_then_poll(
     return reader(fresh), next_offset
 
 
+def discover_schema(
+    files: list[str],
+    fmt: str = "csv",
+    options: "CsvReadOptions | None" = None,
+    storage: FileStorage = LOCAL,
+    sample_files: int = 4,
+) -> pa.Schema:
+    """Sample-based schema discovery over segment files — the reference's
+    ``FileSchema.sampleEveryFileData`` (``CsvSchema.java`` / ``JsonSchema.java``:
+    read a sample, union the observed fields, infer types) on Arrow's
+    inference kernels.  Samples the first ``sample_files`` segments, merges
+    field sets (later files may carry added columns), and widens conflicting
+    primitive types via Arrow's unify-promote rules."""
+    import io as _io
+
+    import pyarrow.json as pajson
+
+    schemas: list[pa.Schema] = []
+    for path in files[:sample_files]:
+        blob = storage.read_bytes(path)
+        if fmt == "csv":
+            args = (options or CsvReadOptions()).arrow_args(None)
+            t = pacsv.read_csv(_io.BytesIO(blob), **args)
+        elif fmt in ("jsonl", "json"):
+            t = pajson.read_json(_io.BytesIO(blob))
+        else:
+            raise ValueError(f"discover_schema: unsupported format {fmt!r}")
+        schemas.append(t.schema)
+    if not schemas:
+        return pa.schema([])
+    return pa.unify_schemas(schemas, promote_options="permissive")
+
+
 # -- deterministic segment writers (test/fixture support) --------------------
 
 

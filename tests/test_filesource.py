@@ -357,3 +357,30 @@ def test_storage_stat_and_move(tmp_path):
         assert store.read_bytes(f"{base}/done/x.csv") == b"a\n1\n"
         fresh, _ = scan_new_files(f"{base}/done", suffixes=(".csv",), storage=store)
         assert [os.path.basename(p) for p in fresh] == ["x.csv"]
+
+
+def test_discover_schema(tmp_path):
+    """Sample-based structure inference (FileSchema.sampleEveryFileData):
+    field union across segments, permissive type promotion."""
+    from tapdata_connectors_ray.sources.files import CsvReadOptions, discover_schema
+
+    (tmp_path / "a.csv").write_text("id,name\n1,x\n2,y\n")
+    (tmp_path / "b.csv").write_text("id,name,score\n3,z,1.5\n")  # added column
+    files = sorted(str(p) for p in tmp_path.glob("*.csv"))
+    sch = discover_schema(files, "csv")
+    assert sch.names == ["id", "name", "score"]
+    assert pa.types.is_integer(sch.field("id").type)
+    assert pa.types.is_string(sch.field("name").type)
+    assert pa.types.is_floating(sch.field("score").type)
+    # dialect-aware sampling
+    (tmp_path / "t.tsv").write_text("a\tb\n1\tq\n")
+    sch2 = discover_schema(
+        [str(tmp_path / "t.tsv")], "csv", options=CsvReadOptions(separator="\t")
+    )
+    assert sch2.names == ["a", "b"]
+    # jsonl
+    (tmp_path / "j.jsonl").write_text('{"k": 1, "s": "v"}\n{"k": 2, "s": "w"}\n')
+    sch3 = discover_schema([str(tmp_path / "j.jsonl")], "jsonl")
+    assert sch3.names == ["k", "s"]
+    with pytest.raises(ValueError):
+        discover_schema(files, "xml")

@@ -214,3 +214,49 @@ def test_resupplied_base_does_not_resurrect(ray_session, smoke_fixture_dir, tmp_
         ["conv_id", "turn_idx"], ignore_index=True
     )
     pd.testing.assert_frame_equal(got, expected)
+
+
+def test_transient_sink_failure_retried(paths, expected, lake_dir, tmp_path):
+    """Reference retry semantics (retryable-exception classification +
+    retry, ConnectorBase.java:391-406): a transient I/O error in a partition
+    write is retried at the TASK level and the retried task converges to
+    the identical lake state (idempotent file name + atomic rename).  The
+    injector trips exactly once per partition via marker files shared
+    across workers."""
+    import os
+
+    from tapdata_connectors_ray.pipelines.incremental import CheckpointedIngest
+
+    ev, base = paths
+    marker_dir = str(tmp_path / "faults")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def fail_once(pid: int, _dir=marker_dir) -> None:
+        marker = os.path.join(_dir, f"p{pid}")
+        if pid % 3 == 0 and not os.path.exists(marker):
+            open(marker, "w").close()
+            raise OSError(f"injected transient sink failure on partition {pid}")
+
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing.ingest(ev, base, fault_injector=fail_once)
+    assert_lake_matches(ing, expected)
+    # every third partition tripped exactly once
+    tripped = sorted(int(f[1:]) for f in os.listdir(marker_dir))
+    assert tripped and all(p % 3 == 0 for p in tripped)
+
+
+def test_nonretryable_sink_failure_fails_fast(paths, lake_dir):
+    """A non-I/O error is NOT retried (fail-fast classification) and no
+    manifest commit happens — the lake stays absent/unchanged."""
+    from tapdata_connectors_ray.pipelines.incremental import CheckpointedIngest
+    from tapdata_connectors_ray.state.checkpoint import load_manifest
+
+    ev, base = paths
+
+    def always_fail(pid: int) -> None:
+        raise ValueError("permanent decode bug")
+
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    with pytest.raises(Exception):
+        ing.ingest(ev, base, fault_injector=always_fail)
+    assert load_manifest(lake_dir) is None
