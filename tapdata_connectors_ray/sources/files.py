@@ -402,11 +402,21 @@ def _cast_cell(text: str | None, t: pa.DataType):
     return text
 
 
-def read_xml_segments(files: list[str], schema: pa.Schema) -> ray.data.Dataset:
+def read_xml_segments(
+    files: list[str], schema: pa.Schema, record_path: str | None = None
+) -> ray.data.Dataset:
     """XML segment files -> Dataset: ``read_binary_files`` (one task per
     file) + a parse stage emitting typed Arrow columns.  ElementTree's C
     parser handles the per-file decode; no per-row Python beyond the element
-    walk (XML gives no columnar access)."""
+    walk (XML gives no columnar access).
+
+    ``record_path`` selects the record elements — the reference
+    xml-connector's ``XPath`` config (``XmlConfig.java``,
+    ``BigSaxDataHandler.java``: records live at a configured element path).
+    ElementTree path syntax relative to the root, e.g. ``"channel/item"`` or
+    ``".//entry"``; default = the root's direct children (our writer's
+    ``<records><r>`` layout).  Fields come from child-element text; record
+    ATTRIBUTES fill fields child elements don't provide."""
     if not files:
         return ray.data.from_arrow(schema.empty_table())
 
@@ -416,8 +426,10 @@ def read_xml_segments(files: list[str], schema: pa.Schema) -> ray.data.Dataset:
         cols: dict[str, list] = {f.name: [] for f in schema}
         for blob in batch["bytes"].to_pylist():
             root = ET.fromstring(blob)
-            for r in root:
-                cell = {el.tag: el.text for el in r}
+            records = root.findall(record_path) if record_path else list(root)
+            for r in records:
+                cell = dict(r.attrib)
+                cell.update({el.tag: el.text for el in r})
                 for f in schema:
                     cols[f.name].append(_cast_cell(cell.get(f.name), f.type))
         return pa.table(

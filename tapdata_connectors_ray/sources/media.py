@@ -24,7 +24,19 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MEDIA_FIXTURE_VERSION = 3
+MEDIA_FIXTURE_VERSION = 4
+
+
+def _exact_mean(a: "np.ndarray") -> float:
+    """Mean as ONE IEEE division of an exact integer sum by an exact count.
+
+    ``np.mean`` (pairwise float accumulation) + pre-rounding is how the
+    generator and the decoder drifted 1 ulp apart at sf0.1 (np.round and
+    Python round() disagree on half-way cases); integer pixels/PCM sum
+    exactly in int64, so sum/size is bit-identical however the bytes were
+    reassembled.  No pre-rounding — the driver's value-hash rounds both
+    sides with the same implementation."""
+    return a.sum(dtype=np.int64) / a.size
 
 _IMG_MAGIC = b"IMG1"
 _AUD_MAGIC = b"AUD1"
@@ -57,26 +69,26 @@ def _gen_media_table(n_items: int, seed: int = 7) -> tuple[pa.Table, pa.Table, p
             payloads.append(
                 _VID_MAGIC + struct.pack("<HHH", w, h, nf) + frames.tobytes()
             )
-            exp_rows.append((int(i), "video", w * h, nf, round(float(frames.mean()), 6)))
+            exp_rows.append((int(i), "video", w * h, nf, _exact_mean(frames)))
             # expected AFTER frame sampling (every FRAME_SAMPLE_STRIDE-th frame)
             kept = frames.reshape(nf, w * h)[::FRAME_SAMPLE_STRIDE]
             sample_rows.append(
-                (int(i), "video", w * h, len(kept), round(float(kept.mean()), 6))
+                (int(i), "video", w * h, len(kept), _exact_mean(kept))
             )
         elif kind == "image":
             w = int(r.integers(8, 64))
             h = int(r.integers(8, 64))
             px = r.integers(0, 256, w * h, dtype=np.uint8)
             payloads.append(_IMG_MAGIC + struct.pack("<HH", w, h) + px.tobytes())
-            exp_rows.append((int(i), "image", w, h, round(float(px.mean()), 6)))
+            exp_rows.append((int(i), "image", w, h, _exact_mean(px)))
             grid = px.reshape(h, w)[np.ix_((np.arange(t) * h) // t, (np.arange(t) * w) // t)]
-            resize_rows.append((int(i), "image", t, t, round(float(grid.mean()), 6)))
+            resize_rows.append((int(i), "image", t, t, _exact_mean(grid)))
         else:
             sr = int(r.choice([8000, 16000]))
             ns = int(r.integers(64, 2048))
             pcm = r.integers(-128, 128, ns, dtype=np.int8)
             payloads.append(_AUD_MAGIC + struct.pack("<II", sr, ns) + pcm.tobytes())
-            mean_abs = round(float(np.abs(pcm.astype(np.int32)).mean()), 6)
+            mean_abs = _exact_mean(np.abs(pcm.astype(np.int32)))
             exp_rows.append((int(i), "audio", sr, ns, mean_abs))
     media = pa.table(
         {
@@ -156,16 +168,16 @@ class DecodeMedia:
             assert payload[:4] == _IMG_MAGIC, "bad image magic"
             w, h = struct.unpack_from("<HH", payload, 4)
             px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=8)
-            return w, h, float(px.mean())
+            return w, h, _exact_mean(px)
         if kind == "video":
             assert payload[:4] == _VID_MAGIC, "bad video magic"
             w, h, nf = struct.unpack_from("<HHH", payload, 4)
             px = np.frombuffer(payload, dtype=np.uint8, count=nf * w * h, offset=10)
-            return w * h, nf, float(px.mean())
+            return w * h, nf, _exact_mean(px)
         assert payload[:4] == _AUD_MAGIC, "bad audio magic"
         sr, ns = struct.unpack_from("<II", payload, 4)
         pcm = np.frombuffer(payload, dtype=np.int8, count=ns, offset=12)
-        return sr, ns, float(np.abs(pcm.astype(np.int32)).mean())
+        return sr, ns, _exact_mean(np.abs(pcm.astype(np.int32)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_pylist()
@@ -178,7 +190,7 @@ class DecodeMedia:
                 "kind": batch["kind"],
                 "dim_a": pa.array(a, type=pa.int64()),
                 "dim_b": pa.array(b, type=pa.int64()),
-                "mean_signal": pa.array(np.round(np.array(m, dtype=np.float64), 6)),
+                "mean_signal": pa.array(np.array(m, dtype=np.float64)),
             }
         )
 

@@ -384,3 +384,31 @@ def test_discover_schema(tmp_path):
     assert sch3.names == ["k", "s"]
     with pytest.raises(ValueError):
         discover_schema(files, "xml")
+
+
+def test_xml_record_path(ray_session, tmp_path):
+    """XPath-style record selection (the reference xml-connector's XPath
+    config): records nested below the root, fields from child elements with
+    attributes as fallback."""
+    from tapdata_connectors_ray.sources.files import read_xml_segments
+
+    doc = """<?xml version="1.0"?>
+<rss><channel>
+  <title>feed</title>
+  <item id="1"><name>first</name><score>2.5</score></item>
+  <item id="2"><name>second</name><score>-1.0</score></item>
+</channel></rss>"""
+    p = str(tmp_path / "feed.xml")
+    with open(p, "w") as f:
+        f.write(doc)
+    schema = pa.schema([("id", pa.int64()), ("name", pa.string()), ("score", pa.float64())])
+    got = (
+        read_xml_segments([p], schema, record_path="channel/item")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert got["id"].tolist() == [1, 2]          # from attributes
+    assert got["name"].tolist() == ["first", "second"]
+    assert got["score"].tolist() == [2.5, -1.0]
+    # .// descendant form works too
+    got2 = read_xml_segments([p], schema, record_path=".//item").to_pandas()
+    assert len(got2) == 2
