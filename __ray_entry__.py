@@ -34,6 +34,7 @@ _RUN_FIRST = (
     "source_storage_mock_backend",
     "source_partitioned_log",
     "sink_bulk_ndjson",
+    "sink_kv_state",
     "multimodal_frame_sample",
 )
 

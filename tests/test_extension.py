@@ -82,3 +82,28 @@ def test_clear_and_drop_table(ray_session, tmp_path):
 
     ing2.drop_table()
     assert not os.path.exists(lake)
+
+
+def test_kv_projection_modes(ray_session):
+    """KV sink projection (redis-family writers): key build with nulls ->
+    'null', text and json value modes."""
+    import pyarrow as pa
+
+    from tapdata_connectors_ray.stages.kv import make_kv_projection
+
+    batch = pa.table(
+        {
+            "a": pa.array([1, None], pa.int64()),
+            "b": pa.array(["x", "y"], pa.string()),
+            "v": pa.array([None, "q"], pa.string()),
+        }
+    )
+    text = make_kv_projection(["a", "b"], ["v"], key_prefix="p:", key_join="-", key_suffix=":s")(batch)
+    assert text["kv_key"].to_pylist() == ["p:1-x:s", "p:null-y:s"]
+    assert text["kv_value"].to_pylist() == ["null", "q"]
+    js = make_kv_projection(["b"], ["a", "v"], value_mode="json")(batch)
+    assert js["kv_value"].to_pylist() == ['{"a":1,"v":null}', '{"a":null,"v":"q"}']
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_kv_projection(["a"], ["v"], value_mode="xml")
