@@ -35,6 +35,7 @@ _RUN_FIRST = (
     "source_partitioned_log",
     "sink_bulk_ndjson",
     "sink_kv_state",
+    "cdc_patch_merge",
     "multimodal_frame_sample",
 )
 

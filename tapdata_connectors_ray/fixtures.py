@@ -663,3 +663,69 @@ def ensure_second_fixtures(root: str = DEFAULT_FIXTURE_ROOT) -> str:
     shutil.rmtree(out, ignore_errors=True)
     os.replace(tmp, out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Patch-update log: field-level partial updates (the MongoDB $set/$unset
+# surface, MongodbWriter.java:380-432) over the transcripts base.
+# ---------------------------------------------------------------------------
+
+PATCH_FIXTURE_VERSION = 1
+PATCH_FIELDS = ("role", "text", "tool", "turn_score")
+
+
+def ensure_patch_fixture(sf: str = "sf0.001", root: str = DEFAULT_FIXTURE_ROOT) -> str:
+    """Deterministic partial-update log next to the tier's base snapshot:
+    one row per patch — key columns always present, one NULLABLE column per
+    patchable field (NULL = not touched by this patch), ``unset_cols`` = the
+    removedFields list (never a field also set in the same patch, mirroring
+    ``wrapUnset``'s exclusion)."""
+    d = ensure_fixtures(sf, root)
+    out_dir = os.path.join(d, "patches.parquet")
+    marker = os.path.join(out_dir, f".v{PATCH_FIXTURE_VERSION}")
+    if os.path.exists(marker):
+        return out_dir
+    base = pq.read_table(
+        os.path.join(d, "transcripts.parquet"), columns=["conv_id", "turn_idx"]
+    ).to_pandas()
+    rng = np.random.default_rng(20260817)
+    n = len(base)
+    pick = rng.integers(0, n, n)
+    roles = np.array(["user", "assistant", "system", "tool"])
+    r = rng.random((n, 6))
+    p_role = pd.Series(roles[rng.integers(0, 4, n)]).where(pd.Series(r[:, 0] < 0.25), None)
+    p_text = pd.Series(
+        np.char.add("patched text ", rng.integers(0, 10_000, n).astype(str))
+    ).where(pd.Series(r[:, 1] < 0.5), None)
+    p_tool = pd.Series(
+        np.char.add("tool-", rng.integers(0, 50, n).astype(str))
+    ).where(pd.Series(r[:, 2] < 0.2), None)
+    p_score = pd.array(
+        np.where(r[:, 3] < 0.4, rng.integers(0, 100, n), -1), dtype="Int64"
+    )
+    p_score = pd.Series(p_score).where(pd.Series(r[:, 3] < 0.4), None)
+    # removedFields: unset tool / turn_score occasionally, never when also set
+    unset_tool = (r[:, 4] < 0.10) & p_tool.isna()
+    unset_score = (r[:, 5] < 0.08) & p_score.isna()
+    unset_cols = pd.Series(
+        np.select(
+            [unset_tool & unset_score, unset_tool, unset_score],
+            ["tool,turn_score", "tool", "turn_score"],
+            default=None,
+        )
+    )
+    patches = pa.table(
+        {
+            "lsn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "conv_id": pa.array(base["conv_id"].to_numpy()[pick]),
+            "turn_idx": pa.array(base["turn_idx"].to_numpy()[pick], pa.int32()),
+            "p_role": pa.array(p_role, pa.string()),
+            "p_text": pa.array(p_text, pa.string()),
+            "p_tool": pa.array(p_tool, pa.string()),
+            "p_turn_score": pa.array(p_score, pa.int64()),
+            "unset_cols": pa.array(unset_cols, pa.string()),
+        }
+    )
+    _write_sharded(patches, out_dir)
+    open(marker, "w").close()
+    return out_dir
