@@ -36,6 +36,8 @@ _RUN_FIRST = (
     "sink_bulk_ndjson",
     "sink_kv_state",
     "cdc_patch_merge",
+    "events_asof_join",
+    "events_follow_within",
     "multimodal_frame_sample",
 )
 

@@ -223,6 +223,124 @@ def q_events_session_windows(sf_dir: str):
     )
 
 
+# -- as-of / range joins (custom operators Ray Data lacks) -------------------
+
+_ASOF_BUCKETS = 64
+FOLLOW_GAP_US = 5 * 60 * 1_000_000
+
+
+def q_events_asof_join(sf_dir: str):
+    """As-of join: each *purchase* event picks up the latest *view* event of
+    the same user at or before its timestamp (attribution lookup — the
+    classic as-of shape Ray Data has no native operator for).
+
+    Ray shape: ONE pruned read, both sides tagged and hash-bucketed by
+    ``user_id`` in a vectorized ``map_batches``, then a single shuffle
+    (``groupby(bucket)``) and a per-bucket ``pd.merge_asof`` (vectorized
+    backward search, ``by=user_id``) — the standard composition (a) from the
+    survey: co-partition on the equality key, sort-merge within partitions.
+    Partitioning assumption: all rows of one user land in one bucket; bucket
+    count is the lake's logical partition granularity.  Ties on the right
+    side (same user, same ts) are broken to the max ``event_id`` on both
+    engines, so the match is deterministic."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def tag_and_bucket(batch: pa.Table) -> pa.Table:
+        is_l = pc.equal(batch["event_type"], "purchase")
+        is_r = pc.equal(batch["event_type"], "view")
+        t = batch.filter(pc.or_(is_l, is_r))
+        side = pc.if_else(pc.equal(t["event_type"], "purchase"), 1, 0)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return (
+            t.drop_columns(["event_type"])
+            .append_column("side", side.cast(pa.int8()))
+            .append_column("ubucket", pa.array((u % _ASOF_BUCKETS).astype(np.int32)))
+        )
+
+    return (
+        ds.map_batches(tag_and_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ubucket")
+        .map_groups(asof_fold, batch_format="pandas")
+    )
+
+
+def asof_fold(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket as-of: left = side 1, right = side 0; backward match by
+    user with max-event_id tie-break on equal right timestamps."""
+    left = df[df["side"] == 1]
+    right = df[df["side"] == 0].sort_values(["ts", "event_id"], kind="stable")
+    # dedupe right per (user_id, ts): keep max event_id (oracle tie-break)
+    right = right.drop_duplicates(["user_id", "ts"], keep="last")
+    out = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        suffixes=("", "_r"),
+    )
+    return pd.DataFrame(
+        {
+            "event_id": out["event_id"].to_numpy(),
+            "user_id": out["user_id"].to_numpy(),
+            "ts": out["ts"].to_numpy(),
+            "view_event_id": out["event_id_r"].astype("float64").to_numpy(),
+            "view_value": out["value_r"].astype("float64").to_numpy(),
+        }
+    )
+
+
+def q_events_follow_within(sf_dir: str):
+    """Range (interval) join: for every event, the number of same-user
+    events in the following 5 minutes — a non-equi self-join
+    (``r.ts > l.ts AND r.ts <= l.ts + gap``).
+
+    Ray shape: hash-bucket by user, one shuffle, then a fully vectorized
+    per-bucket count: rows sorted by (user, ts) are laid on a single
+    strictly-separated timeline (per-user offset of span + 2·gap) so ONE
+    pair of ``np.searchsorted`` calls answers every row's interval count —
+    no per-user Python loop, no pairwise blow-up.  Assumption: per-bucket
+    ``n_users × (global_ts_span + 2·gap)`` fits int64 (~9.2e18); with ≥64k
+    buckets at lake scale this holds by orders of magnitude."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "ubucket", pa.array((u % _ASOF_BUCKETS).astype(np.int32))
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ubucket")
+        .map_groups(follow_count_fold, batch_format="pandas")
+    )
+
+
+def follow_count_fold(df: pd.DataFrame, gap_us: int = FOLLOW_GAP_US) -> pd.DataFrame:
+    """Per-bucket interval count via the strictly-separated-timeline trick
+    (see q_events_follow_within docstring for the overflow bound)."""
+    df = df.sort_values(["user_id", "ts"], kind="stable")
+    ts = df["ts"].astype("int64").to_numpy()
+    user = df["user_id"].to_numpy()
+    new_user = np.empty(len(df), dtype=bool)
+    new_user[0] = True
+    new_user[1:] = user[1:] != user[:-1]
+    uidx = np.cumsum(new_user) - 1  # dense per-bucket user ordinal
+    span = int(ts.max() - ts.min()) if len(ts) else 0
+    base = np.int64(span + 2 * gap_us)
+    # subtract each user's min ts so the shifted key can't overflow
+    umin = np.minimum.reduceat(ts, np.flatnonzero(new_user))[uidx]
+    shifted = (ts - umin) + uidx * base
+    hi = np.searchsorted(shifted, shifted + gap_us, side="right")
+    lo = np.searchsorted(shifted, shifted, side="right")
+    return pd.DataFrame(
+        {"event_id": df["event_id"].to_numpy(), "n_follow": (hi - lo).astype(np.int64)}
+    )
+
+
 BIGRAM_TOPK = 20
 _BIGRAM_BUCKETS = 64
 
@@ -418,6 +536,28 @@ RELATIONAL_SQL: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    "events_asof_join": """
+        WITH r AS (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view'
+        ), rd AS (
+            SELECT user_id, ts, event_id, value FROM r WHERE rn = 1
+        )
+        SELECT l.event_id, l.user_id, l.ts,
+               CAST(rd.event_id AS DOUBLE) AS view_event_id,
+               rd.value AS view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN rd ON l.user_id = rd.user_id AND l.ts >= rd.ts
+    """,
+    "events_follow_within": """
+        SELECT l.event_id, count(r.event_id) AS n_follow
+        FROM events l LEFT JOIN events r
+          ON r.user_id = l.user_id
+         AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+        GROUP BY l.event_id
+    """,
 }
 
 
@@ -500,6 +640,8 @@ def relational_queries():
         "distinct_segments": q_distinct_segments,
         "events_tumbling_window": q_events_tumbling_window,
         "events_session_windows": q_events_session_windows,
+        "events_asof_join": q_events_asof_join,
+        "events_follow_within": q_events_follow_within,
         "text_bigram_topk": q_text_bigram_topk,
         "typelattice_roundtrip": q_typelattice_roundtrip,
         "master_subdoc_merge": q_master_subdoc_merge,

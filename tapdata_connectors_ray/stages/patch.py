@@ -45,13 +45,16 @@ def make_patch_fold(
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("lsn", kind="stable")
-        unset_lists = df["unset_cols"].fillna("").str.split(",")
+        # ",a,b," wrapper turns list membership into a vectorized substring test
+        wrapped = ("," + df["unset_cols"].fillna("") + ",").to_numpy()
         out: dict[str, object] = {}
         for f, logical in fields.items():
             s = df[f]
             if f in int_fields:  # fold in string space so the sentinel fits
-                s = s.astype("object").map(lambda v: None if pd.isna(v) else str(int(v)))
-            s = s.where(~unset_lists.map(lambda L, _f=logical: _f in L), UNSET_SENTINEL)
+                s = s.astype("Int64").astype("string").astype(object)
+                s = s.where(s.notna(), None)
+            unset_here = np.char.find(wrapped.astype(str), f",{logical},") >= 0
+            s = s.where(~unset_here, UNSET_SENTINEL)
             out[f] = s
         # pandas GroupBy.last() skips nulls == last_value IGNORE NULLS
         work = pd.DataFrame({**{k: df[k] for k in key_cols}, **out})
@@ -59,10 +62,9 @@ def make_patch_fold(
         for f in fields:
             col = folded[f].where(folded[f] != UNSET_SENTINEL, None)
             if f in int_fields:
-                col = col.map(lambda v: None if v is None else int(v))
                 folded[f] = pd.array(col, dtype="Int64")
             else:
                 folded[f] = col.astype("object")
-        return folded.drop(columns=[c for c in ("lsn",) if c in folded.columns])
+        return folded
 
     return fold
