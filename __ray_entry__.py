@@ -36,6 +36,7 @@ _RUN_FIRST = (
     "sink_bulk_ndjson",
     "sink_kv_state",
     "cdc_patch_merge",
+    "subdoc_array_state",
     "events_asof_join",
     "events_follow_within",
     "multimodal_frame_sample",
