@@ -135,12 +135,19 @@ def normalized_events(
     base_watermarks=None,
     batch_size: int | None = None,
     max_lsn: int | None = None,
+    min_lsn: int | None = None,
+    base_version: int = 1,
     drop_origin: str | None = None,
 ) -> ray.data.Dataset:
     """read -> normalize(+pre-reduce) [-> union base snapshot] as one lazy Dataset.
 
     ``max_lsn`` bounds the epoch (row-group predicate pushdown at the read) —
     the log-truncation / periodic-checkpoint path of incremental ingest.
+    ``min_lsn`` is the incremental-resume cursor (inclusive): the CDC phase of
+    a snapshot→CDC switchover tails from the stream offset recorded BEFORE
+    the snapshot started, re-delivering the overlap — LWW by LSN absorbs the
+    re-delivery idempotently.  ``base_version`` is the schema version the
+    base snapshot was written under (mid-log snapshots are not v1).
 
     ``base_watermarks`` lets the base snapshot keep its resurrection guard
     (drop base rows of partitions that ever committed) even when event-side
@@ -152,8 +159,14 @@ def normalized_events(
     if batch_size is None:
         batch_size = _auto_batch_size(paths)
     read_kwargs = {}
+    lsn_pred = None
     if max_lsn is not None:
-        read_kwargs["filter"] = pads.field("lsn") <= max_lsn
+        lsn_pred = pads.field("lsn") <= max_lsn
+    if min_lsn is not None:
+        above = pads.field("lsn") >= min_lsn
+        lsn_pred = above if lsn_pred is None else (lsn_pred & above)
+    if lsn_pred is not None:
+        read_kwargs["filter"] = lsn_pred
     ev = ray.data.read_parquet(paths, **read_kwargs)
     ev = ev.map_batches(
         NormalizeEvents(
@@ -175,6 +188,7 @@ def normalized_events(
                 num_partitions,
                 salt_buckets=salt_buckets,
                 watermarks=watermarks if base_watermarks is None else base_watermarks,
+                base_version=base_version,
             ),
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -245,6 +259,9 @@ def replay_merged(
     batch_size: int | None = None,
     strategy: str = "shuffle",
     drop_origin: str | None = None,
+    max_lsn: int | None = None,
+    min_lsn: int | None = None,
+    base_version: int = 1,
 ) -> ray.data.Dataset:
     """Full replay -> merged per-partition state (latest schema + lsn +
     partition_id), sorted by key within each partition.
@@ -257,10 +274,16 @@ def replay_merged(
     bounded by live-keys/partition."""
     plan = plan or scan_evolution_plan_distributed(events_path, spec)
     if strategy == "semijoin":
+        if min_lsn is not None or base_version != 1:
+            raise ValueError(
+                "switchover resume (min_lsn/base_version) is only supported "
+                "on the shuffle strategy — the winner scan assumes a full log"
+            )
         from tapdata_connectors_ray.stages.winners import make_winner_merge
 
         winners = winner_rows(
-            events_path, base_path, plan=plan, num_partitions=num_partitions
+            events_path, base_path, plan=plan, num_partitions=num_partitions,
+            max_lsn=max_lsn,
         )
         ev = normalized_events(
             events_path,
@@ -271,6 +294,7 @@ def replay_merged(
             prereduce=prereduce,
             watermarks=watermarks,
             batch_size=batch_size,
+            max_lsn=max_lsn,
         )
         return (
             ev.union(winners)
@@ -287,6 +311,9 @@ def replay_merged(
         watermarks=watermarks,
         batch_size=batch_size,
         drop_origin=drop_origin,
+        max_lsn=max_lsn,
+        min_lsn=min_lsn,
+        base_version=base_version,
     )
     if salt_buckets:
         ev = ev.groupby(["partition_id", "salt"]).map_groups(
@@ -314,6 +341,93 @@ def replay_final_state(
 
     return replay_merged(events_path, base_path, plan=plan, **kwargs).map_batches(
         merged_to_final, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def lsn_bounds(events_path: str | list[str]) -> tuple[int, int]:
+    """(min, max) LSN of the log from parquet footer statistics — no data
+    read (same footer-only probe the epoch splitter uses,
+    ``incremental.py:360``)."""
+    ds = pads.dataset(_expand_paths(events_path), format="parquet")
+    lsn_idx = ds.schema.names.index("lsn")
+    lo, hi = None, None
+    for frag in ds.get_fragments():
+        md = frag.metadata
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(lsn_idx).statistics
+            if st is not None and st.has_min_max:
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return 0, 0
+    return int(lo), int(hi)
+
+
+def replay_switchover(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
+    snapshot_lsn: int | None = None,
+    snapshot_frac: float = 0.6,
+    overlap_frac: float = 0.1,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    snapshot_dir: str | None = None,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Snapshot→CDC switchover: the reference's full-sync-then-incremental
+    task lifecycle (``connectors-common``'s batchRead → streamRead handoff;
+    the stream offset is recorded BEFORE the snapshot starts, so the CDC
+    phase re-delivers every event concurrent with the snapshot and relies on
+    idempotent writes to absorb the overlap).
+
+    Phase 1 (full sync): replay events ``lsn <= S`` over the source base
+    table under the plan *as of S* and commit the result as a mid-log lake
+    snapshot (written at ``version_at_lsn(S)`` — NOT v1).
+
+    Phase 2 (incremental): tail the log from ``resume = S - overlap``
+    (inclusive) over that snapshot under the FULL plan.  Overlap events are
+    re-applied; LWW by LSN makes the re-delivery idempotent because for any
+    key the re-delivered events are exactly that key's event suffix in
+    ``(resume, S]`` — the latest of them reproduces the snapshot state it
+    already created.  Key-move tombstones at absent old keys and re-delivered
+    deletes degenerate to no-ops.  The snapshot's rows carry synthetic
+    ``lsn = 0`` so any re-delivered event wins over them.
+
+    The final state is byte-identical to a single full replay (the oracle is
+    literally ``cdc_replay_final_state``'s SQL)."""
+    full_plan = scan_evolution_plan_distributed(events_path, spec)
+    lo, hi = lsn_bounds(events_path)
+    if snapshot_lsn is None:
+        snapshot_lsn = lo + int((hi - lo) * snapshot_frac)
+    plan_s = full_plan.truncated_at(snapshot_lsn)
+
+    snap = replay_final_state(
+        events_path,
+        base_path,
+        plan=plan_s,
+        num_partitions=num_partitions,
+        max_lsn=snapshot_lsn,
+        **kwargs,
+    )
+    if snapshot_dir is None:
+        import tempfile
+
+        snapshot_dir = tempfile.mkdtemp(prefix="tcr_switchover_snap_")
+    snap.write_parquet(snapshot_dir)
+    import os
+
+    has_rows = any(e.name.endswith(".parquet") for e in os.scandir(snapshot_dir))
+
+    resume_lsn = max(lo, snapshot_lsn - int((hi - lo) * overlap_frac))
+    return replay_final_state(
+        events_path,
+        snapshot_dir if has_rows else None,
+        plan=full_plan,
+        num_partitions=num_partitions,
+        min_lsn=resume_lsn,
+        base_version=plan_s.latest_version if has_rows else 1,
+        **kwargs,
     )
 
 

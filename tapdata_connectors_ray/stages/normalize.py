@@ -220,7 +220,14 @@ class BaseSnapshotToEvents(_NormalizeBase):
     Watermark-aware: a partition that has ever committed (applied_lsn >= 0)
     already absorbed the snapshot, so its base rows are dropped — otherwise a
     re-supplied snapshot would resurrect keys whose tombstones were applied
-    and compacted away in an earlier epoch."""
+    and compacted away in an earlier epoch.
+
+    ``base_version`` is the schema version the snapshot was WRITTEN under
+    (default 1 = the pristine source table).  A mid-log snapshot — the
+    full-sync phase of a snapshot→CDC switchover — is already at the version
+    in effect at its snapshot LSN; its batches are structurally migrated
+    forward (``EvolutionPlan.migrate_table``) instead of riding the
+    per-row v1 rewrite."""
 
     def __init__(
         self,
@@ -228,9 +235,11 @@ class BaseSnapshotToEvents(_NormalizeBase):
         num_partitions: int,
         salt_buckets: int = 0,
         watermarks: "ray.ObjectRef | np.ndarray | None" = None,
+        base_version: int = 1,
     ):
         super().__init__(plan, num_partitions, salt_buckets)
         self._watermarks = watermarks
+        self.base_version = base_version
 
     @property
     def watermarks(self) -> np.ndarray | None:
@@ -239,6 +248,11 @@ class BaseSnapshotToEvents(_NormalizeBase):
         return self._watermarks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.base_version != 1:
+            # mid-log snapshot: structurally migrate to the plan's latest
+            # schema first (rename/widen/add/drop applied wholesale — every
+            # row shares base_version, no per-row dispatch needed)
+            batch = self.plan.migrate_table(batch, self.base_version)
         if self.watermarks is not None:
             pids0 = self._partition_ids(batch)
             keep = self.watermarks[pids0] < 0
@@ -247,6 +261,12 @@ class BaseSnapshotToEvents(_NormalizeBase):
             if len(batch) == 0:
                 return self.empty_batch()
         n = len(batch)
+        if self.base_version != 1:
+            batch = batch.append_column("lsn", pa.array(np.zeros(n, np.int64)))
+            batch = batch.append_column(
+                "op", pa.array(np.full(n, "I", dtype=object), pa.string())
+            )
+            return self._finalize(batch, self._partition_ids(batch))
         batch = batch.append_column("schema_ver", pa.array(np.full(n, 1, np.int32)))
         batch = batch.append_column("lsn", pa.array(np.zeros(n, np.int64)))
         batch = batch.append_column("op", pa.array(np.full(n, "I", dtype=object), pa.string()))

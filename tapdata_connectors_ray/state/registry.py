@@ -91,6 +91,24 @@ class EvolutionPlan:
     def latest_version(self) -> int:
         return self.changes[-1].version if self.changes else self.base_version
 
+    def version_at_lsn(self, lsn: int) -> int:
+        """Schema version in effect at ``lsn`` (inclusive) — the version a
+        snapshot taken at that point in the log is written under."""
+        v = self.base_version
+        for c in self.changes:
+            if c.lsn <= lsn:
+                v = c.version
+        return v
+
+    def truncated_at(self, lsn: int) -> "EvolutionPlan":
+        """The plan as of ``lsn`` — only changes at-or-below it (an epoch /
+        snapshot never sees future DDL)."""
+        return EvolutionPlan(
+            changes=[c for c in self.changes if c.lsn <= lsn],
+            base_version=self.base_version,
+            spec=self.spec,
+        )
+
     def keys(self) -> list[str]:
         """Effective key columns under the LATEST payload schema (no-PK
         tables key on every payload column, null-safe)."""

@@ -126,3 +126,32 @@ def test_exactly_once_under_task_retry(paths, expected):
         flaky, batch_format="pyarrow", retry_exceptions=True, max_retries=4
     )
     assert_matches(out, expected)
+
+
+@pytest.mark.parametrize(
+    "snapshot_frac,overlap_frac",
+    [
+        (0.6, 0.1),   # mid-version snapshot (v3), overlap spans the rename DDL
+        (0.6, 0.0),   # resume exactly at the snapshot LSN (no overlap)
+        (0.1, 0.05),  # snapshot before any DDL (v1 path)
+        (0.95, 0.9),  # snapshot after all DDLs; near-total re-delivery
+    ],
+)
+def test_snapshot_switchover_equals_full_replay(
+    paths, expected, tmp_path, snapshot_frac, overlap_frac
+):
+    """Full-sync -> incremental handoff with overlap re-delivery converges to
+    the one-pass replay (the reference records the stream offset BEFORE the
+    snapshot and relies on idempotent writes to absorb the overlap)."""
+    from tapdata_connectors_ray.pipelines.replay import replay_switchover
+
+    ev, base = paths
+    ds = replay_switchover(
+        ev,
+        base,
+        num_partitions=8,
+        snapshot_frac=snapshot_frac,
+        overlap_frac=overlap_frac,
+        snapshot_dir=str(tmp_path / f"snap_{snapshot_frac}_{overlap_frac}"),
+    )
+    assert_matches(ds, expected)
