@@ -483,7 +483,7 @@ def oracle_sf_dir() -> str:
 
 from tapdata_connectors_ray.schema import TableSpec  # noqa: E402
 
-SECOND_FIXTURE_VERSION = 3
+SECOND_FIXTURE_VERSION = 4
 
 ORDERS_SCHEMA = pa.schema(
     [
@@ -638,9 +638,58 @@ def generate_clicks_events(n_events: int = 8_000, seed: int = 11) -> pa.Table:
     )
 
 
+# fixed-size transcripts table for the multi-table interleaved log (tier-
+# independent, like every fixture in second/ — oracle SQL stays constant)
+MULTILOG_TRANSCRIPTS_SPEC = FixtureSpec(
+    n_convs=500, mean_turns=8, n_events=18_000, seed=23
+)
+
+
+def interleave_multilog(t_events: pa.Table, o_events: pa.Table) -> pa.Table:
+    """ONE interleaved CDC stream carrying two tables' events — the
+    reference's multi-table sync task (one binlog serves every table; events
+    are dispatched per-table downstream, ``MysqlReader`` tails a single
+    stream for the whole task's table set).
+
+    Each row is tagged ``table_name``; a single GLOBAL ``lsn`` replaces the
+    per-table ones (assigned by merging each table's LSN order on normalized
+    position, so per-table relative order — the only thing CDC guarantees —
+    is preserved).  Columns are unioned; a row leaves the other table's
+    columns NULL.  Each table's out-of-order file delivery is preserved by
+    interleaving the original FILE orders, not LSN order."""
+    t = t_events.append_column(
+        "table_name", pa.array(np.full(len(t_events), "transcripts", object), pa.string())
+    )
+    o = o_events.append_column(
+        "table_name", pa.array(np.full(len(o_events), "orders", object), pa.string())
+    )
+    names = list(t.schema.names) + [n for n in o.schema.names if n not in t.schema.names]
+
+    def widen(tb: pa.Table) -> pa.Table:
+        for n in names:
+            if n not in tb.column_names:
+                src = t if n in t.column_names else o
+                tb = tb.append_column(n, pa.nulls(len(tb), src.schema.field(n).type))
+        return tb.select(names)
+
+    ml = pa.concat_tables([widen(t), widen(o)])
+    tl = t_events["lsn"].to_numpy()
+    ol = o_events["lsn"].to_numpy()
+    pos = np.concatenate([tl / (tl.max() + 1.0), ol / (ol.max() + 1.0)])
+    order = np.argsort(pos, kind="stable")
+    glsn = np.empty(len(pos), np.int64)
+    glsn[order] = np.arange(1, len(pos) + 1)
+    ml = ml.set_column(ml.schema.get_field_index("lsn"), "lsn", pa.array(glsn))
+    fpos = np.concatenate(
+        [(np.arange(len(tl)) + 0.5) / len(tl), (np.arange(len(ol)) + 0.5) / len(ol)]
+    )
+    return ml.take(np.argsort(fpos, kind="stable"))
+
+
 def ensure_second_fixtures(root: str = DEFAULT_FIXTURE_ROOT) -> str:
     """Fixed-size second-table fixtures (conformance surface, not bench):
-    ``<root>/second/{orders_base,orders_events,clicks_events}.parquet``."""
+    ``<root>/second/{orders_base,orders_events,clicks_events,
+    mt_transcripts_base,multilog}.parquet``."""
     out = os.path.join(root, "second")
     meta_path = os.path.join(out, "meta.json")
     if os.path.exists(meta_path):
@@ -655,9 +704,14 @@ def ensure_second_fixtures(root: str = DEFAULT_FIXTURE_ROOT) -> str:
     os.makedirs(tmp, exist_ok=True)
     base, events = generate_orders_tables()
     clicks = generate_clicks_events()
+    mt_base, mt_events = generate_fixture_tables(MULTILOG_TRANSCRIPTS_SPEC)
     _write_sharded(base, os.path.join(tmp, "orders_base.parquet"))
     _write_sharded(events, os.path.join(tmp, "orders_events.parquet"))
     _write_sharded(clicks, os.path.join(tmp, "clicks_events.parquet"))
+    _write_sharded(mt_base, os.path.join(tmp, "mt_transcripts_base.parquet"))
+    _write_sharded(
+        interleave_multilog(mt_events, events), os.path.join(tmp, "multilog.parquet")
+    )
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump({"version": SECOND_FIXTURE_VERSION}, f)
     shutil.rmtree(out, ignore_errors=True)

@@ -97,6 +97,27 @@ def table_hash(ds: ray.data.Dataset, columns: list[str]) -> int:
     return int(total)
 
 
+def table_summary(ds: ray.data.Dataset, columns: list[str]) -> tuple[int, int]:
+    """(row count, order-insensitive state checksum) in ONE pass — the
+    per-table consistency summary a multi-table sync task reports after a
+    consistent cut.  Same canonicalization / md5 parity as
+    :func:`table_hash`; the two reduces ride one tiny partials dataset."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        strs = canonical_row_strings(batch, columns)
+        h = md5_number_lower(strs) % np.uint64(HASH_MOD)
+        return pa.table(
+            {"rows": [len(batch)], "partial": [int(h.sum(dtype=np.uint64))]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    row = parts.aggregate(
+        Sum("rows", alias_name="rows"), Sum("partial", alias_name="h")
+    )
+    return int(row["rows"] or 0), int(row["h"] or 0)
+
+
 def table_stats(path: str | list[str]) -> dict:
     """Rows + storage bytes from Parquet metadata only (no data read) —
     the catalog-stats analogue (``MysqlConnector.java:774-780``)."""

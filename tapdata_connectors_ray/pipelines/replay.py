@@ -137,9 +137,14 @@ def normalized_events(
     max_lsn: int | None = None,
     min_lsn: int | None = None,
     base_version: int = 1,
+    read_filter: "pads.Expression | None" = None,
     drop_origin: str | None = None,
 ) -> ray.data.Dataset:
     """read -> normalize(+pre-reduce) [-> union base snapshot] as one lazy Dataset.
+
+    ``read_filter`` is an extra pushed-down predicate ANDed with the LSN
+    bounds — e.g. the per-table dispatch of a multi-table interleaved log
+    (``table_name == 'orders'``).
 
     ``max_lsn`` bounds the epoch (row-group predicate pushdown at the read) —
     the log-truncation / periodic-checkpoint path of incremental ingest.
@@ -159,9 +164,10 @@ def normalized_events(
     if batch_size is None:
         batch_size = _auto_batch_size(paths)
     read_kwargs = {}
-    lsn_pred = None
+    lsn_pred = read_filter
     if max_lsn is not None:
-        lsn_pred = pads.field("lsn") <= max_lsn
+        below = pads.field("lsn") <= max_lsn
+        lsn_pred = below if lsn_pred is None else (lsn_pred & below)
     if min_lsn is not None:
         above = pads.field("lsn") >= min_lsn
         lsn_pred = above if lsn_pred is None else (lsn_pred & above)
@@ -262,6 +268,7 @@ def replay_merged(
     max_lsn: int | None = None,
     min_lsn: int | None = None,
     base_version: int = 1,
+    read_filter: "pads.Expression | None" = None,
 ) -> ray.data.Dataset:
     """Full replay -> merged per-partition state (latest schema + lsn +
     partition_id), sorted by key within each partition.
@@ -274,7 +281,7 @@ def replay_merged(
     bounded by live-keys/partition."""
     plan = plan or scan_evolution_plan_distributed(events_path, spec)
     if strategy == "semijoin":
-        if min_lsn is not None or base_version != 1:
+        if min_lsn is not None or base_version != 1 or read_filter is not None:
             raise ValueError(
                 "switchover resume (min_lsn/base_version) is only supported "
                 "on the shuffle strategy — the winner scan assumes a full log"
@@ -314,6 +321,7 @@ def replay_merged(
         max_lsn=max_lsn,
         min_lsn=min_lsn,
         base_version=base_version,
+        read_filter=read_filter,
     )
     if salt_buckets:
         ev = ev.groupby(["partition_id", "salt"]).map_groups(

