@@ -158,7 +158,112 @@ def q_distinct_segments(sf_dir: str):
     return pd.DataFrame({"c_mktsegment": sorted(vals)})
 
 
+# -- broadcast-dim enrichment / deterministic sampling -----------------------
+
+
+def q_lookup_enrich_customer(sf_dir: str):
+    """Stream enrichment against broadcast dimension tables (the cache/lookup
+    processor shape: a big fact stream picks up names from O(25)-row dims).
+
+    Scale pattern: nation+region are read ONCE on the driver (dim scale, not
+    data scale), composed into dense arrays indexed by ``n_nationkey`` and
+    shipped via ``ray.put`` — every map task reads them zero-copy from its
+    node's object store.  No shuffle; the big side streams.  Contrast with
+    ``master_subdoc_merge``, which hash-joins because both sides are big."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(_t(sf_dir, "nation")).to_pandas()
+    region = pq.read_table(_t(sf_dir, "region")).to_pandas()
+    m = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    size = int(m["n_nationkey"].max()) + 1
+    n_names = np.empty(size, object)
+    r_names = np.empty(size, object)
+    n_names[m["n_nationkey"].to_numpy()] = m["n_name"].to_numpy()
+    r_names[m["n_nationkey"].to_numpy()] = m["r_name"].to_numpy()
+    dim_ref = ray.put((n_names, r_names))
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        nn, rn = ray.get(dim_ref)  # zero-copy from the local object store
+        k = batch["c_nationkey"].to_numpy()
+        return (
+            batch.append_column("nation", pa.array(nn[k], pa.string()))
+            .append_column("region", pa.array(rn[k], pa.string()))
+            .drop_columns(["c_nationkey"])
+        )
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    )
+    return ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_sample_hash_documents(sf_dir: str):
+    """Deterministic hash sampling (mod-shard on a stable key digest): the
+    repeatable train/eval split and down-sampling primitive — every worker
+    agrees on membership with no coordination, and re-runs are stable.
+    Same md5 parity as the table checksum (``md5_number_lower``)."""
+    from tapdata_connectors_ray.functions.hashing import md5_number_lower
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.string()).to_pylist()  # == CAST(.. AS VARCHAR)
+        h = md5_number_lower(ids) % np.uint64(20)
+        return batch.filter(pa.array(h == np.uint64(3)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # -- windowed aggregate (training-pipeline op; reference has no windows) -----
+
+
+_HOP_US = 5 * 60 * 1_000_000  # hop; window size = 2 hops (10 min)
+
+
+def q_events_hopping_window(sf_dir: str):
+    """Per-user HOPPING window (size 10 min, hop 5 min — each event lands in
+    exactly 2 overlapping windows): vectorized window expansion inside
+    ``map_batches`` (duplication factor = size/hop, done with ``np.tile`` —
+    no per-row Python), then the coarse-bucket fold: groups in the Ray
+    shuffle stay O(buckets), the per-(user, window) aggregate happens in one
+    vectorized pandas groupby per bucket (user×window cardinality is
+    unbounded at scale — never give it to the grouped-aggregate API raw)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy()
+        w0 = (us // _HOP_US) * _HOP_US
+        uid = batch["user_id"].to_numpy()
+        val = batch["value"].to_numpy()
+        return pa.table(
+            {
+                "user_id": np.tile(uid, 2),
+                "win_start_us": np.concatenate([w0, w0 - _HOP_US]),
+                "value": np.tile(val, 2),
+                "ubucket": np.tile((uid % 64).astype(np.int32), 2),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "win_start_us"], sort=False)["value"].agg(
+            ["size", "sum"]
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g.index.get_level_values(0).to_numpy(),
+                "win_start_us": g.index.get_level_values(1).to_numpy(),
+                "n_events": g["size"].to_numpy(),
+                "sum_value": np.round(g["sum"].to_numpy(), 6),
+            }
+        )
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ubucket")
+        .map_groups(fold, batch_format="pandas")
+    )
 
 
 def q_events_tumbling_window(sf_dir: str):
@@ -528,6 +633,30 @@ RELATIONAL_SQL: dict[str, str] = {
         SELECT bigram, count(*) AS n FROM bi GROUP BY bigram
         ORDER BY n DESC, bigram LIMIT 20
     """,
+    "lookup_enrich_customer": """
+        SELECT c_custkey, c_name, c_acctbal, n_name AS nation, r_name AS region
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    """,
+    "sample_hash_documents": """
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 20 = 3
+    """,
+    "events_hopping_window": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        x AS (
+            SELECT user_id, (us // 300000000) * 300000000 AS win_start_us, value
+            FROM e
+            UNION ALL
+            SELECT user_id, (us // 300000000) * 300000000 - 300000000, value
+            FROM e
+        )
+        SELECT user_id, win_start_us, count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM x GROUP BY 1, 2
+    """,
     "events_tumbling_window": """
         SELECT user_id,
                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win_hour,
@@ -638,6 +767,9 @@ def relational_queries():
         "point_lookup_customer": q_point_lookup_customer,
         "pk_range_boundaries_orders": q_pk_range_boundaries_orders,
         "distinct_segments": q_distinct_segments,
+        "lookup_enrich_customer": q_lookup_enrich_customer,
+        "sample_hash_documents": q_sample_hash_documents,
+        "events_hopping_window": q_events_hopping_window,
         "events_tumbling_window": q_events_tumbling_window,
         "events_session_windows": q_events_session_windows,
         "events_asof_join": q_events_asof_join,

@@ -113,3 +113,48 @@ def test_minmax_split_partitions():
     total = pa.parquet.read_metadata(f"{SF}/lineitem.parquet").num_rows
     assert plan["row_count"].sum() == total  # complete coverage, no overlap
     assert (plan["row_count"] <= 2 * 500 * 2).all()  # post-split bound (one bisect granularity)
+
+
+def test_hopping_window_covers_each_event_twice(ray_session):
+    """size = 2×hop => every event lands in exactly 2 windows, and each
+    window's count equals a brute-force interval count."""
+    import duckdb
+
+    from tapdata_connectors_ray.pipelines.relational import (
+        _HOP_US,
+        q_events_hopping_window,
+    )
+
+    got = q_events_hopping_window(SF).to_pandas()
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert got["n_events"].sum() == 2 * n_events
+    # brute-force check one user's windows
+    ev = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts) AS us FROM read_parquet('{SF}/events.parquet')"
+    ).fetchdf()
+    uid = ev["user_id"].iloc[0]
+    sub = ev[ev["user_id"] == uid]["us"].to_numpy()
+    for ws in got[got["user_id"] == uid]["win_start_us"].head(5):
+        expect = ((sub >= ws) & (sub < ws + 2 * _HOP_US)).sum()
+        row = got[(got["user_id"] == uid) & (got["win_start_us"] == ws)]
+        assert int(row["n_events"].iloc[0]) == int(expect)
+
+
+def test_broadcast_enrich_matches_pandas_join(ray_session):
+    from tapdata_connectors_ray.pipelines.relational import q_lookup_enrich_customer
+
+    got = q_lookup_enrich_customer(SF).to_pandas().sort_values("c_custkey")
+    import pyarrow.parquet as pq
+
+    c = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    n = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    r = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    exp = (
+        c.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+        .sort_values("c_custkey")
+    )
+    assert got["nation"].tolist() == exp["n_name"].tolist()
+    assert got["region"].tolist() == exp["r_name"].tolist()
