@@ -728,6 +728,57 @@ PATCH_FIXTURE_VERSION = 1
 PATCH_FIELDS = ("role", "text", "tool", "turn_score")
 
 
+INSPECT_FIXTURE_VERSION = 1
+
+
+def ensure_inspect_fixture(sf: str = "sf0.001", root: str = DEFAULT_FIXTURE_ROOT) -> str:
+    """Deterministic "peer lake" for the inspect/diff verification query: the
+    tier's expected final state with seeded discrepancies — dropped keys
+    (peer_missing), corrupted ``text`` / bumped ``turn_score``
+    (field_mismatch, possibly multi-field), and ghost rows (peer_only)."""
+    d = ensure_fixtures(sf, root)
+    out_dir = os.path.join(d, "peer_final.parquet")
+    marker = os.path.join(out_dir, f".v{INSPECT_FIXTURE_VERSION}")
+    if os.path.exists(marker):
+        return out_dir
+    from tapdata_connectors_ray.functions.hashing import md5_number_lower
+    from tapdata_connectors_ray.oracle import expected_final_state
+    from tapdata_connectors_ray.schema import LATEST_TRANSCRIPTS_SCHEMA
+
+    base = pq.read_table(os.path.join(d, "transcripts.parquet"))
+    events = pq.read_table(os.path.join(d, "events.parquet"))
+    exp = expected_final_state(base, events).to_pandas()
+    h = md5_number_lower(
+        (exp["conv_id"].astype(str) + "|" + exp["turn_idx"].astype(str)).tolist()
+    )
+    keep = (h % np.uint64(97)) != 0
+    peer = exp[keep].copy()
+    hk = h[keep]
+    corrupt = (hk % np.uint64(89)) == 1
+    bump = (hk % np.uint64(83)) == 2  # may overlap `corrupt` -> multi-field
+    peer.loc[corrupt, "text"] = peer.loc[corrupt, "text"].fillna("") + " ~peer"
+    bump_nonnull = bump & peer["turn_score"].notna().to_numpy()
+    peer.loc[bump_nonnull, "turn_score"] = peer.loc[bump_nonnull, "turn_score"] + 1
+    ghosts = pd.DataFrame(
+        {
+            "conv_id": [f"ghost-{i}" for i in range(25)],
+            "turn_idx": pd.array(np.arange(25, dtype=np.int32), dtype="Int32"),
+            "role": "assistant",
+            "text": "ghost row",
+            "tool_name": None,
+            "turn_score": pd.array(np.arange(25), dtype="Int64"),
+            "ts": pd.Timestamp("2024-01-01 00:00:00"),
+        }
+    )
+    peer = pd.concat([peer, ghosts], ignore_index=True)
+    table = pa.Table.from_pandas(
+        peer, schema=LATEST_TRANSCRIPTS_SCHEMA, preserve_index=False
+    )
+    _write_sharded(table, out_dir)
+    open(marker, "w").close()
+    return out_dir
+
+
 def ensure_patch_fixture(sf: str = "sf0.001", root: str = DEFAULT_FIXTURE_ROOT) -> str:
     """Deterministic partial-update log next to the tier's base snapshot:
     one row per patch — key columns always present, one NULLABLE column per

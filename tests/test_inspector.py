@@ -1,0 +1,62 @@
+"""Inspect/diff verification stage (Tapdata data-verification drill-down):
+classification of missing / extra / field-divergent keys, null-safe."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _diff(left_rows, right_rows):
+    from tapdata_connectors_ray.stages.inspector import dataset_diff
+
+    schema = pa.schema(
+        [
+            pa.field("k", pa.string()),
+            pa.field("a", pa.string()),
+            pa.field("b", pa.int64()),
+        ]
+    )
+    l = ray.data.from_arrow(pa.Table.from_pylist(left_rows, schema=schema))
+    r = ray.data.from_arrow(pa.Table.from_pylist(right_rows, schema=schema))
+    out = dataset_diff(l, r, keys=["k"], compare_cols=["a", "b"], num_buckets=4)
+    return out.to_pandas().sort_values("k").reset_index(drop=True)
+
+
+def test_diff_classification(ray_session):
+    left = [
+        {"k": "same", "a": "x", "b": 1},
+        {"k": "nulls", "a": None, "b": None},       # null == null: no diff
+        {"k": "onlyl", "a": "x", "b": 1},
+        {"k": "difa", "a": "x", "b": 1},
+        {"k": "difboth", "a": "x", "b": 1},
+        {"k": "nullvsval", "a": None, "b": 1},
+    ]
+    right = [
+        {"k": "same", "a": "x", "b": 1},
+        {"k": "nulls", "a": None, "b": None},
+        {"k": "onlyr", "a": "y", "b": 2},
+        {"k": "difa", "a": "X", "b": 1},
+        {"k": "difboth", "a": "X", "b": 2},
+        {"k": "nullvsval", "a": "v", "b": 1},
+    ]
+    got = _diff(left, right)
+    m = dict(zip(got["k"], zip(got["diff_kind"], got["fields"])))
+    assert "same" not in m and "nulls" not in m
+    assert m["onlyl"] == ("peer_missing", "")
+    assert m["onlyr"] == ("peer_only", "")
+    assert m["difa"] == ("field_mismatch", "a")
+    assert m["difboth"] == ("field_mismatch", "a,b")
+    assert m["nullvsval"] == ("field_mismatch", "a")
+    assert len(got) == 5
+
+
+def test_inspect_fixture_kinds(ray_session):
+    """The seeded peer lake must produce every diff kind, and the query's
+    output must be discrepancy-scale (a small fraction of the table)."""
+    from tapdata_connectors_ray.pipelines.entrypoints import q_cdc_inspect_diff
+
+    got = q_cdc_inspect_diff("/root/testdata/sf0.001")
+    kinds = set(got["diff_kind"])
+    assert kinds == {"peer_missing", "peer_only", "field_mismatch"}
+    assert (got[got["diff_kind"] == "peer_only"]["conv_id"].str.startswith("ghost-")).all()
+    assert len(got) < 500  # discrepancy-scale, not table-scale
