@@ -728,6 +728,44 @@ PATCH_FIXTURE_VERSION = 1
 PATCH_FIELDS = ("role", "text", "tool", "turn_score")
 
 
+DIRTY_FIXTURE_VERSION = 1
+
+
+def ensure_dirty_fixture(sf: str = "sf0.001", root: str = DEFAULT_FIXTURE_ROOT) -> str:
+    """The tier's event log with seeded MALFORMED rows appended (unknown op
+    codes; DML with NULL keys) — the dead-letter-routing input.  A tolerant
+    replay over this log must equal the clean replay; the DLQ view counts
+    the quarantined rows by reason."""
+    d = ensure_fixtures(sf, root)
+    out_dir = os.path.join(d, "dirty_events.parquet")
+    marker = os.path.join(out_dir, f".v{DIRTY_FIXTURE_VERSION}")
+    if os.path.exists(marker):
+        return out_dir
+    events = pq.read_table(os.path.join(d, "events.parquet"))
+    max_lsn = int(pa.compute.max(events["lsn"]).as_py())
+    n_bad_op, n_null_key = 120, 80
+    n = n_bad_op + n_null_key
+    rng = np.random.default_rng(20260818)
+    bad = pa.Table.from_pylist(
+        [
+            {
+                "lsn": max_lsn + 1 + i,
+                "op": "X" if i < n_bad_op else "U",
+                "conv_id": f"conv-{i}" if i < n_bad_op else None,
+                "turn_idx": int(rng.integers(0, 5)),
+                "role": "user",
+                "text": "malformed",
+                "schema_ver": 5,
+            }
+            for i in range(n)
+        ],
+        schema=events.schema,
+    )
+    _write_sharded(pa.concat_tables([events, bad]), out_dir)
+    open(marker, "w").close()
+    return out_dir
+
+
 INSPECT_FIXTURE_VERSION = 1
 
 

@@ -139,6 +139,7 @@ def normalized_events(
     base_version: int = 1,
     read_filter: "pads.Expression | None" = None,
     drop_origin: str | None = None,
+    drop_malformed: bool = False,
 ) -> ray.data.Dataset:
     """read -> normalize(+pre-reduce) [-> union base snapshot] as one lazy Dataset.
 
@@ -182,6 +183,7 @@ def normalized_events(
             prereduce=prereduce,
             salt_buckets=salt_buckets,
             drop_origin=drop_origin,
+            drop_malformed=drop_malformed,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -269,6 +271,7 @@ def replay_merged(
     min_lsn: int | None = None,
     base_version: int = 1,
     read_filter: "pads.Expression | None" = None,
+    drop_malformed: bool = False,
 ) -> ray.data.Dataset:
     """Full replay -> merged per-partition state (latest schema + lsn +
     partition_id), sorted by key within each partition.
@@ -322,6 +325,7 @@ def replay_merged(
         min_lsn=min_lsn,
         base_version=base_version,
         read_filter=read_filter,
+        drop_malformed=drop_malformed,
     )
     if salt_buckets:
         ev = ev.groupby(["partition_id", "salt"]).map_groups(

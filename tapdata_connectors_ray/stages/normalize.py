@@ -67,6 +67,33 @@ def _salt_column(batch: pa.Table, keys: list[str], salt_buckets: int) -> pa.Arra
     return pa.array((h % np.uint64(salt_buckets)).astype(np.int32), pa.int32())
 
 
+_VALID_OPS = ("I", "U", "D")
+
+
+def malformed_reasons(batch: pa.Table, spec) -> pa.Array | None:
+    """Per-row DLQ reason (NULL = well-formed), vectorized: ``bad_op`` for
+    unknown op codes (DDL rows must be filtered out first), ``null_key`` for
+    DML carrying a NULL explicit key (no-PK specs key null-safely on all
+    columns, so the check only applies to explicit keys).  Returns None when
+    the spec can produce no malformed class (nothing to scan)."""
+    op_ok = pc.is_in(batch["op"], value_set=pa.array(_VALID_OPS, pa.string()))
+    key_null = None
+    for k in spec.key_columns:
+        if k in batch.column_names:
+            n = pc.is_null(batch[k])
+            key_null = n if key_null is None else pc.or_(key_null, n)
+    bad_op = pc.invert(op_ok).to_numpy(zero_copy_only=False)
+    if key_null is None and not bad_op.any():
+        return None
+    null_key = (
+        np.zeros(len(batch), bool)
+        if key_null is None
+        else (key_null.to_numpy(zero_copy_only=False) & ~bad_op)
+    )
+    reason = np.where(bad_op, "bad_op", np.where(null_key, "null_key", None))
+    return pa.array(reason, pa.string())
+
+
 class _NormalizeBase:
     def __init__(self, plan: EvolutionPlan, num_partitions: int, salt_buckets: int = 0):
         self.plan = plan
@@ -157,9 +184,16 @@ class NormalizeEvents(_NormalizeBase):
         prereduce: bool = True,
         salt_buckets: int = 0,
         drop_origin: str | None = None,
+        drop_malformed: bool = False,
     ):
         super().__init__(plan, num_partitions, salt_buckets)
         self.prereduce = prereduce
+        # dead-letter routing (the reference skips/collects unprocessable
+        # records instead of failing the batch, WriteListResult error map /
+        # skip-on-error policy): malformed rows — unknown op codes, DML with
+        # a NULL explicit key — are dropped here; the DLQ view that counts
+        # them by reason is `malformed_reason_mask` (same classifier)
+        self.drop_malformed = drop_malformed
         # double-active loop prevention (MysqlReader.java:576-590,
         # NormalRecordWriter.java:81-86): drop events whose txn_origin tag
         # names this engine's replication marker — they were applied locally
@@ -177,6 +211,10 @@ class NormalizeEvents(_NormalizeBase):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.not_equal(batch["op"], "DDL"))
+        if self.drop_malformed and len(batch):
+            reasons = malformed_reasons(batch, self.plan.spec)
+            if reasons is not None:
+                batch = batch.filter(pc.is_null(reasons))
         if self.drop_origin is not None and "txn_origin" in batch.column_names:
             col = batch["txn_origin"]
             batch = batch.filter(

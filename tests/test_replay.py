@@ -155,3 +155,33 @@ def test_snapshot_switchover_equals_full_replay(
         snapshot_dir=str(tmp_path / f"snap_{snapshot_frac}_{overlap_frac}"),
     )
     assert_matches(ds, expected)
+
+
+def test_dlq_tolerant_replay_equals_clean(paths, expected):
+    """Malformed rows (unknown ops, NULL-key DML) are quarantined, not fatal;
+    the tolerant replay over the dirty log equals the clean replay."""
+    from tapdata_connectors_ray.fixtures import ensure_dirty_fixture
+
+    _, base = paths
+    dirty = ensure_dirty_fixture("sf0.001")
+    assert_matches(
+        replay_final_state(dirty, base, num_partitions=16, drop_malformed=True),
+        expected,
+    )
+
+
+def test_malformed_reasons_classifier():
+    import pyarrow as pa
+
+    from tapdata_connectors_ray.schema import TRANSCRIPTS_SPEC
+    from tapdata_connectors_ray.stages.normalize import malformed_reasons
+
+    batch = pa.table(
+        {
+            "op": pa.array(["I", "X", "U", "D"], pa.string()),
+            "conv_id": pa.array(["a", None, None, "d"], pa.string()),
+            "turn_idx": pa.array([1, 2, 3, None], pa.int32()),
+        }
+    )
+    r = malformed_reasons(batch, TRANSCRIPTS_SPEC)
+    assert r.to_pylist() == [None, "bad_op", "null_key", "null_key"]
