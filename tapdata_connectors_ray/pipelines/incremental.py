@@ -424,6 +424,110 @@ class CheckpointedIngest:
             read_merge, batch_format="pandas", batch_size=1
         )
 
+    def compact_minor(self, min_delta_files: int = 2, commit: bool = True) -> Manifest:
+        """LSM *minor* compaction: collapse each partition's DELTA stack into
+        ONE delta file — tombstones RETAINED (a delete must keep beating the
+        base file's older upserts at read time), base/compacted files
+        untouched.  Bounds read amplification (files/partition) without the
+        full rewrite a major ``compact`` pays; the Hudi/LSM small-file merge
+        step between commits."""
+        plan = self.committed_plan()
+        items = []
+        for pid, st in sorted(self.manifest.partitions.items()):
+            vers = st.versions()
+            deltas = [
+                (f, v)
+                for f, v in zip(st.files, vers)
+                if os.path.basename(f).startswith("delta-")
+            ]
+            if len(deltas) >= min_delta_files:
+                items.append(
+                    {
+                        "pid": pid,
+                        "files": [f for f, _ in deltas],
+                        "vers": [v for _, v in deltas],
+                    }
+                )
+        if not items:
+            return self.manifest
+        epoch = self.manifest.epoch + 1
+        plan_json = plan.to_json()
+        spec_json = self.spec.to_json()
+        lake_dir = self.lake_dir
+
+        def minor_one(batch: pd.DataFrame) -> pa.Table:
+            from tapdata_connectors_ray.stages.merge import lww_merge_tables
+
+            plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
+            keys = plan_l.keys()
+            out_schema = merged_schema(plan_l.schema_at())
+            rows = []
+            for _, row in batch.iterrows():
+                pid = int(row["pid"])
+                tables = [
+                    _lake_file_to_table(f, plan_l, int(v))
+                    for f, v in zip(row["files"], row["vers"])
+                ]
+                merged = lww_merge_tables(
+                    tables, out_schema, keys, drop_tombstones=False
+                )
+                out = os.path.join(
+                    partition_dir(lake_dir, pid), f"delta-{epoch:06d}.parquet"
+                )
+                tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+                pq.write_table(merged, tmp)
+                os.replace(tmp, out)
+                rows.append({"partition_id": pid, "file": out, "rows": merged.num_rows})
+            return pa.Table.from_pylist(rows)
+
+        results = (
+            ray.data.from_items(items)
+            .map_batches(minor_one, batch_format="pandas", batch_size=1)
+            .take_all()
+        )
+        new = Manifest(
+            num_partitions=self.num_partitions,
+            epoch=epoch,
+            schema_version=plan.latest_version,
+            ddl_history=plan.to_json(),
+            table_spec=self.spec.to_json(),
+            partitions=dict(self.manifest.partitions),
+        )
+        superseded: list[str] = []
+        for r in results:
+            pid = int(r["partition_id"])
+            old = self.manifest.partitions[pid]
+            vers = old.versions()
+            kept = [
+                (f, v)
+                for f, v in zip(old.files, vers)
+                if not os.path.basename(f).startswith("delta-")
+            ]
+            superseded.extend(
+                f for f in old.files if os.path.basename(f).startswith("delta-")
+            )
+            new.partitions[pid] = PartitionState(
+                applied_lsn=old.applied_lsn,
+                files=[f for f, _ in kept] + [r["file"]],
+                file_versions=[v for _, v in kept] + [plan.latest_version],
+                rows=old.rows,
+                schema_version=plan.latest_version,
+                lineage={
+                    **old.lineage,
+                    "minor_compacted_epoch": epoch,
+                    "minor_compacted_files": len(old.files) - len(kept),
+                },
+            )
+        if commit:
+            commit_manifest(self.lake_dir, new)
+            self.manifest = new
+            for f in superseded:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+        return new
+
     def compact(self, commit: bool = True) -> Manifest:
         """Collapse every partition's delta stack into one compacted file
         (LSM major compaction): dedup + LWW + tombstone drop, one task per

@@ -260,3 +260,32 @@ def test_nonretryable_sink_failure_fails_fast(paths, lake_dir):
     with pytest.raises(Exception):
         ing.ingest(ev, base, fault_injector=always_fail)
     assert load_manifest(lake_dir) is None
+
+
+def test_minor_compaction_bounds_file_count(paths, expected, lake_dir):
+    """Minor compaction collapses the DELTA stack only (tombstones retained,
+    base file untouched): file count per partition drops to <= 2 (base +
+    one merged delta), state identical before/after, deletes stay dead, and
+    a later MAJOR compaction still lands at one file per partition."""
+    import os
+
+    ev, base = paths
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing.ingest_in_epochs(ev, base, n_epochs=4, mode="delta")
+    before = {p: list(st.files) for p, st in ing.manifest.partitions.items()}
+    assert max(len(f) for f in before.values()) >= 3
+
+    ing.compact_minor()
+    for pid, st in ing.manifest.partitions.items():
+        deltas = [f for f in st.files if os.path.basename(f).startswith("delta-")]
+        assert len(deltas) <= 1, f"partition {pid} still stacked: {st.files}"
+        # base/compacted files untouched
+        kept = [f for f in before[pid] if not os.path.basename(f).startswith("delta-")]
+        assert [f for f in st.files if not os.path.basename(f).startswith("delta-")] == kept
+    assert_lake_matches(ing, expected)
+
+    # tombstones must have survived the minor merge: major compaction after
+    # it still yields the same live set (no resurrection)
+    ing.compact()
+    assert all(len(st.files) == 1 for st in ing.manifest.partitions.values())
+    assert_lake_matches(ing, expected)
