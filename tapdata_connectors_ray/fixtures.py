@@ -292,6 +292,7 @@ def generate_fixture_tables(spec: FixtureSpec) -> tuple[pa.Table, pa.Table]:
 
 
 METRICS_NUM_PARTITIONS = 64
+METRICS_TWIN_VERSION = 2  # bump when the twin's semantics change (cache upgrade)
 
 
 def expected_partition_metrics(
@@ -344,7 +345,11 @@ def expected_partition_metrics(
     live["pid"] = partition_ids(live["conv_id"].to_numpy(), num_partitions)
     g = live.groupby("pid")
     rows = g.size()
-    applied = g["lsn"].max()
+    # applied watermark = max lsn ROUTED to the partition (tombstones and
+    # LWW losers included -- a dropped delete is still an applied event; the
+    # engine records the same, incremental.py MergeApplyWriter max over the
+    # epoch's input events)
+    applied = pd.Series(allv["lsn"].to_numpy()).groupby(pids_all).max()
     # partitions that received events but hold no live rows still commit
     all_pids = np.unique(pids_all)
     out = pd.DataFrame(
@@ -368,7 +373,10 @@ def expected_partition_metrics(
         .max()
     )
     out["watermark_ts"] = wm.reindex(all_pids, fill_value=-1).to_numpy(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    return t.replace_schema_metadata(
+        {"metrics_twin_version": str(METRICS_TWIN_VERSION)}
+    )
 
 
 _SHARD_ROWS = 64 * 1024
@@ -402,7 +410,10 @@ def _upgrade_expected_metrics(out: str) -> None:
     the pandas twin is recomputed from them."""
     expected = os.path.join(out, "expected_partition_metrics.parquet")
     try:
-        if "watermark_ts" in pq.read_schema(expected).names:
+        schema = pq.read_schema(expected)
+        meta = schema.metadata or {}
+        ver = int(meta.get(b"metrics_twin_version", b"1"))
+        if "watermark_ts" in schema.names and ver >= METRICS_TWIN_VERSION:
             return
     except (OSError, pa.ArrowInvalid):
         return  # no expected file in this layout — nothing to upgrade

@@ -44,6 +44,7 @@ from tapdata_connectors_ray.state.checkpoint import (
     PartitionState,
     commit_manifest,
     load_manifest,
+    load_manifest_at,
     partition_dir,
 )
 from tapdata_connectors_ray.state.registry import EvolutionPlan
@@ -162,7 +163,11 @@ class MergeApplyWriter:
 
         import pyarrow.compute as pc
 
-        max_lsn = int(pc.max(merged["lsn"]).as_py()) if len(merged) else -1
+        # watermark over the epoch's INPUT events, not the merged output: a
+        # dropped tombstone (rewrite mode) is still an APPLIED event — taking
+        # the max from the merged rows would under-record the watermark and
+        # make a later resume/resync re-deliver (idempotent but wasteful)
+        max_lsn = int(pc.max(t["lsn"]).as_py()) if len(t) else -1
         # source-clock watermark over the epoch's real log events (lsn>0
         # excludes base-snapshot rows whose ts is payload, not stream clock;
         # synthetic key-move tombstones carry null ts and drop out of max)
@@ -379,26 +384,33 @@ class CheckpointedIngest:
 
     # -- reads -------------------------------------------------------------
 
-    def committed_plan(self) -> EvolutionPlan:
-        """DDL history as of the last commit (persisted in the manifest)."""
-        return EvolutionPlan.from_json(self.manifest.ddl_history, spec=self.spec)
+    def committed_plan(self, manifest: Manifest | None = None) -> EvolutionPlan:
+        """DDL history as of the given commit (default: the latest)."""
+        m = manifest or self.manifest
+        return EvolutionPlan.from_json(m.ddl_history, spec=self.spec)
 
-    def _partition_items(self, only_stacked: bool = False) -> list[dict]:
+    def _partition_items(
+        self, only_stacked: bool = False, manifest: Manifest | None = None
+    ) -> list[dict]:
+        m = manifest or self.manifest
         return [
             {"pid": pid, "files": list(st.files), "vers": st.versions()}
-            for pid, st in sorted(self.manifest.partitions.items())
+            for pid, st in sorted(m.partitions.items())
             if st.files and (len(st.files) > 1 or not only_stacked)
         ]
 
-    def final_dataset(self) -> ray.data.Dataset:
+    def final_dataset(self, manifest: Manifest | None = None) -> ray.data.Dataset:
         """The committed lake table as a streaming Dataset: ONE read-merge
         task per partition (no shuffle — partitions are key-disjoint).  A
         delta stack (multiple files with live tombstones) collapses here at
         read time; files predating a DDL are migrated per their recorded
-        schema version."""
-        plan = self.committed_plan()
+        schema version.
+
+        ``manifest`` selects an earlier commit (time-travel read via
+        :meth:`dataset_at`)."""
+        plan = self.committed_plan(manifest)
         payload_names = plan.schema_at().names
-        items = self._partition_items()
+        items = self._partition_items(manifest=manifest)
         if not items:
             return ray.data.from_arrow(plan.schema_at().empty_table())
         plan_json = plan.to_json()
@@ -688,6 +700,43 @@ class CheckpointedIngest:
     def query_by_key(self, conv_id: str, turn_idx: int) -> dict | None:
         """Transcripts-keyed convenience wrapper over :meth:`lookup`."""
         return self.lookup({"conv_id": conv_id, "turn_idx": turn_idx})
+
+    def dataset_at(self, epoch: int) -> ray.data.Dataset:
+        """Time-travel read: the lake AS OF an earlier committed epoch (the
+        lake-table commit timeline: every commit snapshots its manifest under
+        ``history/``; rewrite epochs leave prior partition files on disk, so
+        any epoch not yet GC'd by a compaction is readable)."""
+        m = load_manifest_at(self.lake_dir, epoch)
+        if m is None:
+            raise ValueError(f"epoch {epoch} was never committed in {self.lake_dir}")
+        return self.final_dataset(manifest=m)
+
+    def resync_partition(
+        self,
+        pid: int,
+        events_path: str | list[str],
+        base_path: str | list[str] | None = None,
+    ) -> Manifest:
+        """Partial re-sync of ONE lake partition (the reference's reset /
+        re-sync of a table subset without touching the rest of the task):
+        the partition's state is dropped and committed, then a normal ingest
+        re-applies snapshot + full log — every OTHER partition's applied-LSN
+        watermark filters its events to nothing (vectorized drop in
+        normalize) and its base rows are guarded by the resurrection check,
+        so only the reset partition is rebuilt.
+
+        Scale note: the log is still SCANNED once (hash partitioning can't
+        be pruned at the parquet read); what's avoided is the rewrite —
+        one partition's merge + file, not P of them."""
+        st = self.manifest.partitions.pop(pid, None)
+        if st is not None:
+            commit_manifest(self.lake_dir, self.manifest)
+            for f in st.files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+        return self.ingest(events_path, base_path)
 
     def clear_table(self) -> None:
         """``clearTable`` analogue (``CommonDbConnector.java:352-362``):

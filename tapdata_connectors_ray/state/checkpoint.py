@@ -122,15 +122,49 @@ def load_manifest(lake_dir: str) -> Manifest | None:
 
 
 def commit_manifest(lake_dir: str, manifest: Manifest) -> None:
-    """Atomic swap: tmp write + fsync + rename — the single commit point."""
+    """Atomic swap: tmp write + fsync + rename — the single commit point.
+
+    Every commit ALSO lands an immutable per-epoch snapshot under
+    ``history/manifest-{epoch}.json`` — the time-travel index (the lake-table
+    commit timeline: any epoch whose data files haven't been GC'd by a later
+    compaction is readable as of that epoch)."""
     os.makedirs(lake_dir, exist_ok=True)
     path = manifest_path(lake_dir)
+    payload = json.dumps(manifest.to_json(), indent=1)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(manifest.to_json(), f, indent=1)
+        f.write(payload)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    hist_dir = os.path.join(lake_dir, "history")
+    os.makedirs(hist_dir, exist_ok=True)
+    hist = os.path.join(hist_dir, f"manifest-{manifest.epoch:06d}.json")
+    htmp = hist + ".tmp"
+    with open(htmp, "w") as f:
+        f.write(payload)
+    os.replace(htmp, hist)
+
+
+def load_manifest_at(lake_dir: str, epoch: int) -> Manifest | None:
+    """The manifest as committed at ``epoch`` (time-travel read), or None if
+    that epoch was never committed in this lake."""
+    path = os.path.join(lake_dir, "history", f"manifest-{epoch:06d}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return Manifest.from_json(json.load(f))
+
+
+def committed_epochs(lake_dir: str) -> list[int]:
+    hist_dir = os.path.join(lake_dir, "history")
+    if not os.path.isdir(hist_dir):
+        return []
+    out = []
+    for n in os.listdir(hist_dir):
+        if n.startswith("manifest-") and n.endswith(".json"):
+            out.append(int(n[len("manifest-"):-len(".json")]))
+    return sorted(out)
 
 
 def partition_dir(lake_dir: str, pid: int) -> str:
