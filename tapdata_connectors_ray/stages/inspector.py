@@ -60,7 +60,8 @@ def make_diff_fold(keys: list[str], compare_cols: list[str]):
         neq = {}
         for c in compare_cols:
             a, b = m[f"{c}_l"], m[f"{c}_r"]
-            neq[c] = (~((a == b) | (a.isna() & b.isna()))) & both
+            eq = ((a == b) | (a.isna() & b.isna())).fillna(False).to_numpy(dtype=bool)
+            neq[c] = pd.Series(~eq & both.to_numpy(), index=m.index)
         any_neq = np.logical_or.reduce([neq[c].to_numpy() for c in compare_cols])
         emit = lo | ro | (both & any_neq)
         sub = m[emit]
@@ -82,6 +83,120 @@ def make_diff_fold(keys: list[str], compare_cols: list[str]):
         )
 
     return fold
+
+
+def make_diff_events_fold(keys: list[str], payload_cols: list[str]):
+    """Per-bucket fold for :func:`diff_to_events`: emit the change events
+    that transform RIGHT into LEFT — ``I`` (left-only key, left payload),
+    ``U`` (both present, any column differs null-safely, left payload),
+    ``D`` (right-only key, no payload)."""
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == "L"]
+        right = df[df["side"] == "R"]
+        m = left.merge(
+            right, on=keys, how="outer", suffixes=("_l", "_r"), indicator=True
+        )
+        lo = (m["_merge"] == "left_only").to_numpy()
+        ro = (m["_merge"] == "right_only").to_numpy()
+        both = (m["_merge"] == "both").to_numpy()
+        any_neq = np.zeros(len(m), bool)
+        for c in payload_cols:
+            a, b = m[f"{c}_l"], m[f"{c}_r"]
+            eq = ((a == b) | (a.isna() & b.isna())).fillna(False).to_numpy(dtype=bool)
+            any_neq |= ~eq & both
+        emit = lo | ro | any_neq
+        sub = m[emit]
+        op = np.select(
+            [lo[emit], ro[emit]], ["I", "D"], default="U"
+        )
+        out = {k: sub[k].to_numpy() for k in keys}
+        out["op"] = op
+        for c in payload_cols:
+            col = sub[f"{c}_l"].copy()
+            col[op == "D"] = None  # tombstones carry no after-image
+            out[c] = col.to_numpy()
+        return pd.DataFrame(out)
+
+    return fold
+
+
+def diff_to_events(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    keys: list[str],
+    payload_cols: list[str],
+    num_buckets: int = DEFAULT_DIFF_BUCKETS,
+) -> ray.data.Dataset:
+    """Diff-based change capture (polling / query-based CDC — the mode the
+    reference uses for sources without a change log: periodic table diffs
+    turned into I/U/D events).  Emits the event set that transforms ``right``
+    into ``left``; applying it to ``right`` with LWW reproduces ``left``
+    exactly (the round-trip conformance gate).  Same one-shuffle
+    co-partitioning shape as :func:`dataset_diff`."""
+    columns = [*keys, *payload_cols]
+    l = left.map_batches(
+        _tagger("L", keys, num_buckets, columns),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    r = right.map_batches(
+        _tagger("R", keys, num_buckets, columns),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        l.union(r)
+        .groupby("kbucket")
+        .map_groups(make_diff_events_fold(keys, payload_cols), batch_format="pandas")
+    )
+
+
+def apply_change_events(
+    base: ray.data.Dataset,
+    events: ray.data.Dataset,
+    keys: list[str],
+    out_schema: pa.Schema,
+    num_buckets: int = DEFAULT_DIFF_BUCKETS,
+) -> ray.data.Dataset:
+    """Apply a diff-captured event set over a base table: co-partition both,
+    per bucket keep the event row where one exists (LWW: events beat base),
+    drop tombstones.  Output cast to ``out_schema``."""
+    from tapdata_connectors_ray.stages.merge import _to_table
+
+    payload_cols = [f.name for f in out_schema]
+    base_cols = [c for c in payload_cols if c not in keys]
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        batch = batch.select(payload_cols)
+        kb = (key_hash_columns(batch, keys) % np.uint64(num_buckets)).astype(np.int32)
+        n = len(batch)
+        return (
+            batch.append_column("op", pa.array(np.full(n, "I", object), pa.string()))
+            .append_column("lsn", pa.array(np.zeros(n, np.int64)))
+            .append_column("kbucket", pa.array(kb, pa.int32()))
+        )
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        kb = (key_hash_columns(batch, keys) % np.uint64(num_buckets)).astype(np.int32)
+        n = len(batch)
+        return batch.select([*payload_cols, "op"]).append_column(
+            "lsn", pa.array(np.ones(n, np.int64))
+        ).append_column("kbucket", pa.array(kb, pa.int32()))
+
+    b = base.map_batches(tag_base, batch_format="pyarrow", zero_copy_batch=True)
+    e = events.map_batches(tag_events, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("lsn", kind="stable").drop_duplicates(keys, keep="last")
+        df = df[df["op"] != "D"]
+        return _to_table(df, out_schema, keys)
+
+    return (
+        b.union(e)
+        .groupby("kbucket")
+        .map_groups(fold, batch_format="pandas")
+    )
 
 
 def dataset_diff(

@@ -60,3 +60,56 @@ def test_inspect_fixture_kinds(ray_session):
     assert kinds == {"peer_missing", "peer_only", "field_mismatch"}
     assert (got[got["diff_kind"] == "peer_only"]["conv_id"].str.startswith("ghost-")).all()
     assert len(got) < 500  # discrepancy-scale, not table-scale
+
+
+def test_diff_capture_roundtrip_small(ray_session):
+    """diff_to_events(left, right) applied over right == left, exactly —
+    including inserts, deletes, updates and null transitions."""
+    import pyarrow as pa
+    import ray.data
+
+    from tapdata_connectors_ray.stages.inspector import (
+        apply_change_events,
+        diff_to_events,
+    )
+
+    schema = pa.schema(
+        [
+            pa.field("k", pa.string()),
+            pa.field("a", pa.string()),
+            pa.field("b", pa.int64()),
+        ]
+    )
+    left_rows = [
+        {"k": "keep", "a": "x", "b": 1},
+        {"k": "upd", "a": "new", "b": 2},
+        {"k": "ins", "a": "fresh", "b": 3},
+        {"k": "tonull", "a": None, "b": None},
+    ]
+    right_rows = [
+        {"k": "keep", "a": "x", "b": 1},
+        {"k": "upd", "a": "old", "b": 9},
+        {"k": "gone", "a": "dead", "b": 0},
+        {"k": "tonull", "a": "val", "b": 7},
+    ]
+    l = ray.data.from_arrow(pa.Table.from_pylist(left_rows, schema=schema))
+    r = ray.data.from_arrow(pa.Table.from_pylist(right_rows, schema=schema))
+    events = diff_to_events(l, r, ["k"], ["a", "b"], num_buckets=4)
+    ev_df = events.to_pandas()
+    ops = dict(zip(ev_df["k"], ev_df["op"]))
+    assert ops == {"upd": "U", "ins": "I", "gone": "D", "tonull": "U"}
+
+    r2 = ray.data.from_arrow(pa.Table.from_pylist(right_rows, schema=schema))
+    applied = apply_change_events(
+        r2, ray.data.from_pandas(ev_df), ["k"], schema, num_buckets=4
+    )
+    got = applied.to_pandas().sort_values("k").reset_index(drop=True)
+    exp = (
+        pa.Table.from_pylist(left_rows, schema=schema)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp)
