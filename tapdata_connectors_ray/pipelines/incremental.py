@@ -346,7 +346,7 @@ class CheckpointedIngest:
                 },
             )
         if commit:
-            commit_manifest(self.lake_dir, new)
+            commit_manifest(self.lake_dir, new, expected_epoch=new.epoch - 1)
             self.manifest = new
         return new
 
@@ -531,7 +531,7 @@ class CheckpointedIngest:
                 },
             )
         if commit:
-            commit_manifest(self.lake_dir, new)
+            commit_manifest(self.lake_dir, new, expected_epoch=new.epoch - 1)
             self.manifest = new
             for f in superseded:
                 try:
@@ -603,7 +603,7 @@ class CheckpointedIngest:
                          "compacted_files": len(old.files)},
             )
         if commit:
-            commit_manifest(self.lake_dir, new)
+            commit_manifest(self.lake_dir, new, expected_epoch=new.epoch - 1)
             self.manifest = new
             for f in superseded:  # invisible after the swap; best-effort GC
                 try:

@@ -121,8 +121,23 @@ def load_manifest(lake_dir: str) -> Manifest | None:
         return Manifest.from_json(json.load(f))
 
 
-def commit_manifest(lake_dir: str, manifest: Manifest) -> None:
+class ManifestConflictError(RuntimeError):
+    """Optimistic-concurrency fence: another writer committed since this
+    writer loaded the manifest.  The loser must reload and re-derive (its
+    data files are orphans — invisible, reads go through the manifest)."""
+
+
+def commit_manifest(
+    lake_dir: str, manifest: Manifest, expected_epoch: int | None = None
+) -> None:
     """Atomic swap: tmp write + fsync + rename — the single commit point.
+
+    ``expected_epoch`` arms the optimistic-concurrency fence (the
+    lake-table conditional-put / Hudi instant-conflict analogue): the swap
+    only lands if the on-disk manifest is still at that epoch, under a
+    best-effort ``manifest.lock`` (O_EXCL) spanning check+swap so two
+    same-box writers can't interleave.  On an object store this maps to a
+    conditional put / ETag precondition.
 
     Every commit ALSO lands an immutable per-epoch snapshot under
     ``history/manifest-{epoch}.json`` — the time-travel index (the lake-table
@@ -130,6 +145,35 @@ def commit_manifest(lake_dir: str, manifest: Manifest) -> None:
     compaction is readable as of that epoch)."""
     os.makedirs(lake_dir, exist_ok=True)
     path = manifest_path(lake_dir)
+    lock_fd = None
+    if expected_epoch is not None:
+        import time
+
+        lock = os.path.join(lake_dir, "manifest.lock")
+        for _ in range(200):  # ~2 s of 10 ms retries, then assume stale lock
+            try:
+                lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                time.sleep(0.01)
+        cur = load_manifest(lake_dir)
+        if cur is not None and cur.epoch != expected_epoch:
+            if lock_fd is not None:
+                os.close(lock_fd)
+                os.unlink(lock)
+            raise ManifestConflictError(
+                f"manifest moved to epoch {cur.epoch} (expected {expected_epoch}) "
+                f"— another writer committed; reload and retry"
+            )
+    try:
+        _write_manifest_files(lake_dir, path, manifest)
+    finally:
+        if lock_fd is not None:
+            os.close(lock_fd)
+            os.unlink(os.path.join(lake_dir, "manifest.lock"))
+
+
+def _write_manifest_files(lake_dir: str, path: str, manifest: Manifest) -> None:
     payload = json.dumps(manifest.to_json(), indent=1)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -344,3 +344,23 @@ def test_partition_resync_rebuilds_only_reset_partition(paths, expected, lake_di
         else:
             assert st.files == files_before[pid], f"partition {pid} was touched"
     assert_lake_matches(ing, expected)
+
+
+def test_concurrent_writer_fencing(paths, lake_dir):
+    """Optimistic concurrency: a writer holding a stale manifest must get a
+    ManifestConflictError at commit (its data files stay invisible orphans);
+    after reloading it can proceed."""
+    import pytest as _pytest
+
+    from tapdata_connectors_ray.state.checkpoint import ManifestConflictError
+
+    ev, base = paths
+    a = CheckpointedIngest(lake_dir, num_partitions=8)
+    b = CheckpointedIngest(lake_dir, num_partitions=8)  # loads the same (empty) state
+    a.ingest(ev, base)  # epoch 1 committed
+    with _pytest.raises(ManifestConflictError):
+        b.ingest(ev, base)  # stale: still thinks epoch 0
+    # reload -> watermarks now cover the log -> idempotent no-op epoch works
+    b2 = CheckpointedIngest(lake_dir, num_partitions=8)
+    b2.ingest(ev, None)
+    assert b2.manifest.epoch == 2
