@@ -426,9 +426,12 @@ def replay_switchover(
         import tempfile
 
         snapshot_dir = tempfile.mkdtemp(prefix="tcr_switchover_snap_")
-    snap.write_parquet(snapshot_dir)
     import os
 
+    os.makedirs(snapshot_dir, exist_ok=True)
+    snap.write_parquet(snapshot_dir)
+    # an all-deleted (or pre-data) snapshot writes no files — phase 2 then
+    # runs base-less
     has_rows = any(e.name.endswith(".parquet") for e in os.scandir(snapshot_dir))
 
     resume_lsn = max(lo, snapshot_lsn - int((hi - lo) * overlap_frac))

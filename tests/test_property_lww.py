@@ -214,3 +214,46 @@ def test_checkpointed_epochs_equal_reducer(ray_session, tmp_path_factory, log, d
         df["turn_score"] = df["turn_score"].astype("Int64")
         df["turn_idx"] = df["turn_idx"].astype("Int32")
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    log=event_logs(),
+    snap_frac=st.floats(min_value=0.0, max_value=1.0),
+    overlap_frac=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_switchover_equals_reducer(ray_session, tmp_path_factory, log, snap_frac, overlap_frac):
+    """Snapshot→CDC switchover over ARBITRARY little logs and ARBITRARY
+    snapshot/overlap cuts (including cuts landing mid-DDL-schedule, empty
+    snapshots, and full-overlap re-delivery) equals the sequential reducer."""
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.pipelines.replay import replay_switchover
+    from tapdata_connectors_ray.schema import TRANSCRIPTS_SCHEMA
+
+    d = tmp_path_factory.mktemp("swprop")
+    path = str(d / "events.parquet")
+    table = _to_table(log)
+    pq.write_table(table, path)
+
+    exp = expected_final_state(TRANSCRIPTS_SCHEMA.empty_table(), table).to_pandas()
+    got = replay_switchover(
+        path,
+        None,
+        num_partitions=4,
+        snapshot_frac=snap_frac,
+        overlap_frac=overlap_frac,
+        snapshot_dir=str(d / "snap"),
+    ).to_pandas()
+    if got.empty and len(got.columns) == 0:
+        got = pd.DataFrame(columns=exp.columns).astype(exp.dtypes.to_dict())
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for df in (got, exp):
+        df["turn_score"] = df["turn_score"].astype("Int64")
+        df["turn_idx"] = df["turn_idx"].astype("Int32")
+    pd.testing.assert_frame_equal(got, exp)
