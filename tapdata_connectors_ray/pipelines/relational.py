@@ -158,6 +158,115 @@ def q_distinct_segments(sf_dir: str):
     return pd.DataFrame({"c_mktsegment": sorted(vals)})
 
 
+# -- distributed quantiles + column profiling --------------------------------
+
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_quantiles_lineitem(sf_dir: str):
+    """EXACT distributed quantiles of ``l_quantity`` via value-count partial
+    aggregation: per-batch ``value_counts`` (vectorized), a tiny
+    ``groupby(value).sum`` over the ~50 distinct values, then the
+    ``quantile_disc`` rank rule (``sorted[ceil(q*n)-1]``) on the driver —
+    the reduced (value, count) table is metadata-scale, never data-scale.
+    Scale note: exact-by-value-counts holds while distinct values stay
+    bounded (measures, enums, scores); unbounded columns take a sketch
+    (t-digest / KLL) with the same partial-then-merge shape."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_quantity"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        vc = batch["l_quantity"].to_pandas().value_counts()
+        return pa.table(
+            {"v": vc.index.to_numpy(np.float64), "cnt": vc.to_numpy(np.int64)}
+        )
+
+    parts = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    n = int(parts["cnt"].sum())
+    cum = parts["cnt"].cumsum().to_numpy()
+    vals = parts["v"].to_numpy()
+    out = {}
+    for q in _QUANTILES:
+        rank = int(np.ceil(q * n))  # quantile_disc: sorted[ceil(q*n)-1]
+        out[f"p{int(q * 100)}"] = [float(vals[np.searchsorted(cum, rank)])]
+    return pd.DataFrame(out)
+
+
+_PROFILE_COLS = ("c_acctbal", "c_mktsegment", "c_nationkey")
+
+
+def q_profile_customer(sf_dir: str):
+    """Column profiling (discovery-time data stats): null count, exact
+    distinct count, min/max per column — one vectorized pass for
+    null/min/max (Ray's multi-aggregate), one pass for exact distincts
+    (per-batch distinct HASHES -> coarse-bucket fold, so the shuffle carries
+    per-batch-distinct rows and the per-bucket ``nunique`` is vectorized;
+    the HLL drop-in keeps the same partial-then-merge shape at unbounded
+    cardinality)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from tapdata_connectors_ray.functions.hashing import hash_column
+
+    ds = ray.data.read_parquet(_t(sf_dir, "customer"), columns=list(_PROFILE_COLS))
+    aggs = [Count(alias_name="n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            Count(c, alias_name=f"nn_{c}"),
+            Min(c, alias_name=f"min_{c}"),
+            Max(c, alias_name=f"max_{c}"),
+        ]
+    stats = ds.aggregate(*aggs)
+
+    def distinct_hashes(batch: pa.Table) -> pa.Table:
+        cols, hs = [], []
+        for i, c in enumerate(_PROFILE_COLS):
+            col = pc.drop_null(batch[c])  # count(DISTINCT c) excludes NULLs
+            h = np.unique(hash_column(col).view(np.int64))
+            hs.append(h)
+            cols.append(np.full(len(h), i, np.int8))
+        h = np.concatenate(hs)
+        return pa.table(
+            {
+                "col": pa.array(np.concatenate(cols), pa.int8()),
+                "h": pa.array(h),
+                "hbucket": pa.array((h % 64).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("col")["h"].nunique()
+        return pd.DataFrame({"col": g.index.to_numpy(), "nd": g.to_numpy()})
+
+    nd = (
+        ds.map_batches(distinct_hashes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hbucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .groupby("col")["nd"]
+        .sum()
+    )
+    rows = []
+    for i, c in enumerate(_PROFILE_COLS):
+        rows.append(
+            {
+                "column": c,
+                "null_count": int(stats["n_rows"] - stats[f"nn_{c}"]),
+                "n_distinct": int(nd.loc[i]),
+                "min_val": str(stats[f"min_{c}"]),
+                "max_val": str(stats[f"max_{c}"]),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+
+
 # -- broadcast-dim enrichment / deterministic sampling -----------------------
 
 
@@ -633,6 +742,35 @@ RELATIONAL_SQL: dict[str, str] = {
         SELECT bigram, count(*) AS n FROM bi GROUP BY bigram
         ORDER BY n DESC, bigram LIMIT 20
     """,
+    "quantiles_lineitem": """
+        SELECT quantile_disc(l_quantity, 0.25) AS p25,
+               quantile_disc(l_quantity, 0.5) AS p50,
+               quantile_disc(l_quantity, 0.75) AS p75,
+               quantile_disc(l_quantity, 0.95) AS p95
+        FROM lineitem
+    """,
+    "profile_customer": """
+        SELECT * FROM (
+            SELECT 'c_acctbal' AS "column",
+                   count(*) - count(c_acctbal) AS null_count,
+                   count(DISTINCT c_acctbal) AS n_distinct,
+                   CAST(min(c_acctbal) AS VARCHAR) AS min_val,
+                   CAST(max(c_acctbal) AS VARCHAR) AS max_val
+            FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment', count(*) - count(c_mktsegment),
+                   count(DISTINCT c_mktsegment),
+                   CAST(min(c_mktsegment) AS VARCHAR),
+                   CAST(max(c_mktsegment) AS VARCHAR)
+            FROM customer
+            UNION ALL
+            SELECT 'c_nationkey', count(*) - count(c_nationkey),
+                   count(DISTINCT c_nationkey),
+                   CAST(min(c_nationkey) AS VARCHAR),
+                   CAST(max(c_nationkey) AS VARCHAR)
+            FROM customer
+        ) ORDER BY "column"
+    """,
     "lookup_enrich_customer": """
         SELECT c_custkey, c_name, c_acctbal, n_name AS nation, r_name AS region
         FROM customer
@@ -767,6 +905,8 @@ def relational_queries():
         "point_lookup_customer": q_point_lookup_customer,
         "pk_range_boundaries_orders": q_pk_range_boundaries_orders,
         "distinct_segments": q_distinct_segments,
+        "quantiles_lineitem": q_quantiles_lineitem,
+        "profile_customer": q_profile_customer,
         "lookup_enrich_customer": q_lookup_enrich_customer,
         "sample_hash_documents": q_sample_hash_documents,
         "events_hopping_window": q_events_hopping_window,

@@ -158,3 +158,33 @@ def test_broadcast_enrich_matches_pandas_join(ray_session):
     )
     assert got["nation"].tolist() == exp["n_name"].tolist()
     assert got["region"].tolist() == exp["r_name"].tolist()
+
+
+def test_quantiles_match_numpy_brute_force(ray_session):
+    import duckdb
+
+    from tapdata_connectors_ray.pipelines.relational import q_quantiles_lineitem
+
+    got = q_quantiles_lineitem(SF)
+    vals = duckdb.sql(
+        f"SELECT l_quantity FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchnumpy()["l_quantity"]
+    srt = np.sort(vals)
+    for q, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]:
+        assert got[col].iloc[0] == srt[int(np.ceil(q * len(srt))) - 1]
+
+
+def test_profile_counts(ray_session):
+    import duckdb
+
+    from tapdata_connectors_ray.pipelines.relational import q_profile_customer
+
+    got = q_profile_customer(SF).set_index("column")
+    exp = duckdb.sql(
+        f"""SELECT count(DISTINCT c_mktsegment) AS a, count(DISTINCT c_nationkey) AS b,
+            count(*) - count(c_acctbal) AS nulls
+            FROM read_parquet('{SF}/customer.parquet')"""
+    ).fetchone()
+    assert got.loc["c_mktsegment", "n_distinct"] == exp[0]
+    assert got.loc["c_nationkey", "n_distinct"] == exp[1]
+    assert got.loc["c_acctbal", "null_count"] == exp[2]
