@@ -26,6 +26,24 @@ def entry() -> Any:
 # Queries that run before everything else (cheap conformance checks that a
 # time-bounded driver sweep must never truncate away; dict order = run order).
 _RUN_FIRST = (
+    # round-3 second-half additions — never driver-run before r03, so they
+    # must land CORRECTNESS rows even under a truncated sweep (cheap first)
+    "processor_chain_orders",
+    "sample_hash_documents",
+    "profile_customer",
+    "lookup_enrich_customer",
+    "events_hopping_window",
+    "quantiles_lineitem",
+    "cdc_multi_table_consistent",
+    "cdc_dlq_reasons",
+    "cdc_dlq_routing",
+    "cdc_partition_resync",
+    "cdc_snapshot_switchover",
+    "cdc_time_travel",
+    "cdc_inspect_diff",
+    "cdc_diff_capture_roundtrip",
+    "cdc_delta_minor_compact",
+    # round-3 first-half list (unverified as of r02)
     "source_csv_events_agg",
     "source_xml_events_agg",
     "source_xlsx_events_agg",
