@@ -364,3 +364,21 @@ def test_concurrent_writer_fencing(paths, lake_dir):
     b2 = CheckpointedIngest(lake_dir, num_partitions=8)
     b2.ingest(ev, None)
     assert b2.manifest.epoch == 2
+
+
+def test_resync_repairs_corrupt_partition(paths, expected, lake_dir):
+    """Disk corruption in one partition's file: reads fail loudly, and
+    resync_partition is the repair path — rebuilt from snapshot + log."""
+    import os
+
+    ev, base = paths
+    ing = CheckpointedIngest(lake_dir, num_partitions=8)
+    ing.ingest(ev, base)
+    victim = 5
+    f = ing.manifest.partitions[victim].files[0]
+    with open(f, "wb") as fh:
+        fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        ing.final_dataset().to_pandas()
+    ing.resync_partition(victim, ev, base)
+    assert_lake_matches(ing, expected)
