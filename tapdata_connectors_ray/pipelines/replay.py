@@ -238,12 +238,22 @@ def winner_rows(
     # include before-image key columns when the log carries them (footer-only)
     log_schema = pads.dataset(paths[0], format="parquet").schema
     cols += [f"before_{k}" for k in keys if f"before_{k}" in log_schema.names]
-    narrow = ray.data.read_parquet(paths, columns=cols, **read_kwargs).map_batches(
-        WinnerScanEvents(plan), batch_format="pyarrow", zero_copy_batch=True
-    )
+    # cap block counts on the NARROW reads: Ray's sort-shuffle spawns one
+    # reduce task per input block, and the winner pass is key-width data —
+    # uncapped SplitBlocks turns a metadata-scale groupby into hundreds of
+    # tiny reduce tasks whose scheduling dwarfs the work (sf0.1: 224 reduce
+    # tasks over ~14 MB).  One block per file, capped at 2x CPUs.
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    blocks = max(1, min(len(paths), 2 * ncpu))
+    narrow = ray.data.read_parquet(
+        paths, columns=cols, override_num_blocks=blocks, **read_kwargs
+    ).map_batches(WinnerScanEvents(plan), batch_format="pyarrow", zero_copy_batch=True)
     if base_path is not None:
+        bpaths = _expand_paths(base_path)
         base = ray.data.read_parquet(
-            _expand_paths(base_path), columns=keys
+            bpaths,
+            columns=keys,
+            override_num_blocks=max(1, min(len(bpaths), 2 * ncpu)),
         ).map_batches(WinnerScanBase(plan), batch_format="pyarrow", zero_copy_batch=True)
         narrow = narrow.union(base)
     winners = narrow.groupby("kbucket").map_groups(
