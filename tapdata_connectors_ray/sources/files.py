@@ -640,22 +640,38 @@ def write_bulk_ndjson_batch(out_dir: str, index_name: str, key_cols: list[str]):
     os.makedirs(out_dir, exist_ok=True)
 
     def write(batch: pa.Table) -> pa.Table:
-        ids = [
-            ":".join(str(v) for v in vals)
-            for vals in zip(*(batch[c].to_pylist() for c in key_cols))
-        ]
-        ops = batch["op"].to_pylist()
-        docs = batch.to_pylist()
-        lines: list[str] = []
-        n_index = n_delete = 0
-        for rid, op, doc in zip(ids, ops, docs):
-            if op == "D":
-                lines.append(json.dumps({"delete": {"_index": index_name, "_id": rid}}))
-                n_delete += 1
-            else:
-                lines.append(json.dumps({"index": {"_index": index_name, "_id": rid}}))
-                lines.append(json.dumps({k: v for k, v in doc.items()}, default=str))
-                n_index += 1
+        # fully vectorized NDJSON assembly: ids by string concat, action
+        # lines by template concat (per-row json.dumps only for ids that
+        # actually need JSON escaping — candidate-scale), source lines via
+        # pandas' C-speed to_json, interleaved positionally
+        import numpy as np
+
+        df = batch.to_pandas()
+        n = len(df)
+        ids = df[key_cols[0]].astype(str)
+        for k in key_cols[1:]:
+            ids = ids + ":" + df[k].astype(str)
+        esc = ids.str.contains(r'[\\"]', regex=True)
+        if esc.any():
+            ids = ids.where(
+                ~esc, ids[esc].map(lambda s: json.dumps(s)[1:-1])
+            )
+        is_del = (df["op"] == "D").to_numpy()
+        act = np.where(
+            is_del,
+            ('{"delete": {"_index": "' + index_name + '", "_id": "' + ids + '"}}').to_numpy(),
+            ('{"index": {"_index": "' + index_name + '", "_id": "' + ids + '"}}').to_numpy(),
+        )
+        src = df[~is_del].to_json(orient="records", lines=True, date_format="iso")
+        src_lines = src.splitlines() if src else []
+        n_index = int((~is_del).sum())
+        n_delete = n - n_index
+        out = np.empty(n + n_index, object)
+        before = np.cumsum(~is_del) - ~is_del  # non-delete rows before row i
+        start = np.arange(n) + before
+        out[start] = act
+        out[start[~is_del] + 1] = src_lines
+        lines = out.tolist()
         path = os.path.join(out_dir, f"bulk-{_uuid.uuid4().hex}.ndjson")
         with open(path, "w") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
