@@ -701,6 +701,98 @@ class CheckpointedIngest:
         """Transcripts-keyed convenience wrapper over :meth:`lookup`."""
         return self.lookup({"conv_id": conv_id, "turn_idx": turn_idx})
 
+    def update_mv(self, name: str = "conv_stats") -> list[int]:
+        """Incremental materialized-view maintenance (the CDC-downstream
+        aggregate): per-group aggregates over the lake, refreshed ONLY for
+        partitions touched by the latest epoch — group columns are the
+        partition key, so each group lives wholly inside one partition and
+        an epoch's MV refresh rewrites exactly the partitions it changed
+        (O(touched), never O(P), never a global shuffle).
+
+        View definition: per group-key row count + sum of the first integer
+        payload column (NULLs skipped, matching SQL ``sum``).  Returns the
+        refreshed partition ids."""
+        plan = self.committed_plan()
+        group_cols = plan.partition_columns()
+        num_cols = [
+            f.name
+            for f in plan.schema_at()
+            if pa.types.is_integer(f.type) and f.name not in plan.keys()
+        ]
+        sum_col = num_cols[0] if num_cols else None
+        epoch = self.manifest.epoch
+        # stale = data lineage advanced past the last MV refresh (catches
+        # partitions touched in ANY epoch since, not just the latest)
+        touched = [
+            pid
+            for pid, st in sorted(self.manifest.partitions.items())
+            if st.files
+            and int(st.lineage.get("epoch", -1)) > int(st.lineage.get("mv_epoch", -1))
+        ]
+        if not touched:
+            return []
+        plan_json = plan.to_json()
+        spec_json = self.spec.to_json()
+        lake_dir = self.lake_dir
+        mv_dir = os.path.join(self.lake_dir, "mv", name)
+        os.makedirs(mv_dir, exist_ok=True)
+        items = [
+            {
+                "pid": pid,
+                "files": list(self.manifest.partitions[pid].files),
+                "vers": self.manifest.partitions[pid].versions(),
+            }
+            for pid in touched
+        ]
+
+        def refresh(batch: pd.DataFrame) -> pa.Table:
+            from tapdata_connectors_ray.stages.merge import lww_merge_tables
+
+            plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
+            keys = plan_l.keys()
+            out_schema = merged_schema(plan_l.schema_at())
+            rows = []
+            for _, row in batch.iterrows():
+                pid = int(row["pid"])
+                tables = [
+                    _lake_file_to_table(f, plan_l, int(v))
+                    for f, v in zip(row["files"], row["vers"])
+                ]
+                merged = lww_merge_tables(tables, out_schema, keys).to_pandas()
+                g = merged.groupby(group_cols, sort=True)
+                agg = pd.DataFrame({"n_rows": g.size()})
+                if sum_col is not None:
+                    agg["sum_val"] = g[sum_col].sum(min_count=1)
+                agg = agg.reset_index()
+                out = os.path.join(mv_dir, f"p={pid:05d}.parquet")
+                tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+                pq.write_table(
+                    pa.Table.from_pandas(agg, preserve_index=False), tmp
+                )
+                os.replace(tmp, out)
+                rows.append({"partition_id": pid})
+            return pa.Table.from_pylist(rows)
+
+        (
+            ray.data.from_items(items)
+            .map_batches(refresh, batch_format="pandas", batch_size=1)
+            .take_all()
+        )
+        for pid in touched:
+            st = self.manifest.partitions[pid]
+            st.lineage["mv_epoch"] = epoch
+        commit_manifest(self.lake_dir, self.manifest)
+        return touched
+
+    def mv_dataset(self, name: str = "conv_stats") -> ray.data.Dataset:
+        mv_dir = os.path.join(self.lake_dir, "mv", name)
+        files = sorted(
+            os.path.join(mv_dir, f)
+            for f in os.listdir(mv_dir)
+            if f.endswith(".parquet")
+        )
+        return ray.data.read_parquet(files)
+
     def dataset_at(self, epoch: int) -> ray.data.Dataset:
         """Time-travel read: the lake AS OF an earlier committed epoch (the
         lake-table commit timeline: every commit snapshots its manifest under

@@ -382,3 +382,41 @@ def test_resync_repairs_corrupt_partition(paths, expected, lake_dir):
         ing.final_dataset().to_pandas()
     ing.resync_partition(victim, ev, base)
     assert_lake_matches(ing, expected)
+
+
+def test_mv_refreshes_only_touched_partitions(paths, expected, lake_dir):
+    """Epoch 2 touches a subset of partitions; update_mv must rewrite only
+    those MV files, and the final MV equals the aggregate over the lake."""
+    import os
+
+    from tapdata_connectors_ray.pipelines.replay import lsn_bounds
+
+    ev, base = paths
+    _, hi = lsn_bounds(ev)
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing.ingest(ev, base, end_lsn=hi // 2)
+    first = set(ing.update_mv())
+    assert first  # every partition with data refreshed once
+    mv_dir = os.path.join(lake_dir, "mv", "conv_stats")
+    mtimes = {f: os.path.getmtime(os.path.join(mv_dir, f)) for f in os.listdir(mv_dir)}
+
+    ing.ingest(ev, None, end_lsn=hi)
+    second = set(ing.update_mv())
+    for f, m in mtimes.items():
+        pid = int(f.split("=")[1].split(".")[0])
+        changed = os.path.getmtime(os.path.join(mv_dir, f)) != m
+        assert changed == (pid in second), f"{f} rewrite mismatch"
+
+    # idempotent: nothing stale now
+    assert ing.update_mv() == []
+
+    mv = ing.mv_dataset().to_pandas().sort_values("conv_id", ignore_index=True)
+    exp = (
+        expected.to_pandas()
+        .groupby("conv_id")
+        .agg(n_rows=("conv_id", "size"), sum_val=("turn_score", "sum"))
+        .reset_index()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    assert mv["n_rows"].tolist() == exp["n_rows"].tolist()
+    assert mv["sum_val"].astype("Int64").tolist() == exp["sum_val"].astype("Int64").tolist()
