@@ -43,6 +43,7 @@ _RUN_FIRST = (
     "cdc_inspect_diff",
     "cdc_diff_capture_roundtrip",
     "cdc_delta_minor_compact",
+    "cdc_incremental_mv",
     # round-3 first-half list (unverified as of r02)
     "source_csv_events_agg",
     "source_xml_events_agg",
