@@ -100,6 +100,13 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "ann_cosine_topk",
         "text_quality_scores",
         "text_language_id",
+        # round-3 lifecycle / lake-management surface
+        "cdc_replay_semijoin",
+        "cdc_snapshot_switchover",
+        "cdc_multi_table_consistent",
+        "cdc_diff_capture_roundtrip",
+        "cdc_incremental_mv",
+        "events_hopping_window",
     ]
     out: dict[str, float] = {}
     for name in panel:
