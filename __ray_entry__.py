@@ -35,6 +35,7 @@ _RUN_FIRST = (
     "events_hopping_window",
     "quantiles_lineitem",
     "cdc_multi_table_consistent",
+    "cdc_multi_table_single_pass",
     "cdc_dlq_reasons",
     "cdc_dlq_routing",
     "cdc_partition_resync",

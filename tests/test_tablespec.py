@@ -285,3 +285,18 @@ def test_multilog_interleave_preserves_per_table_order():
         d + "/multilog.parquet", TRANSCRIPTS_SPEC
     ).truncated_at(cut)
     assert plan.latest_version == 5, "cut must include all 4 transcripts DDLs"
+
+
+def test_multi_table_strategies_agree(ray_session):
+    """The per-table predicated-read variant and the single-pass union-schema
+    variant must produce identical summaries (rows + state checksum) at the
+    same cut."""
+    from tapdata_connectors_ray.pipelines.entrypoints import cdc_queries
+
+    q = cdc_queries()
+    a = q["cdc_multi_table_consistent"]("/root/testdata/sf0.001")
+    b = q["cdc_multi_table_single_pass"]("/root/testdata/sf0.001")
+    a = a.sort_values("table_name", ignore_index=True)
+    b = b.sort_values("table_name", ignore_index=True)
+    assert a["rows"].tolist() == b["rows"].tolist()
+    assert a["state_hash"].tolist() == b["state_hash"].tolist()
