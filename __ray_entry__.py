@@ -31,6 +31,7 @@ _RUN_FIRST = (
     "processor_chain_orders",
     "sample_hash_documents",
     "profile_customer",
+    "text_mask_documents",
     "lookup_enrich_customer",
     "events_hopping_window",
     "quantiles_lineitem",

@@ -306,6 +306,31 @@ def q_lookup_enrich_customer(sf_dir: str):
     return ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_MASK_PATTERN = r"\b(customer|spark)\b"
+
+
+def q_text_mask_documents(sf_dir: str):
+    """Data-masking / desensitization processor (the PII-scrub shape): regex
+    term masking + per-document hit count, pure Arrow RE2 kernels
+    (`replace_substring_regex` / `count_substring_regex`) — the same regex
+    engine family DuckDB uses, so semantics match exactly; zero Python in
+    the hot path."""
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def mask(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], _MASK_PATTERN)
+        masked = pc.replace_substring_regex(batch["text"], _MASK_PATTERN, "<MASKED>")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_masked": masked,
+                "n_masked": n.cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_sample_hash_documents(sf_dir: str):
     """Deterministic hash sampling (mod-shard on a stable key digest): the
     repeatable train/eval split and down-sampling primitive — every worker
@@ -777,6 +802,13 @@ RELATIONAL_SQL: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
     """,
+    "text_mask_documents": r"""
+        SELECT doc_id,
+               regexp_replace(text, '\b(customer|spark)\b', '<MASKED>', 'g')
+                   AS text_masked,
+               len(regexp_extract_all(text, '\b(customer|spark)\b')) AS n_masked
+        FROM documents
+    """,
     "sample_hash_documents": """
         SELECT doc_id, lang, n_chars
         FROM documents
@@ -907,6 +939,7 @@ def relational_queries():
         "distinct_segments": q_distinct_segments,
         "quantiles_lineitem": q_quantiles_lineitem,
         "profile_customer": q_profile_customer,
+        "text_mask_documents": q_text_mask_documents,
         "lookup_enrich_customer": q_lookup_enrich_customer,
         "sample_hash_documents": q_sample_hash_documents,
         "events_hopping_window": q_events_hopping_window,
