@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from tapdata_connectors_ray.functions.hashing import key_hash_columns
@@ -199,14 +200,7 @@ def apply_change_events(
     )
 
 
-def dataset_diff(
-    left: ray.data.Dataset,
-    right: ray.data.Dataset,
-    keys: list[str],
-    compare_cols: list[str],
-    num_buckets: int = DEFAULT_DIFF_BUCKETS,
-) -> ray.data.Dataset:
-    """Differing keys between two keyed datasets — see module docstring."""
+def _diff_full(left, right, keys, compare_cols, num_buckets):
     columns = [*keys, *compare_cols]
     l = left.map_batches(
         _tagger("L", keys, num_buckets, columns),
@@ -223,3 +217,112 @@ def dataset_diff(
         .groupby("kbucket")
         .map_groups(make_diff_fold(keys, compare_cols), batch_format="pandas")
     )
+
+
+def _hash_tagger(side: str, keys: list[str], compare_cols: list[str], num_buckets: int):
+    """NARROW phase-1 tagger: keys + 64-bit canonical row digest.  The wide
+    payload never rides the phase-1 shuffle."""
+    from tapdata_connectors_ray.functions.aggregates import canonical_row_strings
+    from tapdata_connectors_ray.functions.hashing import md5_number_lower
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = md5_number_lower(canonical_row_strings(batch, compare_cols)).view(np.int64)
+        kb = (key_hash_columns(batch, keys) % np.uint64(num_buckets)).astype(np.int32)
+        t = batch.select(keys)
+        return (
+            t.append_column("rowhash", pa.array(h))
+            .append_column(
+                "side", pa.array(np.full(len(batch), side, object), pa.string())
+            )
+            .append_column("kbucket", pa.array(kb, pa.int32()))
+        )
+
+    return tag
+
+
+def make_hash_diff_fold(keys: list[str]):
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["side"] == "L"]
+        r = df[df["side"] == "R"]
+        m = l.merge(r, on=keys, how="outer", suffixes=("_l", "_r"), indicator=True)
+        lo = (m["_merge"] == "left_only").to_numpy()
+        ro = (m["_merge"] == "right_only").to_numpy()
+        neq = (
+            (m["_merge"] == "both").to_numpy()
+            & (m["rowhash_l"] != m["rowhash_r"]).fillna(False).to_numpy()
+        )
+        emit = lo | ro | neq
+        sub = m[emit]
+        kinds = np.select(
+            [lo[emit], ro[emit]], ["peer_missing", "peer_only"], default="field_mismatch"
+        )
+        return pd.DataFrame({**{k: sub[k].to_numpy() for k in keys}, "diff_kind": kinds})
+
+    return fold
+
+
+def dataset_diff(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    keys: list[str],
+    compare_cols: list[str],
+    num_buckets: int = DEFAULT_DIFF_BUCKETS,
+    mode: str = "hash_first",
+) -> ray.data.Dataset:
+    """Differing keys between two keyed datasets — see module docstring.
+
+    ``mode="hash_first"`` (the 100 TB shape): phase 1 co-shuffles only
+    (keys, 64-bit canonical row digest) — the wide payload stays put; the
+    digest-diff classifies missing/extra keys and flags hash-differing ones.
+    Phase 2 semi-joins BOTH sides down to the flagged keys
+    (discrepancy-scale) and reruns the full field-level diff on that small
+    subset to name the differing columns.  A masked diff needs two equal
+    64-bit digests for a genuinely-differing same-key pair — P ≈
+    n_diff / 2^64, negligible.  NOTE: each input is consumed twice (phase 1
+    + semi-join), so pass re-readable datasets (lake reads), not expensive
+    recomputations.
+
+    ``mode="full"`` co-shuffles full payloads once — right when the inputs
+    are one-shot pipelines or mostly-divergent tables."""
+    if mode == "full":
+        return _diff_full(left, right, keys, compare_cols, num_buckets)
+
+    from tapdata_connectors_ray.functions.sizing import join_partitions
+
+    l1 = left.map_batches(
+        _hash_tagger("L", keys, compare_cols, num_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    r1 = right.map_batches(
+        _hash_tagger("R", keys, compare_cols, num_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    phase1 = (
+        l1.union(r1)
+        .groupby("kbucket")
+        .map_groups(make_hash_diff_fold(keys), batch_format="pandas")
+        .materialize()  # discrepancy-scale; consumed three times below
+    )
+
+    def only_missing(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["diff_kind"], "field_mismatch"))
+        return t.append_column(
+            "fields", pa.array(np.full(len(t), "", object), pa.string())
+        )
+
+    def only_mismatch_keys(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["diff_kind"], "field_mismatch")).select(keys)
+
+    missing = phase1.map_batches(
+        only_missing, batch_format="pyarrow", zero_copy_batch=True
+    )
+    mk = phase1.map_batches(
+        only_mismatch_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    jp = join_partitions()
+    lf = left.join(mk, join_type="left_semi", num_partitions=jp, on=tuple(keys))
+    rf = right.join(mk, join_type="left_semi", num_partitions=jp, on=tuple(keys))
+    detail = _diff_full(lf, rf, keys, compare_cols, num_buckets)
+    return missing.union(detail)

@@ -6,7 +6,7 @@ import pyarrow as pa
 import ray.data
 
 
-def _diff(left_rows, right_rows):
+def _diff(left_rows, right_rows, mode="full"):
     from tapdata_connectors_ray.stages.inspector import dataset_diff
 
     schema = pa.schema(
@@ -18,11 +18,15 @@ def _diff(left_rows, right_rows):
     )
     l = ray.data.from_arrow(pa.Table.from_pylist(left_rows, schema=schema))
     r = ray.data.from_arrow(pa.Table.from_pylist(right_rows, schema=schema))
-    out = dataset_diff(l, r, keys=["k"], compare_cols=["a", "b"], num_buckets=4)
+    out = dataset_diff(l, r, keys=["k"], compare_cols=["a", "b"], num_buckets=4, mode=mode)
     return out.to_pandas().sort_values("k").reset_index(drop=True)
 
 
-def test_diff_classification(ray_session):
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["full", "hash_first"])
+def test_diff_classification(ray_session, mode):
     left = [
         {"k": "same", "a": "x", "b": 1},
         {"k": "nulls", "a": None, "b": None},       # null == null: no diff
@@ -39,7 +43,7 @@ def test_diff_classification(ray_session):
         {"k": "difboth", "a": "X", "b": 2},
         {"k": "nullvsval", "a": "v", "b": 1},
     ]
-    got = _diff(left, right)
+    got = _diff(left, right, mode=mode)
     m = dict(zip(got["k"], zip(got["diff_kind"], got["fields"])))
     assert "same" not in m and "nulls" not in m
     assert m["onlyl"] == ("peer_missing", "")
