@@ -240,8 +240,18 @@ def _hash_tagger(side: str, keys: list[str], compare_cols: list[str], num_bucket
     return tag
 
 
-def make_hash_diff_fold(keys: list[str]):
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
+def make_hash_diff_fold(keys: list[str], key_schema: pa.Schema | None = None):
+    """``key_schema`` (Arrow fields for ``keys``) pins the output block schema:
+    a bucket with zero discrepancies must still emit a typed empty block, or
+    Ray materializes it as a ZERO-COLUMN block and the downstream semi-join's
+    hash-shuffle aggregator unifies the key column away (hypothesis-found)."""
+    out_schema = (
+        pa.schema([*key_schema, pa.field("diff_kind", pa.string())])
+        if key_schema is not None
+        else None
+    )
+
+    def fold(df: pd.DataFrame):
         l = df[df["side"] == "L"]
         r = df[df["side"] == "R"]
         m = l.merge(r, on=keys, how="outer", suffixes=("_l", "_r"), indicator=True)
@@ -256,7 +266,10 @@ def make_hash_diff_fold(keys: list[str]):
         kinds = np.select(
             [lo[emit], ro[emit]], ["peer_missing", "peer_only"], default="field_mismatch"
         )
-        return pd.DataFrame({**{k: sub[k].to_numpy() for k in keys}, "diff_kind": kinds})
+        out = pd.DataFrame({**{k: sub[k].to_numpy() for k in keys}, "diff_kind": kinds})
+        if out_schema is None:
+            return out
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return fold
 
@@ -289,6 +302,12 @@ def dataset_diff(
 
     from tapdata_connectors_ray.functions.sizing import join_partitions
 
+    base = left.schema().base_schema
+    key_schema = (
+        pa.schema([base.field(k) for k in keys])
+        if isinstance(base, pa.Schema)
+        else None
+    )
     l1 = left.map_batches(
         _hash_tagger("L", keys, compare_cols, num_buckets),
         batch_format="pyarrow",
@@ -302,7 +321,7 @@ def dataset_diff(
     phase1 = (
         l1.union(r1)
         .groupby("kbucket")
-        .map_groups(make_hash_diff_fold(keys), batch_format="pandas")
+        .map_groups(make_hash_diff_fold(keys, key_schema), batch_format="pandas")
         .materialize()  # discrepancy-scale; consumed three times below
     )
 
@@ -321,6 +340,20 @@ def dataset_diff(
     mk = phase1.map_batches(
         only_mismatch_keys, batch_format="pyarrow", zero_copy_batch=True
     )
+    # A hash-mismatch key exists on BOTH sides by construction, so when the
+    # digest diff found none (the common steady-state: only missing/extra
+    # rows, or one side empty) phase 2 has nothing to do.  Skipping it also
+    # sidesteps Acero's empty-schema join failure when an input has 0 blocks.
+    # phase1 is materialized, so this count is metadata-only.
+    if mk.count() == 0:
+        return missing
+    # map_groups emits ZERO-COLUMN blocks for empty sort splits without
+    # calling the UDF; map_batches silently skips them but the hash-shuffle
+    # join's partition builder unifies them into a schema-less partition and
+    # Acero then can't resolve the key FieldRef (hypothesis-found).
+    # repartition(1) physically drops them; mk is keys-only at
+    # discrepancy-scale, so one block is the right size anyway.
+    mk = mk.repartition(1)
     jp = join_partitions()
     lf = left.join(mk, join_type="left_semi", num_partitions=jp, on=tuple(keys))
     rf = right.join(mk, join_type="left_semi", num_partitions=jp, on=tuple(keys))
