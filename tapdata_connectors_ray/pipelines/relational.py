@@ -356,6 +356,58 @@ def q_sample_hash_documents(sf_dir: str):
 _HOP_US = 5 * 60 * 1_000_000  # hop; window size = 2 hops (10 min)
 
 
+def hopping_expand(batch: pa.Table, hop_us: int = _HOP_US) -> pa.Table:
+    """Vectorized hopping-window expansion: each event is tiled into the 2
+    overlapping (size = 2×hop) windows that contain it."""
+    us = batch["ts"].cast(pa.int64()).to_numpy()
+    w0 = (us // hop_us) * hop_us
+    uid = batch["user_id"].to_numpy()
+    val = batch["value"].to_numpy()
+    return pa.table(
+        {
+            "user_id": np.tile(uid, 2),
+            "win_start_us": np.concatenate([w0, w0 - hop_us]),
+            "value": np.tile(val, 2),
+            "ubucket": np.tile((uid % 64).astype(np.int32), 2),
+        }
+    )
+
+
+def hopping_fold(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket (user, window) count+sum over the expanded rows."""
+    g = df.groupby(["user_id", "win_start_us"], sort=False)["value"].agg(
+        ["size", "sum"]
+    )
+    return pd.DataFrame(
+        {
+            "user_id": g.index.get_level_values(0).to_numpy(),
+            "win_start_us": g.index.get_level_values(1).to_numpy(),
+            "n_events": g["size"].to_numpy(),
+            "sum_value": np.round(g["sum"].to_numpy(), 6),
+        }
+    )
+
+
+def sessions_fold(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """Per-bucket gap-based sessionization: sorted lag/cumsum session
+    assignment, then per-user session count + max session length."""
+    df = df.sort_values(["user_id", "ts"], kind="stable")
+    ts = df["ts"].astype("int64")
+    new_user = df["user_id"].ne(df["user_id"].shift())
+    gap = ts - ts.shift()
+    new_session = new_user | (gap > gap_us)
+    df = df.assign(session=new_session.cumsum())
+    sess = df.groupby(["user_id", "session"], sort=False).size()
+    per_user = sess.groupby(level=0).agg(["count", "max"])
+    return pd.DataFrame(
+        {
+            "user_id": per_user.index.to_numpy(),
+            "n_sessions": per_user["count"].to_numpy(),
+            "max_session_events": per_user["max"].to_numpy(),
+        }
+    )
+
+
 def q_events_hopping_window(sf_dir: str):
     """Per-user HOPPING window (size 10 min, hop 5 min — each event lands in
     exactly 2 overlapping windows): vectorized window expansion inside
@@ -366,37 +418,10 @@ def q_events_hopping_window(sf_dir: str):
     unbounded at scale — never give it to the grouped-aggregate API raw)."""
     ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
-    def expand(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy()
-        w0 = (us // _HOP_US) * _HOP_US
-        uid = batch["user_id"].to_numpy()
-        val = batch["value"].to_numpy()
-        return pa.table(
-            {
-                "user_id": np.tile(uid, 2),
-                "win_start_us": np.concatenate([w0, w0 - _HOP_US]),
-                "value": np.tile(val, 2),
-                "ubucket": np.tile((uid % 64).astype(np.int32), 2),
-            }
-        )
-
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["user_id", "win_start_us"], sort=False)["value"].agg(
-            ["size", "sum"]
-        )
-        return pd.DataFrame(
-            {
-                "user_id": g.index.get_level_values(0).to_numpy(),
-                "win_start_us": g.index.get_level_values(1).to_numpy(),
-                "n_events": g["size"].to_numpy(),
-                "sum_value": np.round(g["sum"].to_numpy(), 6),
-            }
-        )
-
     return (
-        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(hopping_expand, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("ubucket")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(hopping_fold, batch_format="pandas")
     )
 
 
@@ -439,21 +464,7 @@ def q_events_session_windows(sf_dir: str):
         return batch.append_column("ubucket", pa.array((u % 64).astype(np.int32)))
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts"], kind="stable")
-        ts = df["ts"].astype("int64")
-        new_user = df["user_id"].ne(df["user_id"].shift())
-        gap = ts - ts.shift()
-        new_session = new_user | (gap > GAP_US)
-        df = df.assign(session=new_session.cumsum())
-        sess = df.groupby(["user_id", "session"], sort=False).size()
-        per_user = sess.groupby(level=0).agg(["count", "max"])
-        return pd.DataFrame(
-            {
-                "user_id": per_user.index.to_numpy(),
-                "n_sessions": per_user["count"].to_numpy(),
-                "max_session_events": per_user["max"].to_numpy(),
-            }
-        )
+        return sessions_fold(df, GAP_US)
 
     return (
         ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
