@@ -27,6 +27,33 @@ from tapdata_connectors_ray.functions.hashing import key_hash_columns
 
 DEFAULT_DIFF_BUCKETS = 64
 
+# hash-first phase 2 broadcasts the flagged-key set to every task (the
+# small-side pattern: ray.put once, pandas hash-join per batch — ZERO
+# payload shuffle).  Beyond this many flagged keys the broadcast stops being
+# "small" (~tens of MB) and a single full-payload co-shuffle diff is the
+# cheaper plan — mostly-divergent tables degenerate to mode="full" anyway.
+BROADCAST_FLAG_CAP = 2_000_000
+
+
+def _broadcast_semi(flag_ref, keys: list[str], extra_cols: list[str] | None = None):
+    """map_batches fn: inner pandas hash-join of each batch against the
+    broadcast flagged-key frame — an exact semi-join (plus ``extra_cols``
+    carried from the flag side) with no Ray shuffle.  Output keeps the
+    batch's Arrow types (pandas round-trip pinned back to the input schema)."""
+    import ray
+
+    def semi(batch: pa.Table) -> pa.Table:
+        flags = ray.get(flag_ref)  # cached in the local object store
+        merged = batch.to_pandas().merge(flags, on=keys, how="inner")
+        fields = list(batch.schema)
+        if extra_cols:
+            fields += [pa.field(c, pa.string()) for c in extra_cols]
+        return pa.Table.from_pandas(
+            merged, schema=pa.schema(fields), preserve_index=False
+        )
+
+    return semi
+
 
 def _tagger(side: str, keys: list[str], num_buckets: int, columns: list[str]):
     def tag(batch: pa.Table) -> pa.Table:
@@ -128,29 +155,123 @@ def diff_to_events(
     keys: list[str],
     payload_cols: list[str],
     num_buckets: int = DEFAULT_DIFF_BUCKETS,
+    mode: str = "hash_first",
 ) -> ray.data.Dataset:
     """Diff-based change capture (polling / query-based CDC — the mode the
     reference uses for sources without a change log: periodic table diffs
     turned into I/U/D events).  Emits the event set that transforms ``right``
     into ``left``; applying it to ``right`` with LWW reproduces ``left``
-    exactly (the round-trip conformance gate).  Same one-shuffle
-    co-partitioning shape as :func:`dataset_diff`."""
-    columns = [*keys, *payload_cols]
-    l = left.map_batches(
-        _tagger("L", keys, num_buckets, columns),
+    exactly (the round-trip conformance gate).
+
+    ``mode="hash_first"`` (default, the 100 TB shape): phase 1 co-shuffles
+    only (keys, 64-bit digest) — classification I/U/D happens on the narrow
+    digest diff; the DISCREPANCY-scale (keys, op) set is then BROADCAST
+    (``ray.put`` + exact pandas hash-join per batch) so the I/U events pick
+    up their left payload with zero payload shuffle.  A steady-state poll
+    (few changes) never moves the wide payload through a shuffle; past
+    ``BROADCAST_FLAG_CAP`` flagged keys it falls back to ``full``.
+    ``mode="full"`` co-shuffles full payloads once — right for
+    mostly-divergent tables or one-shot inputs (each input is consumed
+    twice in hash_first)."""
+    if mode == "full":
+        columns = [*keys, *payload_cols]
+        l = left.map_batches(
+            _tagger("L", keys, num_buckets, columns),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        r = right.map_batches(
+            _tagger("R", keys, num_buckets, columns),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return (
+            l.union(r)
+            .groupby("kbucket")
+            .map_groups(make_diff_events_fold(keys, payload_cols), batch_format="pandas")
+        )
+
+    base = left.schema().base_schema
+    key_schema = (
+        pa.schema([base.field(k) for k in keys])
+        if isinstance(base, pa.Schema)
+        else None
+    )
+    payload_types = (
+        {c: base.field(c).type for c in payload_cols}
+        if isinstance(base, pa.Schema)
+        else {c: pa.string() for c in payload_cols}
+    )
+    out_cols = [*keys, "op", *payload_cols]
+
+    l1 = left.map_batches(
+        _hash_tagger("L", keys, payload_cols, num_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    r = right.map_batches(
-        _tagger("R", keys, num_buckets, columns),
+    r1 = right.map_batches(
+        _hash_tagger("R", keys, payload_cols, num_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return (
-        l.union(r)
+    phase1 = (
+        l1.union(r1)
         .groupby("kbucket")
-        .map_groups(make_diff_events_fold(keys, payload_cols), batch_format="pandas")
+        .map_groups(make_hash_diff_fold(keys, key_schema), batch_format="pandas")
+        .materialize()  # discrepancy-scale
     )
+
+    def d_events(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["diff_kind"], "peer_only"))
+        n = len(t)
+        cols = {k: t[k] for k in keys}
+        cols["op"] = pa.array(np.full(n, "D", object), pa.string())
+        for c in payload_cols:  # tombstones carry no after-image
+            cols[c] = pa.nulls(n, payload_types[c])
+        return pa.table({c: cols[c] for c in out_cols})
+
+    def iu_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["diff_kind"], "peer_only"))
+        op = pc.if_else(
+            pc.equal(t["diff_kind"], "peer_missing"),
+            pa.scalar("I"),
+            pa.scalar("U"),
+        )
+        return t.select(keys).append_column("op", op)
+
+    d = phase1.map_batches(d_events, batch_format="pyarrow", zero_copy_batch=True)
+    iu = phase1.map_batches(iu_keys, batch_format="pyarrow", zero_copy_batch=True)
+    n_flagged = iu.count()
+    if n_flagged == 0:
+        return d
+    if n_flagged > BROADCAST_FLAG_CAP:
+        # mostly-divergent: see dataset_diff — one full co-shuffle wins
+        return diff_to_events(
+            left, right, keys, payload_cols, num_buckets, mode="full"
+        )
+    import ray
+
+    flag_ref = ray.put(iu.to_pandas())
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return batch.select([*keys, *payload_cols])
+
+    # broadcast (keys, op) and pandas-hash-join each left batch against it:
+    # the I/U events pick up their payload with ZERO payload shuffle
+    ev = left.map_batches(
+        narrow, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        _broadcast_semi(flag_ref, keys, extra_cols=["op"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def order_cols(batch: pa.Table) -> pa.Table:
+        return batch.select(out_cols)
+
+    return ev.map_batches(
+        order_cols, batch_format="pyarrow", zero_copy_batch=True
+    ).union(d)
 
 
 def apply_change_events(
@@ -287,20 +408,21 @@ def dataset_diff(
     ``mode="hash_first"`` (the 100 TB shape): phase 1 co-shuffles only
     (keys, 64-bit canonical row digest) — the wide payload stays put; the
     digest-diff classifies missing/extra keys and flags hash-differing ones.
-    Phase 2 semi-joins BOTH sides down to the flagged keys
-    (discrepancy-scale) and reruns the full field-level diff on that small
-    subset to name the differing columns.  A masked diff needs two equal
-    64-bit digests for a genuinely-differing same-key pair — P ≈
-    n_diff / 2^64, negligible.  NOTE: each input is consumed twice (phase 1
-    + semi-join), so pass re-readable datasets (lake reads), not expensive
-    recomputations.
+    Phase 2 BROADCASTS the flagged key set (``ray.put`` once, exact pandas
+    hash-join per batch — a ``Dataset.join`` would re-shuffle both FULL
+    payloads, defeating the point) to filter both sides down to the flagged
+    keys (discrepancy-scale), then reruns the full field-level diff on that
+    small subset to name the differing columns; past ``BROADCAST_FLAG_CAP``
+    flagged keys it falls back to the single full co-shuffle.  A masked diff
+    needs two equal 64-bit digests for a genuinely-differing same-key pair —
+    P ≈ n_diff / 2^64, negligible.  NOTE: each input is consumed twice
+    (phase 1 + phase 2), so pass re-readable datasets (lake reads /
+    materialized), not expensive recomputations.
 
     ``mode="full"`` co-shuffles full payloads once — right when the inputs
     are one-shot pipelines or mostly-divergent tables."""
     if mode == "full":
         return _diff_full(left, right, keys, compare_cols, num_buckets)
-
-    from tapdata_connectors_ray.functions.sizing import join_partitions
 
     base = left.schema().base_schema
     key_schema = (
@@ -345,17 +467,22 @@ def dataset_diff(
     # rows, or one side empty) phase 2 has nothing to do.  Skipping it also
     # sidesteps Acero's empty-schema join failure when an input has 0 blocks.
     # phase1 is materialized, so this count is metadata-only.
-    if mk.count() == 0:
+    n_flagged = mk.count()
+    if n_flagged == 0:
         return missing
-    # map_groups emits ZERO-COLUMN blocks for empty sort splits without
-    # calling the UDF; map_batches silently skips them but the hash-shuffle
-    # join's partition builder unifies them into a schema-less partition and
-    # Acero then can't resolve the key FieldRef (hypothesis-found).
-    # repartition(1) physically drops them; mk is keys-only at
-    # discrepancy-scale, so one block is the right size anyway.
-    mk = mk.repartition(1)
-    jp = join_partitions()
-    lf = left.join(mk, join_type="left_semi", num_partitions=jp, on=tuple(keys))
-    rf = right.join(mk, join_type="left_semi", num_partitions=jp, on=tuple(keys))
+    if n_flagged > BROADCAST_FLAG_CAP:
+        # mostly-divergent: the flag set is no longer broadcast-small, and a
+        # Dataset.join would re-shuffle BOTH full payloads anyway — the
+        # single-co-shuffle full diff is the cheaper plan outright
+        return _diff_full(left, right, keys, compare_cols, num_buckets)
+    import ray
+
+    flag_ref = ray.put(mk.to_pandas())
+    lf = left.map_batches(
+        _broadcast_semi(flag_ref, keys), batch_format="pyarrow", zero_copy_batch=True
+    )
+    rf = right.map_batches(
+        _broadcast_semi(flag_ref, keys), batch_format="pyarrow", zero_copy_batch=True
+    )
     detail = _diff_full(lf, rf, keys, compare_cols, num_buckets)
     return missing.union(detail)
