@@ -280,10 +280,33 @@ def apply_change_events(
     keys: list[str],
     out_schema: pa.Schema,
     num_buckets: int = DEFAULT_DIFF_BUCKETS,
+    mode: str = "broadcast",
 ) -> ray.data.Dataset:
-    """Apply a diff-captured event set over a base table: co-partition both,
-    per bucket keep the event row where one exists (LWW: events beat base),
-    drop tombstones.  Output cast to ``out_schema``."""
+    """Apply a diff-captured event set over a base table (events beat base,
+    tombstones drop).  Output cast to ``out_schema``.
+
+    ``mode="broadcast"`` (default): a captured event set is unique-keyed
+    and discrepancy-scale by construction, so the touched-key set is
+    broadcast and each base batch anti-filters IN PLACE — the data-scale
+    base never rides a shuffle; the I/U event payloads are simply unioned
+    on.  Past ``BROADCAST_FLAG_CAP`` events (or for non-unique event sets)
+    ``mode="shuffle"`` co-partitions both sides and folds per bucket with
+    LWW — the general path."""
+    if mode == "broadcast":
+        import ray
+
+        ev_m = events.materialize()  # discrepancy-scale
+        n_ev = ev_m.count()
+        if n_ev == 0:
+            return base.map_batches(
+                lambda b: b.select([f.name for f in out_schema]).cast(out_schema),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        if n_ev <= BROADCAST_FLAG_CAP:
+            return _apply_events_broadcast(base, ev_m, keys, out_schema)
+        events = ev_m  # fall through: too many events to broadcast
+
     from tapdata_connectors_ray.stages.merge import _to_table
 
     payload_cols = [f.name for f in out_schema]
@@ -319,6 +342,37 @@ def apply_change_events(
         .groupby("kbucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def _apply_events_broadcast(
+    base: ray.data.Dataset,
+    ev_m: ray.data.Dataset,
+    keys: list[str],
+    out_schema: pa.Schema,
+) -> ray.data.Dataset:
+    """Zero-shuffle apply: broadcast the touched-key set, anti-filter each
+    base batch in place, union the I/U event payloads (cast to the target
+    schema).  Correct because a captured event set has ONE event per key."""
+    import ray
+
+    payload_cols = [f.name for f in out_schema]
+    keys_df = ev_m.select_columns(keys).to_pandas()
+    keys_df["__touched"] = np.int8(1)
+    keys_ref = ray.put(keys_df)
+
+    def drop_touched(batch: pa.Table) -> pa.Table:
+        flags = ray.get(keys_ref)
+        df = batch.select(payload_cols).to_pandas().merge(flags, on=keys, how="left")
+        keep = df[df["__touched"].isna()].drop(columns="__touched")
+        return pa.Table.from_pandas(keep, schema=out_schema, preserve_index=False)
+
+    def live_events(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["op"], "D"))
+        return t.select(payload_cols).cast(out_schema)
+
+    kept = base.map_batches(drop_touched, batch_format="pyarrow", zero_copy_batch=True)
+    live = ev_m.map_batches(live_events, batch_format="pyarrow", zero_copy_batch=True)
+    return kept.union(live)
 
 
 def _diff_full(left, right, keys, compare_cols, num_buckets):
