@@ -310,7 +310,6 @@ def apply_change_events(
     from tapdata_connectors_ray.stages.merge import _to_table
 
     payload_cols = [f.name for f in out_schema]
-    base_cols = [c for c in payload_cols if c not in keys]
 
     def tag_base(batch: pa.Table) -> pa.Table:
         batch = batch.select(payload_cols)
