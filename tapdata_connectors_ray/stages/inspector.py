@@ -35,16 +35,29 @@ DEFAULT_DIFF_BUCKETS = 64
 BROADCAST_FLAG_CAP = 2_000_000
 
 
+def _flag_payload(flags: pd.DataFrame, keys: list[str]):
+    """(flags_df, int64 key-hash array) — the broadcast value.  The hash
+    array powers a vectorized first-level ``np.isin`` prune per batch; the
+    exact pandas merge then runs only on the (discrepancy-scale) survivors,
+    so rare 64-bit collisions cost a few extra merge rows, never
+    correctness."""
+    t = pa.Table.from_pandas(flags[keys], preserve_index=False)
+    return flags, key_hash_columns(t, keys).view(np.int64)
+
+
 def _broadcast_semi(flag_ref, keys: list[str], extra_cols: list[str] | None = None):
-    """map_batches fn: inner pandas hash-join of each batch against the
-    broadcast flagged-key frame — an exact semi-join (plus ``extra_cols``
-    carried from the flag side) with no Ray shuffle.  Output keeps the
-    batch's Arrow types (pandas round-trip pinned back to the input schema)."""
+    """map_batches fn: exact semi-join of each batch against the broadcast
+    flagged-key frame (plus ``extra_cols`` carried from the flag side) with
+    no Ray shuffle.  Two-level: vectorized int64 key-hash ``np.isin`` prunes
+    the batch zero-copy; only candidate rows take the pandas round-trip.
+    Output keeps the batch's Arrow types (schema pinned on the way back)."""
     import ray
 
     def semi(batch: pa.Table) -> pa.Table:
-        flags = ray.get(flag_ref)  # cached in the local object store
-        merged = batch.to_pandas().merge(flags, on=keys, how="inner")
+        flags, flag_hashes = ray.get(flag_ref)  # cached in local object store
+        h = key_hash_columns(batch, keys).view(np.int64)
+        cand = batch.filter(pa.array(np.isin(h, flag_hashes)))
+        merged = cand.to_pandas().merge(flags, on=keys, how="inner")
         fields = list(batch.schema)
         if extra_cols:
             fields += [pa.field(c, pa.string()) for c in extra_cols]
@@ -251,7 +264,7 @@ def diff_to_events(
         )
     import ray
 
-    flag_ref = ray.put(iu.to_pandas())
+    flag_ref = ray.put(_flag_payload(iu.to_pandas(), keys))
 
     def narrow(batch: pa.Table) -> pa.Table:
         return batch.select([*keys, *payload_cols])
@@ -357,13 +370,24 @@ def _apply_events_broadcast(
     payload_cols = [f.name for f in out_schema]
     keys_df = ev_m.select_columns(keys).to_pandas()
     keys_df["__touched"] = np.int8(1)
-    keys_ref = ray.put(keys_df)
+    keys_ref = ray.put(_flag_payload(keys_df, keys))
 
     def drop_touched(batch: pa.Table) -> pa.Table:
-        flags = ray.get(keys_ref)
-        df = batch.select(payload_cols).to_pandas().merge(flags, on=keys, how="left")
+        # two-level anti-filter: rows whose key hash misses the broadcast
+        # set are untouched for sure and pass through zero-copy; only hash
+        # candidates (discrepancy-scale + rare collisions) take the exact
+        # pandas check
+        flags, flag_hashes = ray.get(keys_ref)
+        batch = batch.select(payload_cols)
+        hit = np.isin(key_hash_columns(batch, keys).view(np.int64), flag_hashes)
+        certain = batch.filter(pa.array(~hit)).cast(out_schema)
+        cand = batch.filter(pa.array(hit))
+        if len(cand) == 0:
+            return certain
+        df = cand.to_pandas().merge(flags, on=keys, how="left")
         keep = df[df["__touched"].isna()].drop(columns="__touched")
-        return pa.Table.from_pandas(keep, schema=out_schema, preserve_index=False)
+        extra = pa.Table.from_pandas(keep, schema=out_schema, preserve_index=False)
+        return pa.concat_tables([certain, extra])
 
     def live_events(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.not_equal(batch["op"], "D"))
@@ -530,7 +554,7 @@ def dataset_diff(
         return _diff_full(left, right, keys, compare_cols, num_buckets)
     import ray
 
-    flag_ref = ray.put(mk.to_pandas())
+    flag_ref = ray.put(_flag_payload(mk.to_pandas(), keys))
     lf = left.map_batches(
         _broadcast_semi(flag_ref, keys), batch_format="pyarrow", zero_copy_batch=True
     )
