@@ -160,11 +160,28 @@ def run_scaling(sf_label: str) -> dict:
     # efficiency reflects the neighbors, not the engine
     lo = int(os.environ.get("BENCH_CPUS_LO", "8"))
     hi = int(os.environ.get("BENCH_CPUS_HI", "32"))
-    r_lo = _headline_subprocess(lo, sf_label)
-    # partial progress on stderr: a killed/timed-out run still yields the leg
-    print(f"[scaling] lo leg done: {r_lo}", file=sys.stderr, flush=True)
-    r_hi = _headline_subprocess(hi, sf_label)
-    print(f"[scaling] hi leg done: {r_hi}", file=sys.stderr, flush=True)
+    # INTERLEAVED legs (lo,hi,lo,hi,...), best-of per leg: on a shared box a
+    # co-tenant burst lasting minutes would otherwise consume one whole leg
+    # and fabricate an arbitrary ratio; interleaving means a burst costs one
+    # leg INSTANCE while its sibling instances survive.  Rounds × inner
+    # BENCH_RUNS = total reps per leg.
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+    # repetition comes from the interleaved rounds; default each subprocess
+    # to a single inner run so total wall-time stays ~what two plain legs
+    # cost (override with BENCH_RUNS)
+    os.environ.setdefault("BENCH_RUNS", "1")
+    r_lo: dict = {}
+    r_hi: dict = {}
+    for i in range(rounds):
+        cur_lo = _headline_subprocess(lo, sf_label)
+        # partial progress on stderr: a killed run still yields prior legs
+        print(f"[scaling] lo leg {i}: {cur_lo}", file=sys.stderr, flush=True)
+        if not r_lo or cur_lo["sec"] < r_lo["sec"]:
+            r_lo = cur_lo
+        cur_hi = _headline_subprocess(hi, sf_label)
+        print(f"[scaling] hi leg {i}: {cur_hi}", file=sys.stderr, flush=True)
+        if not r_hi or cur_hi["sec"] < r_hi["sec"]:
+            r_hi = cur_hi
     # efficiency: throughput gain vs resource gain (1.0 = perfect linear)
     eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
     return {
