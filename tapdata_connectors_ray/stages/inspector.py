@@ -35,14 +35,28 @@ DEFAULT_DIFF_BUCKETS = 64
 BROADCAST_FLAG_CAP = 2_000_000
 
 
-def _flag_payload(flags: pd.DataFrame, keys: list[str]):
-    """(flags_df, int64 key-hash array) — the broadcast value.  The hash
-    array powers a vectorized first-level ``np.isin`` prune per batch; the
-    exact pandas merge then runs only on the (discrepancy-scale) survivors,
-    so rare 64-bit collisions cost a few extra merge rows, never
-    correctness."""
-    t = pa.Table.from_pandas(flags[keys], preserve_index=False)
-    return flags, key_hash_columns(t, keys).view(np.int64)
+def _small_arrow_table(ds: ray.data.Dataset) -> pa.Table:
+    """Materialize a SMALL dataset to one Arrow table on the driver without
+    a pandas round-trip (``to_pandas`` would rewrite timestamp keys to ns
+    precision and int-with-null keys to float — either silently breaks hash
+    parity with the original batches).  Zero-column empty-split blocks from
+    ``map_groups`` are dropped here too."""
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    return pa.concat_tables(tables)
+
+
+def _flag_payload(flags_t: pa.Table, keys: list[str]):
+    """(flags_df, int64 key-hash array) — the broadcast value.  Hashes come
+    from the ARROW table (exact key types, matching what batches hash); the
+    pandas frame serves the exact merge, where datetime/int widening is
+    value-preserving.  The hash array powers a vectorized first-level
+    ``np.isin`` prune per batch; the exact pandas merge then runs only on
+    the (discrepancy-scale) survivors, so rare 64-bit collisions cost a few
+    extra merge rows, never correctness."""
+    hashes = key_hash_columns(flags_t, keys).view(np.int64)
+    return flags_t.to_pandas(), hashes
 
 
 def _broadcast_semi(flag_ref, keys: list[str], extra_cols: list[str] | None = None):
@@ -264,7 +278,7 @@ def diff_to_events(
         )
     import ray
 
-    flag_ref = ray.put(_flag_payload(iu.to_pandas(), keys))
+    flag_ref = ray.put(_flag_payload(_small_arrow_table(iu), keys))
 
     def narrow(batch: pa.Table) -> pa.Table:
         return batch.select([*keys, *payload_cols])
@@ -368,9 +382,11 @@ def _apply_events_broadcast(
     import ray
 
     payload_cols = [f.name for f in out_schema]
-    keys_df = ev_m.select_columns(keys).to_pandas()
-    keys_df["__touched"] = np.int8(1)
-    keys_ref = ray.put(_flag_payload(keys_df, keys))
+    flags, flag_hashes = _flag_payload(
+        _small_arrow_table(ev_m.select_columns(keys)), keys
+    )
+    flags["__touched"] = np.int8(1)
+    keys_ref = ray.put((flags, flag_hashes))
 
     def drop_touched(batch: pa.Table) -> pa.Table:
         # two-level anti-filter: rows whose key hash misses the broadcast
@@ -554,7 +570,7 @@ def dataset_diff(
         return _diff_full(left, right, keys, compare_cols, num_buckets)
     import ray
 
-    flag_ref = ray.put(_flag_payload(mk.to_pandas(), keys))
+    flag_ref = ray.put(_flag_payload(_small_arrow_table(mk), keys))
     lf = left.map_batches(
         _broadcast_semi(flag_ref, keys), batch_format="pyarrow", zero_copy_batch=True
     )

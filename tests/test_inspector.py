@@ -117,3 +117,35 @@ def test_diff_capture_roundtrip_small(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_hash_first_with_timestamp_and_int32_keys(ray_session):
+    """Regression: the broadcast flag hashes must come from the ARROW key
+    types — a pandas round-trip rewrites timestamp(us) keys to ns (and
+    int-with-null to float), silently emptying the phase-2 hash prune."""
+    from tapdata_connectors_ray.stages.inspector import dataset_diff
+
+    schema = pa.schema(
+        [
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("seq", pa.int32()),
+            pa.field("v", pa.string()),
+        ]
+    )
+
+    def rows(vals):
+        return [
+            {"ts": 1_000_000 * i, "seq": i, "v": v} for i, v in enumerate(vals)
+        ]
+
+    l = ray.data.from_arrow(pa.Table.from_pylist(rows(["a", "b", "c", "d"]), schema=schema))
+    r = ray.data.from_arrow(pa.Table.from_pylist(rows(["a", "X", "c", "Y"]), schema=schema))
+    out = (
+        dataset_diff(l, r, keys=["ts", "seq"], compare_cols=["v"], num_buckets=4)
+        .to_pandas()
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+    assert list(out["seq"]) == [1, 3]
+    assert set(out["diff_kind"]) == {"field_mismatch"}
+    assert set(out["fields"]) == {"v"}
