@@ -28,6 +28,7 @@ def entry() -> Any:
 _RUN_FIRST = (
     # round-3 second-half additions — never driver-run before r03, so they
     # must land CORRECTNESS rows even under a truncated sweep (cheap first)
+    "dedup_exact_incremental",
     "processor_chain_orders",
     "sample_hash_documents",
     "profile_customer",

@@ -191,6 +191,108 @@ def q_dedup_exact(sf_dir: str) -> Any:
     )
 
 
+_LEDGER_BUCKETS = 64
+
+
+def ingest_dedup_epoch(docs: ray.data.Dataset, ledger_dir: str) -> None:
+    """One incremental-dedup epoch: fold the incoming docs into a
+    bucket-partitioned content-hash ledger, FIRST-SEEN-WINS.
+
+    Scale shape: the ledger is ``bucket-NNNN.parquet`` files hash-partitioned
+    by ``text_hash % _LEDGER_BUCKETS``.  The epoch shuffles ONLY its own
+    (hash, doc_id) partials — narrow, epoch-sized; each touched bucket's
+    task then reads that one ledger file, merges (existing winner kept,
+    counts accumulated) and rewrites it atomically (tmp + rename,
+    idempotent on retry).  Buckets the epoch doesn't touch are never read —
+    dedup of a daily increment costs O(increment + touched buckets), not a
+    corpus re-scan.  Same 64-bit-hash grouping assumption as
+    ``q_dedup_exact``.  Each epoch must be applied exactly once — counts
+    accumulate, so redelivery needs the manifest/epoch fencing machinery
+    (``pipelines/incremental.py``) around this fold, exactly as lake writes
+    do."""
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.stages.dedup import add_text_hash
+
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["text_hash"].to_numpy()
+        return batch.append_column(
+            "hbucket",
+            pa.array((h.view(np.uint64) % np.uint64(_LEDGER_BUCKETS)).astype(np.int32)),
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["hbucket"].iloc[0])
+        g = df.groupby("text_hash", sort=False)["doc_id"]
+        inc = pd.DataFrame(
+            {
+                "text_hash": g.min().index.to_numpy(),
+                "doc_id": g.min().to_numpy(),
+                "n_copies": g.size().to_numpy(),
+            }
+        )
+        path = os.path.join(ledger_dir, f"bucket-{b:04d}.parquet")
+        if os.path.exists(path):
+            old = pq.read_table(path).to_pandas()
+            m = old.merge(inc, on="text_hash", how="outer", suffixes=("_o", "_n"))
+            winner = m["doc_id_o"].where(m["doc_id_o"].notna(), m["doc_id_n"])
+            out = pd.DataFrame(
+                {
+                    "text_hash": m["text_hash"],
+                    "doc_id": winner.astype("int64"),
+                    "n_copies": (
+                        m["n_copies_o"].fillna(0) + m["n_copies_n"].fillna(0)
+                    ).astype("int64"),
+                }
+            )
+        else:
+            out = inc
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"bucket": [b], "ledger_rows": [len(out)]})
+
+    (
+        docs.map_batches(add_text_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["text_hash", "doc_id"])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hbucket")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()  # drive the epoch; output is bucket-count summaries
+    )
+
+
+def q_dedup_exact_incremental(sf_dir: str) -> Any:
+    """Incremental exact dedup — the CDC-shaped curation op: the corpus
+    arrives in epochs and each epoch dedups against the accumulated ledger
+    WITHOUT re-scanning prior epochs (first-seen-wins, counts accumulate).
+    Epoch split is deterministic (``doc_id % 3``) so the DuckDB twin can
+    replay the same arrival order.  Final answer: one (winner doc_id,
+    n_copies) row per distinct content."""
+    import tempfile
+
+    ledger = tempfile.mkdtemp(prefix="dedup_ledger_", dir="/tmp")
+    aug = _aug_docs(sf_dir)
+
+    def epoch_filter(ep: int):
+        def keep(batch: pa.Table) -> pa.Table:
+            m = (batch["doc_id"].to_numpy() % 3) == 0
+            return batch.filter(pa.array(m if ep == 2 else ~m))
+
+        return keep
+
+    for ep in (1, 2):
+        ingest_dedup_epoch(
+            aug.map_batches(
+                epoch_filter(ep), batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ledger,
+        )
+    return ray.data.read_parquet(ledger).select_columns(["doc_id", "n_copies"])
+
+
 def _pair_dedupe(ds):
     """Collapse repeated candidate pairs: coarse-bucket groupby + vectorized
     per-bucket drop_duplicates (cheaper than a pair-level grouped aggregate,
@@ -898,6 +1000,18 @@ ORDER BY a.doc_id
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM aug GROUP BY text ORDER BY doc_id
 """,
+    # first-seen-wins across the deterministic epoch split (doc_id % 3):
+    # the epoch-1 winner survives even when epoch 2 brings a smaller doc_id
+    "dedup_exact_incremental": _AUG_CTE
+    + """
+, e AS (
+    SELECT doc_id, text, CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ep
+    FROM aug
+)
+SELECT coalesce(min(CASE WHEN ep = 1 THEN doc_id END), min(doc_id)) AS doc_id,
+       count(*) AS n_copies
+FROM e GROUP BY text ORDER BY doc_id
+""",
     "dedup_ngram_jaccard": _pairs_sql(JACCARD_THRESHOLD, cutoff=True),
     "dedup_minhash_lsh": _pairs_sql(MINHASH_THRESHOLD),
     "dedup_minhash_lsh_join": _pairs_sql(MINHASH_THRESHOLD),
@@ -1044,6 +1158,7 @@ GROUP BY kind ORDER BY kind
 def training_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
         "curation_pipeline": q_curation_pipeline,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -167,3 +167,63 @@ def test_simhash_chunk_banding_is_exact():
             for c in range(SIMHASH_CHUNKS)
         )
         assert shares
+
+
+def test_dedup_exact_incremental_touches_only_affected_buckets(ray_session, tmp_path):
+    """The incremental ledger's contract: epoch 2 rewrites ONLY the buckets
+    its docs hash into — every other ledger file is byte-untouched (no
+    corpus re-scan); and the final ledger equals the first-seen-wins
+    brute force over both epochs."""
+    import os
+
+    import ray.data
+
+    from tapdata_connectors_ray.pipelines.training import (
+        _LEDGER_BUCKETS,
+        ingest_dedup_epoch,
+    )
+
+    def docs(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    ledger = str(tmp_path / "ledger")
+    ep1 = [(10, "aa"), (11, "bb"), (12, "aa"), (13, "cc")]
+    ep2 = [(1, "aa"), (2, "dd")]  # smaller doc_id must NOT steal "aa"
+    ingest_dedup_epoch(docs(ep1), ledger)
+    stamps = {
+        f: os.stat(os.path.join(ledger, f)).st_mtime_ns for f in os.listdir(ledger)
+    }
+    ingest_dedup_epoch(docs(ep2), ledger)
+
+    from tapdata_connectors_ray.stages.dedup import add_text_hash
+
+    t = pa.table({"text": pa.array(["aa", "dd"], pa.string()), "doc_id": [0, 0]})
+    touched = {
+        f"bucket-{b:04d}.parquet"
+        for b in (
+            add_text_hash(t)["text_hash"].to_numpy().view(np.uint64)
+            % np.uint64(_LEDGER_BUCKETS)
+        ).astype(int)
+    }
+    for f, old in stamps.items():
+        now = os.stat(os.path.join(ledger, f)).st_mtime_ns
+        if f in touched:
+            assert now != old, f"{f} should have been rewritten"
+        else:
+            assert now == old, f"{f} rewritten without epoch-2 docs"
+
+    final = (
+        ray.data.read_parquet(ledger)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(final["doc_id"], final["n_copies"]))
+    assert got == {10: 3, 11: 1, 13: 1, 2: 1}  # "aa": ep1 winner 10, 3 copies
