@@ -227,3 +227,62 @@ def test_dedup_exact_incremental_touches_only_affected_buckets(ray_session, tmp_
     )
     got = dict(zip(final["doc_id"], final["n_copies"]))
     assert got == {10: 3, 11: 1, 13: 1, 2: 1}  # "aa": ep1 winner 10, 3 copies
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(data=st.data())
+def test_dedup_ledger_matches_first_seen_bruteforce(ray_session, tmp_path_factory, data):
+    """Arbitrary docs split into arbitrary ordered epochs: the ledger's
+    final state equals a sequential first-seen-wins fold."""
+    import ray.data
+
+    from tapdata_connectors_ray.pipelines.training import ingest_dedup_epoch
+
+    n = data.draw(st.integers(1, 25))
+    rows = [
+        (i, data.draw(st.sampled_from(["t0", "t1", "t2", "t3"])))
+        for i in range(n)
+    ]
+    n_epochs = data.draw(st.integers(1, 3))
+    assignment = [data.draw(st.integers(0, n_epochs - 1)) for _ in range(n)]
+
+    ledger = str(tmp_path_factory.mktemp("ledger_prop") / "ledger")
+    for ep in range(n_epochs):
+        sub = [r for r, a in zip(rows, assignment) if a == ep]
+        if not sub:
+            continue
+        ingest_dedup_epoch(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in sub], pa.int64()),
+                        "text": pa.array([r[1] for r in sub], pa.string()),
+                    }
+                )
+            ),
+            ledger,
+        )
+
+    exp: dict[str, list[int]] = {}
+    for ep in range(n_epochs):
+        for r, a in zip(rows, assignment):
+            if a == ep:
+                exp.setdefault(r[1], [ep, r[0], 0])
+                if exp[r[1]][0] == ep:
+                    exp[r[1]][1] = min(exp[r[1]][1], r[0])
+                exp[r[1]][2] += 1
+    want = {v[1]: v[2] for v in exp.values()}
+
+    import ray.data as rd
+
+    final = rd.read_parquet(ledger).to_pandas()
+    got = dict(zip(final["doc_id"].astype(int), final["n_copies"].astype(int)))
+    assert got == want
