@@ -95,6 +95,7 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "hash_split_shard",
         # training-data ops (present from the point they are implemented)
         "dedup_exact",
+        "dedup_exact_incremental",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_cosine_topk",
