@@ -43,7 +43,13 @@ def _small_arrow_table(ds: ray.data.Dataset) -> pa.Table:
     ``map_groups`` are dropped here too."""
     import ray
 
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    # drop zero-ROW blocks as well as zero-column ones: Ray skips UDFs on
+    # empty blocks, so a 0-row block sails through select_columns/Project
+    # UNPROJECTED and would poison the concat with its original schema.
+    # Callers guard n > 0 before calling, so ≥1 real block exists.
+    tables = [
+        t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0 and t.num_rows > 0
+    ]
     return pa.concat_tables(tables)
 
 
