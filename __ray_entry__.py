@@ -29,6 +29,7 @@ _RUN_FIRST = (
     # round-3 second-half additions — never driver-run before r03, so they
     # must land CORRECTNESS rows even under a truncated sweep (cheap first)
     "dedup_exact_incremental",
+    "dedup_minhash_incremental",
     "processor_chain_orders",
     "sample_hash_documents",
     "profile_customer",

@@ -264,6 +264,335 @@ def ingest_dedup_epoch(docs: ray.data.Dataset, ledger_dir: str) -> None:
     )
 
 
+def ingest_lsh_epoch(
+    docs: ray.data.Dataset,
+    ledger_dir: str,
+    epoch: int,
+    ngram: int = NGRAM,
+    threshold: float = MINHASH_THRESHOLD,
+) -> None:
+    """One incremental MinHash-LSH epoch: near-dup pairs of the NEW docs
+    against everything already ingested, without re-scanning prior epochs.
+
+    Ledgers under ``ledger_dir`` (the daily-increment layout for a corpus
+    that no longer fits a batch re-run):
+
+    - ``members/bucket-NNNN.parquet`` — exact-dup cluster membership
+      (text_hash, doc_id, rep, n_grams), text-hash-bucketed; the rep is
+      FIRST-SEEN-stable so stored band rows never go stale;
+    - ``bands/bucket-NNNN.parquet`` — LSH band rows of cluster reps,
+      sbucket-partitioned; an epoch reads/rewrites only buckets its docs
+      hash into;
+    - ``profiles/epoch-K/`` — append-only (doc_id, shingles) blobs for the
+      exact-Jaccard verify (read back candidate-filtered, never whole);
+    - ``pairs/epoch-K/`` — append-only verified output pairs; also the
+      lookup set that lets a late exact copy inherit its rep's pairs.
+
+    Scale shape: the distributed folds (members, bands) move only
+    epoch-sized narrow rows; verification and member expansion are
+    CANDIDATE-scale and run on collected frames (the same discrepancy-scale
+    argument as the diff family's phase 2).  Banding cost still scales with
+    distinct NEW texts only.  Like the exact ledger, epochs must be applied
+    exactly once (wrap with the manifest fencing for redelivery)."""
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.stages.dedup import (
+        MinHashLSH,
+        doc_profile_batch,
+        verify_pairs_batch,
+    )
+
+    for sub in ("members", "bands", "profiles", "pairs", "reppairs"):
+        os.makedirs(os.path.join(ledger_dir, sub), exist_ok=True)
+
+    prof = docs.map_batches(
+        doc_profile_batch(ngram), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    prof.select_columns(["doc_id", "shingles"]).write_parquet(
+        os.path.join(ledger_dir, "profiles", f"epoch-{epoch}")
+    )
+
+    # ---- members fold: exact pairs + rep bookkeeping (distributed) ------
+    members_dir = os.path.join(ledger_dir, "members")
+
+    def members_fold(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["hbucket"].iloc[0])
+        path = os.path.join(members_dir, f"bucket-{b:04d}.parquet")
+        old = (
+            pq.read_table(path).to_pandas()
+            if os.path.exists(path)
+            else pd.DataFrame(
+                {
+                    c: pd.Series(dtype="int64")
+                    for c in ("text_hash", "doc_id", "rep", "n_grams")
+                }
+            )
+        )
+        new = df[["text_hash", "doc_id", "n_grams"]].sort_values("doc_id")
+        old_rep = old.drop_duplicates("text_hash").set_index("text_hash")["rep"]
+        first_new = new.drop_duplicates("text_hash").set_index("text_hash")["doc_id"]
+        rep = new["text_hash"].map(old_rep)
+        rep = rep.where(rep.notna(), new["text_hash"].map(first_new)).astype("int64")
+        new = new.assign(rep=rep)
+
+        out_rows = []
+        # exact-dup pairs: every (old member, new) + new-vs-new (n_grams>0)
+        for th, grp in new[new["n_grams"] > 0].groupby("text_hash", sort=False):
+            olds = old.loc[old["text_hash"] == th, "doc_id"].to_numpy()
+            news = grp["doc_id"].to_numpy()
+            ng = int(grp["n_grams"].iloc[0])
+            all_ids = np.concatenate([olds, news])
+            for i, m in enumerate(news):
+                partners = np.concatenate([olds, news[:i]])
+                for p in partners:
+                    a, bb = (p, m) if p < m else (m, p)
+                    out_rows.append(("pair", int(a), int(bb), ng, ng))
+            del all_ids
+        # bookkeeping rows: new clusters (to band) / late joiners (to inherit)
+        for th, grp in new.groupby("text_hash", sort=False):
+            r = int(grp["rep"].iloc[0])
+            if (old["text_hash"] == th).any():
+                for m in grp["doc_id"].to_numpy():
+                    out_rows.append(("joiner", r, int(m), 0, 0))
+            else:
+                out_rows.append(("newrep", r, r, 0, 0))
+                for m in grp["doc_id"].to_numpy():
+                    if m != r:
+                        out_rows.append(("joiner", r, int(m), 0, 0))
+
+        merged = pd.concat([old, new], ignore_index=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            out_rows, columns=["kind", "a", "b", "common", "union_n"]
+        ).astype({"a": "int64", "b": "int64", "common": "int64", "union_n": "int64"})
+
+    def add_hbucket(batch: pa.Table) -> pa.Table:
+        h = batch["text_hash"].to_numpy()
+        return batch.append_column(
+            "hbucket", pa.array((h.view(np.uint64) % np.uint64(256)).astype(np.int32))
+        )
+
+    events = (
+        prof.select_columns(["text_hash", "doc_id", "n_grams"])
+        .map_batches(add_hbucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hbucket")
+        .map_groups(members_fold, batch_format="pandas")
+        .to_pandas()  # epoch-scale bookkeeping + pair rows
+    )
+    exact_pairs = events[events["kind"] == "pair"][["a", "b", "common", "union_n"]]
+    new_reps = set(events.loc[events["kind"] == "newrep", "a"].astype(int))
+    joiners = events[events["kind"] == "joiner"][["a", "b"]].astype(int)
+
+    # ---- band NEW reps only; fold into the band ledger (distributed) ----
+    bands_dir = os.path.join(ledger_dir, "bands")
+    cand_frames = []
+    if new_reps:
+        reps_arr = np.fromiter(new_reps, dtype=np.int64)
+
+        def keep_new_reps(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pa.array(np.isin(batch["doc_id"].to_numpy(), reps_arr))
+            )
+
+        def bands_fold(df: pd.DataFrame) -> pd.DataFrame:
+            sb = int(df["sbucket"].iloc[0])
+            path = os.path.join(bands_dir, f"bucket-{sb:04d}.parquet")
+            old = (
+                pq.read_table(path).to_pandas()
+                if os.path.exists(path)
+                else pd.DataFrame(
+                {
+                    "band": pd.Series(dtype="int32"),
+                    "bucket": pd.Series(dtype="uint64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                }
+            )
+            )
+            new = df[["band", "bucket", "doc_id"]]
+            both = pd.concat([old, new], ignore_index=True)
+            m = new.merge(both, on=["band", "bucket"], suffixes=("_l", "_r"))
+            m = m[m["doc_id_l"] != m["doc_id_r"]]
+            a = np.minimum(m["doc_id_l"], m["doc_id_r"])
+            bb = np.maximum(m["doc_id_l"], m["doc_id_r"])
+            out = pd.DataFrame({"doc_a": a, "doc_b": bb}).drop_duplicates()
+            tmp = f"{path}.tmp-{os.getpid()}"
+            pq.write_table(pa.Table.from_pandas(both, preserve_index=False), tmp)
+            os.replace(tmp, path)
+            return out
+
+        new_bands = prof.map_batches(
+            keep_new_reps, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(MinHashLSH(ngram=ngram, num_perm=128, num_bands=64), batch_format="pyarrow")
+        cand = (
+            new_bands.groupby("sbucket")
+            .map_groups(bands_fold, batch_format="pandas")
+            .to_pandas()
+            .drop_duplicates()
+        )
+        if len(cand):
+            cand_frames.append(cand)
+
+    # ---- verify candidates exactly (candidate-scale, shingles from the
+    # profiles ledger filtered to involved reps) -------------------------
+    verified = pd.DataFrame(columns=["doc_a", "doc_b", "common", "union_n"])
+    if cand_frames:
+        cand = pd.concat(cand_frames, ignore_index=True).drop_duplicates()
+        involved = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
+
+        def keep_involved(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pa.array(np.isin(batch["doc_id"].to_numpy(), involved))
+            )
+
+        shing = (
+            ray.data.read_parquet(os.path.join(ledger_dir, "profiles"))
+            .map_batches(keep_involved, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+            .drop_duplicates("doc_id")
+            .set_index("doc_id")["shingles"]
+        )
+        joined = pa.table(
+            {
+                "doc_a": pa.array(cand["doc_a"].to_numpy(), pa.int64()),
+                "doc_b": pa.array(cand["doc_b"].to_numpy(), pa.int64()),
+                "shingles_a": pa.array(
+                    [shing[d] for d in cand["doc_a"]], pa.binary()
+                ),
+                "shingles_b": pa.array(
+                    [shing[d] for d in cand["doc_b"]], pa.binary()
+                ),
+            }
+        )
+        verified = verify_pairs_batch(joined, threshold).to_pandas()
+        if len(verified):
+            pq.write_table(
+                pa.Table.from_pandas(verified, preserve_index=False),
+                os.path.join(ledger_dir, "reppairs", f"epoch-{epoch}.parquet"),
+            )
+
+    # ---- expansion (candidate-scale): members of each verified rep pair,
+    # plus late joiners inheriting their rep's stored pairs ---------------
+    out_pairs = [exact_pairs.rename(columns={"a": "doc_a", "b": "doc_b"})]
+
+    def members_of(reps: np.ndarray) -> pd.DataFrame:
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(pa.array(np.isin(batch["rep"].to_numpy(), reps)))
+
+        return (
+            ray.data.read_parquet(members_dir)
+            .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()[["rep", "doc_id"]]
+        )
+
+    if len(verified):
+        reps = np.unique(np.concatenate([verified["doc_a"], verified["doc_b"]]))
+        mem = members_of(reps)
+        e1 = verified.merge(mem, left_on="doc_a", right_on="rep")[
+            ["doc_id", "doc_b", "common", "union_n"]
+        ].rename(columns={"doc_id": "doc_x"})
+        e2 = e1.merge(mem, left_on="doc_b", right_on="rep")[
+            ["doc_x", "doc_id", "common", "union_n"]
+        ].rename(columns={"doc_id": "doc_y"})
+        e2 = e2[e2["doc_x"] != e2["doc_y"]]
+        out_pairs.append(
+            pd.DataFrame(
+                {
+                    "doc_a": np.minimum(e2["doc_x"], e2["doc_y"]),
+                    "doc_b": np.maximum(e2["doc_x"], e2["doc_y"]),
+                    "common": e2["common"],
+                    "union_n": e2["union_n"],
+                }
+            )
+        )
+
+    if len(joiners):
+        reppairs_root = os.path.join(ledger_dir, "reppairs")
+        if any(os.scandir(reppairs_root)):
+            jr = np.unique(joiners["a"].to_numpy())  # the joined reps
+
+            def keep_rep_pairs(batch: pa.Table) -> pa.Table:
+                m = np.isin(batch["doc_a"].to_numpy(), jr) | np.isin(
+                    batch["doc_b"].to_numpy(), jr
+                )
+                return batch.filter(pa.array(m))
+
+            stored = (
+                ray.data.read_parquet(reppairs_root)
+                .map_batches(keep_rep_pairs, batch_format="pyarrow", zero_copy_batch=True)
+                .to_pandas()
+            )
+            if len(stored):
+                # symmetric expansion: NEW members on the rep side × the
+                # partner cluster's FULL CURRENT membership (which includes
+                # the partner's own joiners from this very epoch — the
+                # new-joiner × new-joiner cross case)
+                d1 = stored.rename(columns={"doc_a": "rep", "doc_b": "other"})
+                d2 = stored.rename(columns={"doc_b": "rep", "doc_a": "other"})
+                directional = pd.concat([d1, d2], ignore_index=True)
+                nm = joiners.rename(columns={"a": "rep", "b": "member"})
+                x = directional.merge(nm, on="rep")
+                other_reps = np.unique(x["other"].to_numpy())
+                omem = members_of(other_reps).rename(
+                    columns={"rep": "other", "doc_id": "partner_doc"}
+                )
+                x = x.merge(omem, on="other")
+                x = x[x["member"] != x["partner_doc"]]
+                out_pairs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": np.minimum(x["member"], x["partner_doc"]),
+                            "doc_b": np.maximum(x["member"], x["partner_doc"]),
+                            "common": x["common"],
+                            "union_n": x["union_n"],
+                        }
+                    )
+                )
+
+    new_pairs = (
+        pd.concat(out_pairs, ignore_index=True)
+        .drop_duplicates(["doc_a", "doc_b"])
+        .astype({"doc_a": "int64", "doc_b": "int64", "common": "int64", "union_n": "int64"})
+    )
+    if len(new_pairs):
+        pq.write_table(
+            pa.Table.from_pandas(new_pairs, preserve_index=False),
+            os.path.join(ledger_dir, "pairs", f"epoch-{epoch}.parquet"),
+        )
+
+
+def q_dedup_minhash_incremental(sf_dir: str) -> Any:
+    """Incremental MinHash-LSH near-dup detection: the corpus arrives in
+    deterministic epochs (``doc_id % 3``) and each epoch finds its new
+    near-dup pairs against the accumulated band/member ledgers — never
+    re-banding or re-verifying prior epochs.  The UNION of per-epoch pair
+    sets must equal the batch LSH answer (banding is per-signature
+    deterministic, so a colliding pair is found exactly when its later doc
+    arrives) — same oracle as ``dedup_minhash_lsh``."""
+    import tempfile
+
+    ledger = tempfile.mkdtemp(prefix="lsh_ledger_", dir="/tmp")
+    aug = _aug_docs(sf_dir)
+
+    def epoch_filter(ep: int):
+        def keep(batch: pa.Table) -> pa.Table:
+            m = (batch["doc_id"].to_numpy() % 3) == 0
+            return batch.filter(pa.array(m if ep == 2 else ~m))
+
+        return keep
+
+    for ep in (1, 2):
+        ingest_lsh_epoch(
+            aug.map_batches(
+                epoch_filter(ep), batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ledger,
+            epoch=ep,
+        )
+    return ray.data.read_parquet(os.path.join(ledger, "pairs"))
+
+
 def q_dedup_exact_incremental(sf_dir: str) -> Any:
     """Incremental exact dedup — the CDC-shaped curation op: the corpus
     arrives in epochs and each epoch dedups against the accumulated ledger
@@ -1014,6 +1343,9 @@ FROM e GROUP BY text ORDER BY doc_id
 """,
     "dedup_ngram_jaccard": _pairs_sql(JACCARD_THRESHOLD, cutoff=True),
     "dedup_minhash_lsh": _pairs_sql(MINHASH_THRESHOLD),
+    # union of per-epoch incremental results == the batch answer: banding is
+    # per-signature deterministic, so the oracle is the same pair set
+    "dedup_minhash_incremental": _pairs_sql(MINHASH_THRESHOLD),
     "dedup_minhash_lsh_join": _pairs_sql(MINHASH_THRESHOLD),
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EAUG_CTE
@@ -1163,6 +1495,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_join": q_dedup_minhash_lsh,  # alias (join IS the path)
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,

@@ -286,3 +286,51 @@ def test_dedup_ledger_matches_first_seen_bruteforce(ray_session, tmp_path_factor
     final = rd.read_parquet(ledger).to_pandas()
     got = dict(zip(final["doc_id"].astype(int), final["n_copies"].astype(int)))
     assert got == want
+
+
+def test_lsh_ledger_three_epochs_cross_joiners(ray_session, tmp_path):
+    """The incremental LSH ledger across 3 epochs: a near-dup rep pair found
+    in epoch 1 must expand over BOTH clusters' later joiners — including the
+    joiner×joiner cross pair arriving simultaneously in epoch 2 (the case a
+    member-level inheritance misses)."""
+    import ray.data
+
+    from tapdata_connectors_ray.pipelines.training import ingest_lsh_epoch
+
+    words = [f"w{i}" for i in range(12)]
+    X = " ".join(words)          # 10 3-grams
+    Xp = " ".join(words[:10])    # 8 3-grams, all shared -> j = 0.8
+
+    def docs(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    ledger = str(tmp_path / "lsh")
+    ingest_lsh_epoch(docs([(1, X)]), ledger, epoch=0)
+    ingest_lsh_epoch(docs([(2, Xp)]), ledger, epoch=1)
+    ingest_lsh_epoch(docs([(3, X), (4, Xp)]), ledger, epoch=2)
+
+    got = (
+        ray.data.read_parquet(f"{ledger}/pairs")
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pairs = {
+        (int(a), int(b)): (int(c), int(u))
+        for a, b, c, u in zip(got.doc_a, got.doc_b, got.common, got.union_n)
+    }
+    assert pairs == {
+        (1, 2): (8, 10),
+        (1, 3): (10, 10),
+        (1, 4): (8, 10),
+        (2, 3): (8, 10),
+        (2, 4): (8, 8),
+        (3, 4): (8, 10),  # joiner x joiner across the two clusters
+    }
