@@ -30,6 +30,7 @@ _RUN_FIRST = (
     # must land CORRECTNESS rows even under a truncated sweep (cheap first)
     "dedup_exact_incremental",
     "dedup_minhash_incremental",
+    "dedup_embedding_incremental",
     "processor_chain_orders",
     "sample_hash_documents",
     "profile_customer",

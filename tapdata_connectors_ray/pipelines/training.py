@@ -264,6 +264,43 @@ def ingest_dedup_epoch(docs: ray.data.Dataset, ledger_dir: str) -> None:
     )
 
 
+def make_band_ledger_fold(bands_dir: str):
+    """Per-sbucket band-LEDGER fold shared by the incremental near-dup
+    pipelines (MinHash and hyperplane banding emit the same row layout):
+    candidate pairs = NEW band rows x (stored + new) on the exact
+    (band, bucket) key; the bucket file is then rewritten atomically with
+    the new rows appended.  Only buckets the epoch touches are ever read."""
+    import pyarrow.parquet as pq
+
+    def bands_fold(df: pd.DataFrame) -> pd.DataFrame:
+        sb = int(df["sbucket"].iloc[0])
+        path = os.path.join(bands_dir, f"bucket-{sb:04d}.parquet")
+        old = (
+            pq.read_table(path).to_pandas()
+            if os.path.exists(path)
+            else pd.DataFrame(
+                {
+                    "band": pd.Series(dtype="int32"),
+                    "bucket": pd.Series(dtype="uint64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                }
+            )
+        )
+        new = df[["band", "bucket", "doc_id"]]
+        both = pd.concat([old, new], ignore_index=True)
+        m = new.merge(both, on=["band", "bucket"], suffixes=("_l", "_r"))
+        m = m[m["doc_id_l"] != m["doc_id_r"]]
+        a = np.minimum(m["doc_id_l"], m["doc_id_r"])
+        bb = np.maximum(m["doc_id_l"], m["doc_id_r"])
+        out = pd.DataFrame({"doc_a": a, "doc_b": bb}).drop_duplicates()
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(both, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return out
+
+    return bands_fold
+
+
 def ingest_lsh_epoch(
     docs: ray.data.Dataset,
     ledger_dir: str,
@@ -396,31 +433,7 @@ def ingest_lsh_epoch(
                 pa.array(np.isin(batch["doc_id"].to_numpy(), reps_arr))
             )
 
-        def bands_fold(df: pd.DataFrame) -> pd.DataFrame:
-            sb = int(df["sbucket"].iloc[0])
-            path = os.path.join(bands_dir, f"bucket-{sb:04d}.parquet")
-            old = (
-                pq.read_table(path).to_pandas()
-                if os.path.exists(path)
-                else pd.DataFrame(
-                {
-                    "band": pd.Series(dtype="int32"),
-                    "bucket": pd.Series(dtype="uint64"),
-                    "doc_id": pd.Series(dtype="int64"),
-                }
-            )
-            )
-            new = df[["band", "bucket", "doc_id"]]
-            both = pd.concat([old, new], ignore_index=True)
-            m = new.merge(both, on=["band", "bucket"], suffixes=("_l", "_r"))
-            m = m[m["doc_id_l"] != m["doc_id_r"]]
-            a = np.minimum(m["doc_id_l"], m["doc_id_r"])
-            bb = np.maximum(m["doc_id_l"], m["doc_id_r"])
-            out = pd.DataFrame({"doc_a": a, "doc_b": bb}).drop_duplicates()
-            tmp = f"{path}.tmp-{os.getpid()}"
-            pq.write_table(pa.Table.from_pandas(both, preserve_index=False), tmp)
-            os.replace(tmp, path)
-            return out
+        bands_fold = make_band_ledger_fold(bands_dir)
 
         new_bands = prof.map_batches(
             keep_new_reps, batch_format="pyarrow", zero_copy_batch=True
@@ -914,6 +927,111 @@ def q_dedup_embedding_cosine(sf_dir: str) -> Any:
     )
 
 
+def ingest_embedding_epoch(
+    embs: ray.data.Dataset,
+    ledger_dir: str,
+    epoch: int,
+    dim: int,
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> None:
+    """One incremental embedding-near-dup epoch: hyperplane-LSH band rows of
+    the NEW vectors probe the stored band ledger (only touched buckets are
+    read/rewritten); candidates verify exactly against the append-only
+    embedding-blob ledger filtered to the involved ids; verified pairs land
+    in ``pairs/epoch-K``.  Hyperplanes are seed-fixed, so the union of
+    per-epoch outputs equals the batch LSH answer (a colliding pair is
+    found exactly when its later vector arrives).  No member expansion —
+    every vector is its own entity (exact-copy embeddings simply collide in
+    every band; floods would need the rep treatment of the MinHash ledger)."""
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.stages.similarity import (
+        HyperplaneLSH,
+        embedding_blob_batch,
+        verify_cosine_pairs,
+    )
+
+    for sub in ("bands", "embs", "pairs"):
+        os.makedirs(os.path.join(ledger_dir, sub), exist_ok=True)
+
+    blobs = embs.map_batches(
+        embedding_blob_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    blobs.write_parquet(os.path.join(ledger_dir, "embs", f"epoch-{epoch}"))
+
+    cand = (
+        embs.map_batches(HyperplaneLSH(dim), batch_format="pyarrow")
+        .groupby("sbucket")
+        .map_groups(
+            make_band_ledger_fold(os.path.join(ledger_dir, "bands")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if not len(cand):
+        return
+    involved = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
+
+    def keep_involved(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(np.isin(batch["vec_id"].to_numpy(), involved)))
+
+    emb_map = (
+        ray.data.read_parquet(os.path.join(ledger_dir, "embs"))
+        .map_batches(keep_involved, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .drop_duplicates("vec_id")
+        .set_index("vec_id")["emb"]
+    )
+    joined = pa.table(
+        {
+            "doc_a": pa.array(cand["doc_a"].to_numpy(), pa.int64()),
+            "doc_b": pa.array(cand["doc_b"].to_numpy(), pa.int64()),
+            "emb_a": pa.array([emb_map[d] for d in cand["doc_a"]], pa.binary()),
+            "emb_b": pa.array([emb_map[d] for d in cand["doc_b"]], pa.binary()),
+        }
+    )
+    verified = verify_cosine_pairs(joined, threshold)
+    if len(verified):
+        pq.write_table(
+            verified, os.path.join(ledger_dir, "pairs", f"epoch-{epoch}.parquet")
+        )
+
+
+def q_dedup_embedding_incremental(sf_dir: str) -> Any:
+    """Incremental embedding cosine near-dup: vectors arrive in
+    deterministic epochs (``vec_id % 3``) and each epoch probes the
+    accumulated hyperplane band ledger — never re-banding prior epochs.
+    Union of per-epoch pair sets == the batch answer (same oracle as
+    ``dedup_embedding_cosine``)."""
+    import tempfile
+
+    ledger = tempfile.mkdtemp(prefix="emb_ledger_", dir="/tmp")
+    aug = (
+        _emb(sf_dir)
+        .select_columns(["vec_id", "embedding"])
+        .map_batches(augment_embeddings_batch, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def epoch_filter(ep: int):
+        def keep(batch: pa.Table) -> pa.Table:
+            m = (batch["vec_id"].to_numpy() % 3) == 0
+            return batch.filter(pa.array(m if ep == 2 else ~m))
+
+        return keep
+
+    for ep in (1, 2):
+        ingest_embedding_epoch(
+            aug.map_batches(
+                epoch_filter(ep), batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ledger,
+            epoch=ep,
+            dim=EMB_DIM,
+        )
+    return ray.data.read_parquet(os.path.join(ledger, "pairs"))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1356,6 +1474,16 @@ FROM eaug a JOIN eaug b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 5) >= {COSINE_DUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """,
+    # incremental epochs (vec_id % 3) union to the same pair set: hyperplane
+    # banding is seed-fixed, so the pair appears when its later vector lands
+    "dedup_embedding_incremental": _EAUG_CTE
+    + f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 5) AS sim
+FROM eaug a JOIN eaug b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 5) >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+""",
     "ann_cosine_topk": f"""
 WITH q AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1498,6 +1626,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_incremental": q_dedup_embedding_incremental,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_counts": q_text_token_counts,
