@@ -31,6 +31,7 @@ _RUN_FIRST = (
     "dedup_exact_incremental",
     "dedup_minhash_incremental",
     "dedup_embedding_incremental",
+    "dedup_simhash_incremental",
     "processor_chain_orders",
     "sample_hash_documents",
     "profile_customer",

@@ -861,6 +861,115 @@ def q_dedup_simhash(sf_dir: str) -> Any:
     return _pair_dedupe(survivors)
 
 
+def ingest_simhash_epoch(
+    docs: ray.data.Dataset,
+    ledger_dir: str,
+    epoch: int,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> None:
+    """One incremental SimHash epoch: 16-bit pigeonhole chunk rows of the
+    NEW docs probe the stored chunk ledger (touched buckets only); the
+    signature rides every chunk row, so candidate pairs verify hamming
+    inline — no second ledger.  Pigeonhole banding is deterministic, so the
+    union of per-epoch outputs equals the batch answer."""
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.stages.dedup import (
+        SimHash,
+        hamming_filter,
+        simhash_chunk_rows,
+    )
+
+    chunks_dir = os.path.join(ledger_dir, "chunks")
+    os.makedirs(chunks_dir, exist_ok=True)
+    os.makedirs(os.path.join(ledger_dir, "pairs"), exist_ok=True)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["cbucket"].iloc[0])
+        path = os.path.join(chunks_dir, f"bucket-{b:04d}.parquet")
+        old = (
+            pq.read_table(path).to_pandas()
+            if os.path.exists(path)
+            else pd.DataFrame(
+                {
+                    "chunk_idx": pd.Series(dtype="int32"),
+                    "chunk_val": pd.Series(dtype="uint64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "simhash": pd.Series(dtype="uint64"),
+                }
+            )
+        )
+        new = df[["chunk_idx", "chunk_val", "doc_id", "simhash"]]
+        both = pd.concat([old, new], ignore_index=True)
+        m = new.merge(both, on=["chunk_idx", "chunk_val"], suffixes=("_l", "_r"))
+        m = m[m["doc_id_l"] != m["doc_id_r"]]
+        out = pd.DataFrame(
+            {
+                "doc_a": np.minimum(m["doc_id_l"], m["doc_id_r"]),
+                "doc_b": np.maximum(m["doc_id_l"], m["doc_id_r"]),
+                # hamming is symmetric — pairing order doesn't matter
+                "sig_a": m["simhash_l"].to_numpy(),
+                "sig_b": m["simhash_r"].to_numpy(),
+            }
+        ).drop_duplicates(["doc_a", "doc_b"])
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(both, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return out
+
+    cand = (
+        docs.map_batches(SimHash(), batch_format="pyarrow")
+        .map_batches(simhash_chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cbucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+    )
+    if not len(cand):
+        return
+    survivors = hamming_filter(
+        pa.table(
+            {
+                "doc_a": pa.array(cand["doc_a"].to_numpy(), pa.int64()),
+                "doc_b": pa.array(cand["doc_b"].to_numpy(), pa.int64()),
+                "sig_a": pa.array(cand["sig_a"].to_numpy(), pa.uint64()),
+                "sig_b": pa.array(cand["sig_b"].to_numpy(), pa.uint64()),
+            }
+        ),
+        max_hamming,
+    )
+    if len(survivors):
+        pq.write_table(
+            survivors, os.path.join(ledger_dir, "pairs", f"epoch-{epoch}.parquet")
+        )
+
+
+def q_dedup_simhash_incremental(sf_dir: str) -> Any:
+    """Incremental SimHash near-dup: epochs (``doc_id % 3``) probe the
+    accumulated chunk ledger; union == batch (same oracle)."""
+    import tempfile
+
+    ledger = tempfile.mkdtemp(prefix="simhash_ledger_", dir="/tmp")
+    aug = _aug_docs(sf_dir)
+
+    def epoch_filter(ep: int):
+        def keep(batch: pa.Table) -> pa.Table:
+            m = (batch["doc_id"].to_numpy() % 3) == 0
+            return batch.filter(pa.array(m if ep == 2 else ~m))
+
+        return keep
+
+    for ep in (1, 2):
+        ingest_simhash_epoch(
+            aug.map_batches(
+                epoch_filter(ep), batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ledger,
+            epoch=ep,
+        )
+    return ray.data.read_parquet(os.path.join(ledger, "pairs"))
+
+
 def augment_embeddings_batch(batch: pa.Table) -> pa.Table:
     """Augmented embedding corpus as a stateless batch transform (mirrors
     the SQL ``eaug`` CTE): verbatim copies (vec_id%10==0 -> +1e6) and
@@ -1466,6 +1575,7 @@ FROM e GROUP BY text ORDER BY doc_id
     "dedup_minhash_incremental": _pairs_sql(MINHASH_THRESHOLD),
     "dedup_minhash_lsh_join": _pairs_sql(MINHASH_THRESHOLD),
     "dedup_simhash": _SIMHASH_SQL,
+    "dedup_simhash_incremental": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EAUG_CTE
     + f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1625,6 +1735,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh_join": q_dedup_minhash_lsh,  # alias (join IS the path)
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_incremental": q_dedup_simhash_incremental,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_incremental": q_dedup_embedding_incremental,
         "ann_cosine_topk": q_ann_cosine_topk,
