@@ -372,37 +372,49 @@ def ingest_lsh_epoch(
         rep = rep.where(rep.notna(), new["text_hash"].map(first_new)).astype("int64")
         new = new.assign(rep=rep)
 
-        out_rows = []
-        # exact-dup pairs: every (old member, new) + new-vs-new (n_grams>0)
-        for th, grp in new[new["n_grams"] > 0].groupby("text_hash", sort=False):
-            olds = old.loc[old["text_hash"] == th, "doc_id"].to_numpy()
-            news = grp["doc_id"].to_numpy()
-            ng = int(grp["n_grams"].iloc[0])
-            all_ids = np.concatenate([olds, news])
-            for i, m in enumerate(news):
-                partners = np.concatenate([olds, news[:i]])
-                for p in partners:
-                    a, bb = (p, m) if p < m else (m, p)
-                    out_rows.append(("pair", int(a), int(bb), ng, ng))
-            del all_ids
-        # bookkeeping rows: new clusters (to band) / late joiners (to inherit)
-        for th, grp in new.groupby("text_hash", sort=False):
-            r = int(grp["rep"].iloc[0])
-            if (old["text_hash"] == th).any():
-                for m in grp["doc_id"].to_numpy():
-                    out_rows.append(("joiner", r, int(m), 0, 0))
-            else:
-                out_rows.append(("newrep", r, r, 0, 0))
-                for m in grp["doc_id"].to_numpy():
-                    if m != r:
-                        out_rows.append(("joiner", r, int(m), 0, 0))
+        # exact-dup pairs, vectorized across the whole bucket: self-merge on
+        # text_hash, keep l<r and drop old×old (those were emitted when the
+        # later of the two arrived).  Output-scale by definition.
+        cols = ["text_hash", "doc_id", "n_grams"]
+        alln = pd.concat(
+            [old[cols].assign(is_new=False), new[cols].assign(is_new=True)],
+            ignore_index=True,
+        )
+        alln = alln[alln["n_grams"] > 0]
+        mm = alln.merge(alln, on="text_hash", suffixes=("_l", "_r"))
+        mm = mm[(mm["doc_id_l"] < mm["doc_id_r"]) & (mm["is_new_l"] | mm["is_new_r"])]
+        pair_rows = pd.DataFrame(
+            {
+                "kind": "pair",
+                "a": mm["doc_id_l"].to_numpy(),
+                "b": mm["doc_id_r"].to_numpy(),
+                "common": mm["n_grams_l"].to_numpy(),
+                "union_n": mm["n_grams_l"].to_numpy(),
+            }
+        )
+        # bookkeeping, vectorized: a joiner is any new doc that is not its
+        # own rep; a new cluster is one whose rep is a new doc
+        join_sub = new[new["doc_id"] != new["rep"]]
+        joiner_rows = pd.DataFrame(
+            {
+                "kind": "joiner",
+                "a": join_sub["rep"].to_numpy(),
+                "b": join_sub["doc_id"].to_numpy(),
+                "common": 0,
+                "union_n": 0,
+            }
+        )
+        nr = first_new[~first_new.index.isin(old_rep.index)].to_numpy()
+        newrep_rows = pd.DataFrame(
+            {"kind": "newrep", "a": nr, "b": nr, "common": 0, "union_n": 0}
+        )
 
         merged = pd.concat([old, new], ignore_index=True)
         tmp = f"{path}.tmp-{os.getpid()}"
         pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
         os.replace(tmp, path)
-        return pd.DataFrame(
-            out_rows, columns=["kind", "a", "b", "common", "union_n"]
+        return pd.concat(
+            [pair_rows, joiner_rows, newrep_rows], ignore_index=True
         ).astype({"a": "int64", "b": "int64", "common": "int64", "union_n": "int64"})
 
     def add_hbucket(batch: pa.Table) -> pa.Table:
