@@ -423,14 +423,40 @@ def ingest_lsh_epoch(
             "hbucket", pa.array((h.view(np.uint64) % np.uint64(256)).astype(np.int32))
         )
 
-    events = (
+    ev_ds = (
         prof.select_columns(["text_hash", "doc_id", "n_grams"])
         .map_batches(add_hbucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("hbucket")
         .map_groups(members_fold, batch_format="pandas")
-        .to_pandas()  # epoch-scale bookkeeping + pair rows
+        .materialize()
     )
-    exact_pairs = events[events["kind"] == "pair"][["a", "b", "common", "union_n"]]
+    # exact pairs are OUTPUT-scale (quadratic in copy multiplicity): they go
+    # to the pairs ledger DISTRIBUTED (one consolidated write), never through
+    # the driver; only the epoch-scale bookkeeping rows are collected
+
+    def pair_slice(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], "pair"))
+        return pa.table(
+            {
+                "doc_a": t["a"],
+                "doc_b": t["b"],
+                "common": t["common"],
+                "union_n": t["union_n"],
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    ev_ds.map_batches(
+        pair_slice, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(os.path.join(ledger_dir, "pairs", f"epoch-{epoch}-members"))
+    events = (
+        ev_ds.map_batches(
+            lambda b: b.filter(pc.not_equal(b["kind"], "pair")),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()  # epoch-scale bookkeeping only
+    )
     new_reps = set(events.loc[events["kind"] == "newrep", "a"].astype(int))
     joiners = events[events["kind"] == "joiner"][["a", "b"]].astype(int)
 
@@ -472,7 +498,9 @@ def ingest_lsh_epoch(
             )
 
         shing = (
-            ray.data.read_parquet(os.path.join(ledger_dir, "profiles"))
+            ray.data.read_parquet(
+                os.path.join(ledger_dir, "profiles"), override_num_blocks=8
+            )
             .map_batches(keep_involved, batch_format="pyarrow", zero_copy_batch=True)
             .to_pandas()
             .drop_duplicates("doc_id")
@@ -499,14 +527,14 @@ def ingest_lsh_epoch(
 
     # ---- expansion (candidate-scale): members of each verified rep pair,
     # plus late joiners inheriting their rep's stored pairs ---------------
-    out_pairs = [exact_pairs.rename(columns={"a": "doc_a", "b": "doc_b"})]
+    out_pairs: list[pd.DataFrame] = []
 
     def members_of(reps: np.ndarray) -> pd.DataFrame:
         def keep(batch: pa.Table) -> pa.Table:
             return batch.filter(pa.array(np.isin(batch["rep"].to_numpy(), reps)))
 
         return (
-            ray.data.read_parquet(members_dir)
+            ray.data.read_parquet(members_dir, override_num_blocks=8)
             .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
             .to_pandas()[["rep", "doc_id"]]
         )
@@ -544,7 +572,7 @@ def ingest_lsh_epoch(
                 return batch.filter(pa.array(m))
 
             stored = (
-                ray.data.read_parquet(reppairs_root)
+                ray.data.read_parquet(reppairs_root, override_num_blocks=4)
                 .map_batches(keep_rep_pairs, batch_format="pyarrow", zero_copy_batch=True)
                 .to_pandas()
             )
@@ -575,6 +603,8 @@ def ingest_lsh_epoch(
                     )
                 )
 
+    if not out_pairs:
+        return
     new_pairs = (
         pd.concat(out_pairs, ignore_index=True)
         .drop_duplicates(["doc_a", "doc_b"])
@@ -615,7 +645,7 @@ def q_dedup_minhash_incremental(sf_dir: str) -> Any:
             ledger,
             epoch=ep,
         )
-    return ray.data.read_parquet(os.path.join(ledger, "pairs"))
+    return ray.data.read_parquet(os.path.join(ledger, "pairs"), override_num_blocks=8)
 
 
 def q_dedup_exact_incremental(sf_dir: str) -> Any:
@@ -979,7 +1009,7 @@ def q_dedup_simhash_incremental(sf_dir: str) -> Any:
             ledger,
             epoch=ep,
         )
-    return ray.data.read_parquet(os.path.join(ledger, "pairs"))
+    return ray.data.read_parquet(os.path.join(ledger, "pairs"), override_num_blocks=8)
 
 
 def augment_embeddings_batch(batch: pa.Table) -> pa.Table:
@@ -1098,7 +1128,9 @@ def ingest_embedding_epoch(
         return batch.filter(pa.array(np.isin(batch["vec_id"].to_numpy(), involved)))
 
     emb_map = (
-        ray.data.read_parquet(os.path.join(ledger_dir, "embs"))
+        ray.data.read_parquet(
+            os.path.join(ledger_dir, "embs"), override_num_blocks=8
+        )
         .map_batches(keep_involved, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
         .drop_duplicates("vec_id")
@@ -1150,7 +1182,7 @@ def q_dedup_embedding_incremental(sf_dir: str) -> Any:
             epoch=ep,
             dim=EMB_DIM,
         )
-    return ray.data.read_parquet(os.path.join(ledger, "pairs"))
+    return ray.data.read_parquet(os.path.join(ledger, "pairs"), override_num_blocks=8)
 
 
 # ---------------------------------------------------------------------------
