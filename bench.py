@@ -97,6 +97,7 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "dedup_exact",
         "dedup_exact_incremental",
         "dedup_minhash_lsh",
+        "dedup_minhash_incremental",
         "dedup_simhash",
         "ann_cosine_topk",
         "text_quality_scores",

@@ -334,3 +334,68 @@ def test_lsh_ledger_three_epochs_cross_joiners(ray_session, tmp_path):
         (2, 4): (8, 8),
         (3, 4): (8, 10),  # joiner x joiner across the two clusters
     }
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(data=st.data())
+def test_lsh_ledger_union_equals_batch_on_random_splits(
+    ray_session, tmp_path_factory, data
+):
+    """The incremental LSH union-determinism argument, randomized: for an
+    ARBITRARY corpus (exact copies, truncated near-dups, distinct texts)
+    split into ARBITRARY ordered epochs, the union of per-epoch ledger
+    outputs equals the single-shot ledger run over everything."""
+    import ray.data
+
+    from tapdata_connectors_ray.pipelines.training import ingest_lsh_epoch
+
+    base_words = [f"w{i}" for i in range(14)]
+    texts = []
+    n_base = data.draw(st.integers(1, 4))
+    for i in range(n_base):
+        words = [f"{w}x{i}" for w in base_words]
+        texts.append(" ".join(words))           # base text
+        texts.append(" ".join(words[:12]))      # near-dup (12/10 grams)
+    docs = []
+    n = data.draw(st.integers(2, 12))
+    for d in range(n):
+        docs.append((d, data.draw(st.sampled_from(texts))))
+
+    def ds(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    n_epochs = data.draw(st.integers(1, 3))
+    assignment = [data.draw(st.integers(0, n_epochs - 1)) for _ in range(n)]
+
+    def run(split: bool) -> set:
+        ledger = str(tmp_path_factory.mktemp("lsh_prop") / "ledger")
+        if split:
+            for ep in range(n_epochs):
+                sub = [r for r, a in zip(docs, assignment) if a == ep]
+                if sub:
+                    ingest_lsh_epoch(ds(sub), ledger, epoch=ep)
+        else:
+            ingest_lsh_epoch(ds(docs), ledger, epoch=0)
+        import os
+
+        pairs_dir = os.path.join(ledger, "pairs")
+        if not any(os.scandir(pairs_dir)):
+            return set()
+        got = ray.data.read_parquet(pairs_dir).to_pandas()
+        return {
+            (int(a), int(b), int(c), int(u))
+            for a, b, c, u in zip(got.doc_a, got.doc_b, got.common, got.union_n)
+        }
+
+    assert run(split=True) == run(split=False)
