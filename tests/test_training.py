@@ -399,3 +399,59 @@ def test_lsh_ledger_union_equals_batch_on_random_splits(
         }
 
     assert run(split=True) == run(split=False)
+
+
+def test_embedding_and_simhash_ledgers_two_epochs(ray_session, tmp_path):
+    """Cross-epoch pair discovery for the embedding and SimHash ledgers: a
+    second-epoch vector/doc must pair with first-epoch entries via the
+    stored band/chunk buckets only."""
+    import ray.data
+
+    from tapdata_connectors_ray.pipelines.training import (
+        ingest_embedding_epoch,
+        ingest_simhash_epoch,
+    )
+
+    # embeddings: v2 == v1 (exact copy), v3 orthogonal
+    dim = 16
+    base = np.zeros(dim); base[0] = 1.0
+    orth = np.zeros(dim); orth[1] = 1.0
+
+    def eds(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1].astype(np.float32) for r in rows],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        )
+
+    led = str(tmp_path / "emb")
+    ingest_embedding_epoch(eds([(1, base), (3, orth)]), led, epoch=0, dim=dim)
+    ingest_embedding_epoch(eds([(2, base)]), led, epoch=1, dim=dim)
+    got = ray.data.read_parquet(f"{led}/pairs").to_pandas()
+    assert set(zip(got.vec_a, got.vec_b)) == {(1, 2)}
+    assert float(got.sim.iloc[0]) == 1.0
+
+    # simhash: identical texts across epochs -> hamming 0 pair
+    def dds(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    words = " ".join(f"tok{i}" for i in range(30))
+    led2 = str(tmp_path / "sh")
+    ingest_simhash_epoch(dds([(1, words)]), led2, epoch=0)
+    ingest_simhash_epoch(dds([(2, words)]), led2, epoch=1)
+    got2 = ray.data.read_parquet(f"{led2}/pairs").to_pandas()
+    assert set(zip(got2.doc_a, got2.doc_b)) == {(1, 2)}
+    assert int(got2.hamming.iloc[0]) == 0
