@@ -126,11 +126,13 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _headline_subprocess(num_cpus: int, sf_label: str) -> dict:
+def _headline_subprocess(num_cpus: int, sf_label: str, runs: str | None = None) -> dict:
     """Fresh-process headline run (clean ray session at the given CPU count)."""
     env = dict(os.environ)
     env["RAY_GRAFT_CPUS"] = str(num_cpus)
     env["GRAFT_SF_DIR"] = f"/root/testdata/{sf_label}"
+    if runs is not None:
+        env["BENCH_RUNS"] = runs
     env.setdefault("BENCH_RUNS", "3")
     cmd = [sys.executable, os.path.abspath(__file__), "--headline-only"]
     # pin the whole Ray process tree to exactly num_cpus cores so the low-N
@@ -167,20 +169,21 @@ def run_scaling(sf_label: str) -> dict:
     # and fabricate an arbitrary ratio; interleaving means a burst costs one
     # leg INSTANCE while its sibling instances survive.  Rounds × inner
     # BENCH_RUNS = total reps per leg.
-    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+    rounds = max(1, int(os.environ.get("BENCH_SCALING_ROUNDS", "2")))
     # repetition comes from the interleaved rounds; default each subprocess
     # to a single inner run so total wall-time stays ~what two plain legs
-    # cost (override with BENCH_RUNS)
-    os.environ.setdefault("BENCH_RUNS", "1")
+    # cost (override with BENCH_RUNS) — per-subprocess env only, the parent
+    # process env is left alone
+    inner_runs = os.environ.get("BENCH_RUNS", "1")
     r_lo: dict = {}
     r_hi: dict = {}
     for i in range(rounds):
-        cur_lo = _headline_subprocess(lo, sf_label)
+        cur_lo = _headline_subprocess(lo, sf_label, runs=inner_runs)
         # partial progress on stderr: a killed run still yields prior legs
         print(f"[scaling] lo leg {i}: {cur_lo}", file=sys.stderr, flush=True)
         if not r_lo or cur_lo["sec"] < r_lo["sec"]:
             r_lo = cur_lo
-        cur_hi = _headline_subprocess(hi, sf_label)
+        cur_hi = _headline_subprocess(hi, sf_label, runs=inner_runs)
         print(f"[scaling] hi leg {i}: {cur_hi}", file=sys.stderr, flush=True)
         if not r_hi or cur_hi["sec"] < r_hi["sec"]:
             r_hi = cur_hi

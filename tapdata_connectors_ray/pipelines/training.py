@@ -194,7 +194,9 @@ def q_dedup_exact(sf_dir: str) -> Any:
 _LEDGER_BUCKETS = 64
 
 
-def ingest_dedup_epoch(docs: ray.data.Dataset, ledger_dir: str) -> None:
+def ingest_dedup_epoch(
+    docs: ray.data.Dataset, ledger_dir: str, epoch: int | None = None
+) -> None:
     """One incremental-dedup epoch: fold the incoming docs into a
     bucket-partitioned content-hash ledger, FIRST-SEEN-WINS.
 
@@ -202,14 +204,17 @@ def ingest_dedup_epoch(docs: ray.data.Dataset, ledger_dir: str) -> None:
     by ``text_hash % _LEDGER_BUCKETS``.  The epoch shuffles ONLY its own
     (hash, doc_id) partials — narrow, epoch-sized; each touched bucket's
     task then reads that one ledger file, merges (existing winner kept,
-    counts accumulated) and rewrites it atomically (tmp + rename,
-    idempotent on retry).  Buckets the epoch doesn't touch are never read —
-    dedup of a daily increment costs O(increment + touched buckets), not a
-    corpus re-scan.  Same 64-bit-hash grouping assumption as
-    ``q_dedup_exact``.  Each epoch must be applied exactly once — counts
-    accumulate, so redelivery needs the manifest/epoch fencing machinery
-    (``pipelines/incremental.py``) around this fold, exactly as lake writes
-    do."""
+    counts accumulated) and rewrites it atomically (tmp + rename protects
+    the crash-before-rename case).  Buckets the epoch doesn't touch are
+    never read — dedup of a daily increment costs O(increment + touched
+    buckets), not a corpus re-scan.  Same 64-bit-hash grouping assumption
+    as ``q_dedup_exact``.
+
+    Re-execution safety: pass ``epoch`` and each bucket file is stamped
+    with the last epoch applied — a Ray task re-run (lost output block,
+    worker death after the rename) sees its own stamp and skips the
+    re-merge, so counts never double-apply.  Without an epoch id, apply
+    each increment exactly once (manifest fencing, as lake writes do)."""
     import pyarrow.parquet as pq
 
     from tapdata_connectors_ray.stages.dedup import add_text_hash
@@ -225,17 +230,25 @@ def ingest_dedup_epoch(docs: ray.data.Dataset, ledger_dir: str) -> None:
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         b = int(df["hbucket"].iloc[0])
-        g = df.groupby("text_hash", sort=False)["doc_id"]
+        agg = df.groupby("text_hash", sort=False)["doc_id"].agg(["min", "size"])
         inc = pd.DataFrame(
             {
-                "text_hash": g.min().index.to_numpy(),
-                "doc_id": g.min().to_numpy(),
-                "n_copies": g.size().to_numpy(),
+                "text_hash": agg.index.to_numpy(),
+                "doc_id": agg["min"].to_numpy(),
+                "n_copies": agg["size"].to_numpy(),
             }
         )
         path = os.path.join(ledger_dir, f"bucket-{b:04d}.parquet")
         if os.path.exists(path):
-            old = pq.read_table(path).to_pandas()
+            old_t = pq.read_table(path)
+            meta = old_t.schema.metadata or {}
+            if (
+                epoch is not None
+                and meta.get(b"last_epoch") == str(epoch).encode()
+            ):
+                # task re-execution: this bucket already absorbed this epoch
+                return pd.DataFrame({"bucket": [b], "ledger_rows": [len(old_t)]})
+            old = old_t.to_pandas()
             m = old.merge(inc, on="text_hash", how="outer", suffixes=("_o", "_n"))
             winner = m["doc_id_o"].where(m["doc_id_o"].notna(), m["doc_id_n"])
             out = pd.DataFrame(
@@ -250,7 +263,10 @@ def ingest_dedup_epoch(docs: ray.data.Dataset, ledger_dir: str) -> None:
         else:
             out = inc
         tmp = f"{path}.tmp-{os.getpid()}"
-        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        out_t = pa.Table.from_pandas(out, preserve_index=False)
+        if epoch is not None:
+            out_t = out_t.replace_schema_metadata({"last_epoch": str(epoch)})
+        pq.write_table(out_t, tmp)
         os.replace(tmp, path)
         return pd.DataFrame({"bucket": [b], "ledger_rows": [len(out)]})
 
@@ -262,6 +278,32 @@ def ingest_dedup_epoch(docs: ray.data.Dataset, ledger_dir: str) -> None:
         .map_groups(fold, batch_format="pandas")
         .materialize()  # drive the epoch; output is bucket-count summaries
     )
+
+
+def _epoch_keep(id_col: str, ep: int):
+    """Deterministic 2-epoch arrival split (``id % 3 == 0`` -> epoch 2) —
+    ONE definition shared by every incremental query so the Ray split can
+    never silently diverge from the oracle's ``CASE WHEN id %% 3`` twin."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = (batch[id_col].to_numpy() % 3) == 0
+        return batch.filter(pa.array(m if ep == 2 else ~m))
+
+    return keep
+
+
+def _inc_ledger_dir(sf_dir: str, name: str) -> str:
+    """Deterministic per-(tier, op) ledger root under the fixture cache,
+    WIPED and rebuilt each run — repeated panel/driver runs replace their
+    ledger instead of accumulating corpus-scale blobs in fresh tempdirs."""
+    import shutil
+
+    d = os.path.join(
+        "/tmp/tcr_fixtures", sf_label_from_dir(sf_dir), f"inc_{name}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def make_band_ledger_fold(bands_dir: str):
@@ -330,7 +372,9 @@ def ingest_lsh_epoch(
     CANDIDATE-scale and run on collected frames (the same discrepancy-scale
     argument as the diff family's phase 2).  Banding cost still scales with
     distinct NEW texts only.  Like the exact ledger, epochs must be applied
-    exactly once (wrap with the manifest fencing for redelivery)."""
+    exactly once: a re-executed fold task double-appends its rows (tmp +
+    rename only covers crash-before-rename), so production wraps each epoch
+    in the manifest fencing, as lake writes do."""
     import pyarrow.parquet as pq
 
     from tapdata_connectors_ray.stages.dedup import (
@@ -625,22 +669,13 @@ def q_dedup_minhash_incremental(sf_dir: str) -> Any:
     sets must equal the batch LSH answer (banding is per-signature
     deterministic, so a colliding pair is found exactly when its later doc
     arrives) — same oracle as ``dedup_minhash_lsh``."""
-    import tempfile
-
-    ledger = tempfile.mkdtemp(prefix="lsh_ledger_", dir="/tmp")
+    ledger = _inc_ledger_dir(sf_dir, "lsh")
     aug = _aug_docs(sf_dir)
-
-    def epoch_filter(ep: int):
-        def keep(batch: pa.Table) -> pa.Table:
-            m = (batch["doc_id"].to_numpy() % 3) == 0
-            return batch.filter(pa.array(m if ep == 2 else ~m))
-
-        return keep
 
     for ep in (1, 2):
         ingest_lsh_epoch(
             aug.map_batches(
-                epoch_filter(ep), batch_format="pyarrow", zero_copy_batch=True
+                _epoch_keep("doc_id", ep), batch_format="pyarrow", zero_copy_batch=True
             ),
             ledger,
             epoch=ep,
@@ -655,24 +690,16 @@ def q_dedup_exact_incremental(sf_dir: str) -> Any:
     Epoch split is deterministic (``doc_id % 3``) so the DuckDB twin can
     replay the same arrival order.  Final answer: one (winner doc_id,
     n_copies) row per distinct content."""
-    import tempfile
-
-    ledger = tempfile.mkdtemp(prefix="dedup_ledger_", dir="/tmp")
+    ledger = _inc_ledger_dir(sf_dir, "dedup_exact")
     aug = _aug_docs(sf_dir)
-
-    def epoch_filter(ep: int):
-        def keep(batch: pa.Table) -> pa.Table:
-            m = (batch["doc_id"].to_numpy() % 3) == 0
-            return batch.filter(pa.array(m if ep == 2 else ~m))
-
-        return keep
 
     for ep in (1, 2):
         ingest_dedup_epoch(
             aug.map_batches(
-                epoch_filter(ep), batch_format="pyarrow", zero_copy_batch=True
+                _epoch_keep("doc_id", ep), batch_format="pyarrow", zero_copy_batch=True
             ),
             ledger,
+            epoch=ep,
         )
     return ray.data.read_parquet(ledger).select_columns(["doc_id", "n_copies"])
 
@@ -989,22 +1016,13 @@ def ingest_simhash_epoch(
 def q_dedup_simhash_incremental(sf_dir: str) -> Any:
     """Incremental SimHash near-dup: epochs (``doc_id % 3``) probe the
     accumulated chunk ledger; union == batch (same oracle)."""
-    import tempfile
-
-    ledger = tempfile.mkdtemp(prefix="simhash_ledger_", dir="/tmp")
+    ledger = _inc_ledger_dir(sf_dir, "simhash")
     aug = _aug_docs(sf_dir)
-
-    def epoch_filter(ep: int):
-        def keep(batch: pa.Table) -> pa.Table:
-            m = (batch["doc_id"].to_numpy() % 3) == 0
-            return batch.filter(pa.array(m if ep == 2 else ~m))
-
-        return keep
 
     for ep in (1, 2):
         ingest_simhash_epoch(
             aug.map_batches(
-                epoch_filter(ep), batch_format="pyarrow", zero_copy_batch=True
+                _epoch_keep("doc_id", ep), batch_format="pyarrow", zero_copy_batch=True
             ),
             ledger,
             epoch=ep,
@@ -1157,26 +1175,17 @@ def q_dedup_embedding_incremental(sf_dir: str) -> Any:
     accumulated hyperplane band ledger — never re-banding prior epochs.
     Union of per-epoch pair sets == the batch answer (same oracle as
     ``dedup_embedding_cosine``)."""
-    import tempfile
-
-    ledger = tempfile.mkdtemp(prefix="emb_ledger_", dir="/tmp")
+    ledger = _inc_ledger_dir(sf_dir, "emb")
     aug = (
         _emb(sf_dir)
         .select_columns(["vec_id", "embedding"])
         .map_batches(augment_embeddings_batch, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def epoch_filter(ep: int):
-        def keep(batch: pa.Table) -> pa.Table:
-            m = (batch["vec_id"].to_numpy() % 3) == 0
-            return batch.filter(pa.array(m if ep == 2 else ~m))
-
-        return keep
-
     for ep in (1, 2):
         ingest_embedding_epoch(
             aug.map_batches(
-                epoch_filter(ep), batch_format="pyarrow", zero_copy_batch=True
+                _epoch_keep("vec_id", ep), batch_format="pyarrow", zero_copy_batch=True
             ),
             ledger,
             epoch=ep,

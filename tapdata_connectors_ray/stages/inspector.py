@@ -88,6 +88,21 @@ def _broadcast_semi(flag_ref, keys: list[str], extra_cols: list[str] | None = No
     return semi
 
 
+def _arrow_schema_of(ds: ray.data.Dataset) -> pa.Schema | None:
+    """Arrow schema of a dataset; for non-Arrow-backed datasets (pandas
+    blocks) probe ONE row so downstream empty blocks / D-event payloads get
+    real column types instead of a string guess.  None only if even the
+    probe cannot produce a typed batch (empty pandas-backed input)."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    try:
+        probe = ds.limit(1).take_batch(batch_format="pyarrow")
+        return probe.schema
+    except Exception:
+        return None
+
+
 def _tagger(side: str, keys: list[str], num_buckets: int, columns: list[str]):
     def tag(batch: pa.Table) -> pa.Table:
         batch = batch.select(columns)
@@ -224,15 +239,13 @@ def diff_to_events(
             .map_groups(make_diff_events_fold(keys, payload_cols), batch_format="pandas")
         )
 
-    base = left.schema().base_schema
+    base = _arrow_schema_of(left)
     key_schema = (
-        pa.schema([base.field(k) for k in keys])
-        if isinstance(base, pa.Schema)
-        else None
+        pa.schema([base.field(k) for k in keys]) if base is not None else None
     )
     payload_types = (
         {c: base.field(c).type for c in payload_cols}
-        if isinstance(base, pa.Schema)
+        if base is not None
         else {c: pa.string() for c in payload_cols}
     )
     out_cols = [*keys, "op", *payload_cols]
@@ -337,8 +350,13 @@ def apply_change_events(
                 zero_copy_batch=True,
             )
         if n_ev <= BROADCAST_FLAG_CAP:
-            return _apply_events_broadcast(base, ev_m, keys, out_schema)
-        events = ev_m  # fall through: too many events to broadcast
+            # the broadcast path assumes ONE event per key (true for a
+            # captured diff); a raw CDC stream with per-key history must
+            # take the LWW shuffle fold instead — verify, don't trust
+            kdf = _small_arrow_table(ev_m.select_columns(keys)).to_pandas()
+            if not kdf.duplicated(keys).any():
+                return _apply_events_broadcast(base, ev_m, keys, out_schema)
+        events = ev_m  # fall through: oversized or non-unique event set
 
     from tapdata_connectors_ray.stages.merge import _to_table
 
@@ -523,11 +541,9 @@ def dataset_diff(
     if mode == "full":
         return _diff_full(left, right, keys, compare_cols, num_buckets)
 
-    base = left.schema().base_schema
+    base = _arrow_schema_of(left)
     key_schema = (
-        pa.schema([base.field(k) for k in keys])
-        if isinstance(base, pa.Schema)
-        else None
+        pa.schema([base.field(k) for k in keys]) if base is not None else None
     )
     l1 = left.map_batches(
         _hash_tagger("L", keys, compare_cols, num_buckets),
