@@ -280,6 +280,39 @@ def ingest_dedup_epoch(
     )
 
 
+_PROFILE_PBUCKETS = 64
+
+
+def _add_pbucket(id_col: str):
+    """Hive-partition column for the blob ledgers (``id %% 64``): candidate
+    verification then reads ONLY the partitions containing involved ids —
+    the read cost tracks the candidate set, not the accumulated corpus."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        b = (batch[id_col].to_numpy() % _PROFILE_PBUCKETS).astype(np.int32)
+        return batch.append_column("pbucket", pa.array(b))
+
+    return f
+
+
+def _pruned_blob_read(root: str, id_col: str, involved: np.ndarray) -> ray.data.Dataset:
+    """Partition-pruned read of a blob ledger: only the ``pbucket=N`` hive
+    directories containing involved ids are opened (explicit path pruning —
+    every other partition's blobs never leave disk)."""
+    buckets = {int(b) for b in np.unique(involved % _PROFILE_PBUCKETS)}
+    paths = []
+    for epoch_entry in os.scandir(root):
+        if not epoch_entry.is_dir():
+            continue
+        for b in buckets:
+            p = os.path.join(epoch_entry.path, f"pbucket={b}")
+            if os.path.isdir(p):
+                paths.extend(
+                    f.path for f in os.scandir(p) if f.name.endswith(".parquet")
+                )
+    return ray.data.read_parquet(paths, override_num_blocks=8)
+
+
 def _epoch_keep(id_col: str, ep: int):
     """Deterministic 2-epoch arrival split (``id % 3 == 0`` -> epoch 2) —
     ONE definition shared by every incremental query so the Ray split can
@@ -389,8 +422,11 @@ def ingest_lsh_epoch(
     prof = docs.map_batches(
         doc_profile_batch(ngram), batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    prof.select_columns(["doc_id", "shingles"]).write_parquet(
-        os.path.join(ledger_dir, "profiles", f"epoch-{epoch}")
+    prof.select_columns(["doc_id", "shingles"]).map_batches(
+        _add_pbucket("doc_id"), batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(
+        os.path.join(ledger_dir, "profiles", f"epoch-{epoch}"),
+        partition_cols=["pbucket"],
     )
 
     # ---- members fold: exact pairs + rep bookkeeping (distributed) ------
@@ -542,9 +578,7 @@ def ingest_lsh_epoch(
             )
 
         shing = (
-            ray.data.read_parquet(
-                os.path.join(ledger_dir, "profiles"), override_num_blocks=8
-            )
+            _pruned_blob_read(os.path.join(ledger_dir, "profiles"), "doc_id", involved)
             .map_batches(keep_involved, batch_format="pyarrow", zero_copy_batch=True)
             .to_pandas()
             .drop_duplicates("doc_id")
@@ -578,7 +612,9 @@ def ingest_lsh_epoch(
             return batch.filter(pa.array(np.isin(batch["rep"].to_numpy(), reps)))
 
         return (
-            ray.data.read_parquet(members_dir, override_num_blocks=8)
+            ray.data.read_parquet(
+                members_dir, columns=["rep", "doc_id"], override_num_blocks=8
+            )
             .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
             .to_pandas()[["rep", "doc_id"]]
         )
@@ -1126,7 +1162,12 @@ def ingest_embedding_epoch(
     blobs = embs.map_batches(
         embedding_blob_batch, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    blobs.write_parquet(os.path.join(ledger_dir, "embs", f"epoch-{epoch}"))
+    blobs.map_batches(
+        _add_pbucket("vec_id"), batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(
+        os.path.join(ledger_dir, "embs", f"epoch-{epoch}"),
+        partition_cols=["pbucket"],
+    )
 
     cand = (
         embs.map_batches(HyperplaneLSH(dim), batch_format="pyarrow")
@@ -1146,9 +1187,7 @@ def ingest_embedding_epoch(
         return batch.filter(pa.array(np.isin(batch["vec_id"].to_numpy(), involved)))
 
     emb_map = (
-        ray.data.read_parquet(
-            os.path.join(ledger_dir, "embs"), override_num_blocks=8
-        )
+        _pruned_blob_read(os.path.join(ledger_dir, "embs"), "vec_id", involved)
         .map_batches(keep_involved, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
         .drop_duplicates("vec_id")
