@@ -819,11 +819,27 @@ class CheckpointedIngest:
 
         Scale note: the log is still SCANNED once (hash partitioning can't
         be pruned at the parquet read); what's avoided is the rewrite —
-        one partition's merge + file, not P of them."""
+        one partition's merge + file, not P of them.
+
+        Time travel: the drop lands as its OWN epoch (never rewriting an
+        already-committed history manifest), and — like ``compact`` — the
+        dropped files are GC'd after the commit, so ``dataset_at`` for
+        epochs that referenced the reset partition's old files will fail on
+        the missing files.  A resync is a declaration that the partition's
+        history was wrong; keeping it readable would defeat the point."""
         st = self.manifest.partitions.pop(pid, None)
         if st is not None:
-            commit_manifest(self.lake_dir, self.manifest)
-            for f in st.files:
+            drop = Manifest(
+                num_partitions=self.manifest.num_partitions,
+                epoch=self.manifest.epoch + 1,
+                schema_version=self.manifest.schema_version,
+                ddl_history=list(self.manifest.ddl_history),
+                table_spec=self.manifest.table_spec,
+                partitions=dict(self.manifest.partitions),
+            )
+            commit_manifest(self.lake_dir, drop, expected_epoch=drop.epoch - 1)
+            self.manifest = drop
+            for f in st.files:  # invisible after the swap; best-effort GC
                 try:
                     os.remove(f)
                 except OSError:

@@ -326,33 +326,66 @@ def _epoch_keep(id_col: str, ep: int):
 
 
 def _inc_ledger_dir(sf_dir: str, name: str) -> str:
-    """Deterministic per-(tier, op) ledger root under the fixture cache,
-    WIPED and rebuilt each run — repeated panel/driver runs replace their
-    ledger instead of accumulating corpus-scale blobs in fresh tempdirs."""
+    """Per-RUN ledger root under the per-(tier, op) fixture-cache directory.
+
+    The run directory is keyed by pid so two concurrent runs at the same
+    tier (driver sweep + bench panel — the documented co-tenant workflow)
+    never rmtree each other's live ledger between epochs; a rerun by the
+    same pid replaces its own.  Sibling run dirs whose owning pid is gone
+    are swept on entry, so the cache never accumulates corpus-scale blobs
+    from crashed runs."""
     import shutil
 
-    d = os.path.join(
+    root = os.path.join(
         "/tmp/tcr_fixtures", sf_label_from_dir(sf_dir), f"inc_{name}"
     )
+    os.makedirs(root, exist_ok=True)
+    for entry in os.scandir(root):
+        if not (entry.is_dir() and entry.name.startswith("run-")):
+            continue
+        try:
+            pid = int(entry.name[4:])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if the owner is dead
+        except ProcessLookupError:
+            shutil.rmtree(entry.path, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+    d = os.path.join(root, f"run-{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
 
 
-def make_band_ledger_fold(bands_dir: str):
+def make_band_ledger_fold(bands_dir: str, epoch: int):
     """Per-sbucket band-LEDGER fold shared by the incremental near-dup
     pipelines (MinHash and hyperplane banding emit the same row layout):
     candidate pairs = NEW band rows x (stored + new) on the exact
     (band, bucket) key; the bucket file is then rewritten atomically with
-    the new rows appended.  Only buckets the epoch touches are ever read."""
+    the new rows appended.  Only buckets the epoch touches are ever read.
+
+    Re-execution safety (same guard as ``ingest_dedup_epoch``): the bucket
+    file is stamped with the last epoch folded.  A retried task (lost
+    output block, worker death after the rename) sees its own stamp, skips
+    the append — the on-disk table ALREADY equals old+new — and recomputes
+    the identical candidate output from it, so the ledger never
+    double-appends and the retry still reproduces its block."""
     import pyarrow.parquet as pq
 
     def bands_fold(df: pd.DataFrame) -> pd.DataFrame:
         sb = int(df["sbucket"].iloc[0])
         path = os.path.join(bands_dir, f"bucket-{sb:04d}.parquet")
+        old_t = pq.read_table(path) if os.path.exists(path) else None
+        stamped = old_t is not None and (
+            (old_t.schema.metadata or {}).get(b"last_epoch") == str(epoch).encode()
+        )
         old = (
-            pq.read_table(path).to_pandas()
-            if os.path.exists(path)
+            old_t.to_pandas()
+            if old_t is not None
             else pd.DataFrame(
                 {
                     "band": pd.Series(dtype="int32"),
@@ -362,15 +395,19 @@ def make_band_ledger_fold(bands_dir: str):
             )
         )
         new = df[["band", "bucket", "doc_id"]]
-        both = pd.concat([old, new], ignore_index=True)
+        both = old if stamped else pd.concat([old, new], ignore_index=True)
         m = new.merge(both, on=["band", "bucket"], suffixes=("_l", "_r"))
         m = m[m["doc_id_l"] != m["doc_id_r"]]
         a = np.minimum(m["doc_id_l"], m["doc_id_r"])
         bb = np.maximum(m["doc_id_l"], m["doc_id_r"])
         out = pd.DataFrame({"doc_a": a, "doc_b": bb}).drop_duplicates()
-        tmp = f"{path}.tmp-{os.getpid()}"
-        pq.write_table(pa.Table.from_pandas(both, preserve_index=False), tmp)
-        os.replace(tmp, path)
+        if not stamped:
+            tmp = f"{path}.tmp-{os.getpid()}"
+            out_t = pa.Table.from_pandas(both, preserve_index=False)
+            pq.write_table(
+                out_t.replace_schema_metadata({"last_epoch": str(epoch)}), tmp
+            )
+            os.replace(tmp, path)
         return out
 
     return bands_fold
@@ -435,9 +472,13 @@ def ingest_lsh_epoch(
     def members_fold(df: pd.DataFrame) -> pd.DataFrame:
         b = int(df["hbucket"].iloc[0])
         path = os.path.join(members_dir, f"bucket-{b:04d}.parquet")
+        old_t = pq.read_table(path) if os.path.exists(path) else None
+        stamped = old_t is not None and (
+            (old_t.schema.metadata or {}).get(b"last_epoch") == str(epoch).encode()
+        )
         old = (
-            pq.read_table(path).to_pandas()
-            if os.path.exists(path)
+            old_t.to_pandas()
+            if old_t is not None
             else pd.DataFrame(
                 {
                     c: pd.Series(dtype="int64")
@@ -446,6 +487,11 @@ def ingest_lsh_epoch(
             )
         )
         new = df[["text_hash", "doc_id", "n_grams"]].sort_values("doc_id")
+        if stamped:
+            # task re-execution: this bucket already absorbed this epoch's
+            # rows — reconstruct the pre-fold state (doc_ids are unique) so
+            # the identical bookkeeping is re-derived without re-appending
+            old = old[~old["doc_id"].isin(new["doc_id"])]
         old_rep = old.drop_duplicates("text_hash").set_index("text_hash")["rep"]
         first_new = new.drop_duplicates("text_hash").set_index("text_hash")["doc_id"]
         rep = new["text_hash"].map(old_rep)
@@ -491,7 +537,10 @@ def ingest_lsh_epoch(
 
         merged = pd.concat([old, new], ignore_index=True)
         tmp = f"{path}.tmp-{os.getpid()}"
-        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+        merged_t = pa.Table.from_pandas(merged, preserve_index=False)
+        pq.write_table(
+            merged_t.replace_schema_metadata({"last_epoch": str(epoch)}), tmp
+        )
         os.replace(tmp, path)
         return pd.concat(
             [pair_rows, joiner_rows, newrep_rows], ignore_index=True
@@ -551,7 +600,7 @@ def ingest_lsh_epoch(
                 pa.array(np.isin(batch["doc_id"].to_numpy(), reps_arr))
             )
 
-        bands_fold = make_band_ledger_fold(bands_dir)
+        bands_fold = make_band_ledger_fold(bands_dir, epoch)
 
         new_bands = prof.map_batches(
             keep_new_reps, batch_format="pyarrow", zero_copy_batch=True
@@ -992,9 +1041,13 @@ def ingest_simhash_epoch(
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         b = int(df["cbucket"].iloc[0])
         path = os.path.join(chunks_dir, f"bucket-{b:04d}.parquet")
+        old_t = pq.read_table(path) if os.path.exists(path) else None
+        stamped = old_t is not None and (
+            (old_t.schema.metadata or {}).get(b"last_epoch") == str(epoch).encode()
+        )
         old = (
-            pq.read_table(path).to_pandas()
-            if os.path.exists(path)
+            old_t.to_pandas()
+            if old_t is not None
             else pd.DataFrame(
                 {
                     "chunk_idx": pd.Series(dtype="int32"),
@@ -1005,7 +1058,10 @@ def ingest_simhash_epoch(
             )
         )
         new = df[["chunk_idx", "chunk_val", "doc_id", "simhash"]]
-        both = pd.concat([old, new], ignore_index=True)
+        # re-execution guard (the ingest_dedup_epoch stamp): a stamped file
+        # already equals old+new — recompute the identical candidate output
+        # from it and skip the append
+        both = old if stamped else pd.concat([old, new], ignore_index=True)
         m = new.merge(both, on=["chunk_idx", "chunk_val"], suffixes=("_l", "_r"))
         m = m[m["doc_id_l"] != m["doc_id_r"]]
         out = pd.DataFrame(
@@ -1017,9 +1073,13 @@ def ingest_simhash_epoch(
                 "sig_b": m["simhash_r"].to_numpy(),
             }
         ).drop_duplicates(["doc_a", "doc_b"])
-        tmp = f"{path}.tmp-{os.getpid()}"
-        pq.write_table(pa.Table.from_pandas(both, preserve_index=False), tmp)
-        os.replace(tmp, path)
+        if not stamped:
+            tmp = f"{path}.tmp-{os.getpid()}"
+            both_t = pa.Table.from_pandas(both, preserve_index=False)
+            pq.write_table(
+                both_t.replace_schema_metadata({"last_epoch": str(epoch)}), tmp
+            )
+            os.replace(tmp, path)
         return out
 
     cand = (
@@ -1173,7 +1233,7 @@ def ingest_embedding_epoch(
         embs.map_batches(HyperplaneLSH(dim), batch_format="pyarrow")
         .groupby("sbucket")
         .map_groups(
-            make_band_ledger_fold(os.path.join(ledger_dir, "bands")),
+            make_band_ledger_fold(os.path.join(ledger_dir, "bands"), epoch),
             batch_format="pandas",
         )
         .to_pandas()

@@ -647,11 +647,29 @@ def write_bulk_ndjson_batch(out_dir: str, index_name: str, key_cols: list[str]):
         import numpy as np
 
         df = batch.to_pandas()
+        # nullable int64 payload columns arrive as float64 after to_pandas
+        # (5 -> 5.0 in the JSON); cast back to pandas Int64 so to_json emits
+        # integers, and render timestamps exactly like str(datetime) did in
+        # the row-wise path (no ISO "T", microseconds only when non-zero)
+        for field in batch.schema:
+            if pa.types.is_integer(field.type) and df[field.name].dtype == "float64":
+                df[field.name] = df[field.name].astype("Int64")
+            elif pa.types.is_timestamp(field.type):
+                mask = df[field.name].notna()
+                df[field.name] = (
+                    df[field.name]
+                    .dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+                    .str.replace(r"\.000000$", "", regex=True)
+                    .where(mask)
+                )
         n = len(df)
         ids = df[key_cols[0]].astype(str)
         for k in key_cols[1:]:
             ids = ids + ":" + df[k].astype(str)
-        esc = ids.str.contains(r'[\\"]', regex=True)
+        # JSON-escape ids containing quotes, backslashes OR the control
+        # characters JSON forbids raw (\n, \t, ...) — a raw newline in an
+        # _id would split the action line and misalign the interleave
+        esc = ids.str.contains("[\\\\\"\\x00-\\x1f]", regex=True)
         if esc.any():
             ids = ids.where(
                 ~esc, ids[esc].map(lambda s: json.dumps(s)[1:-1])

@@ -150,12 +150,23 @@ def commit_manifest(
         import time
 
         lock = os.path.join(lake_dir, "manifest.lock")
-        for _ in range(200):  # ~2 s of 10 ms retries, then assume stale lock
-            try:
-                lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        for attempt in range(2):
+            for _ in range(200):  # ~2 s of 10 ms retries per acquire attempt
+                try:
+                    lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    time.sleep(0.01)
+            if lock_fd is not None or attempt == 1:
                 break
-            except FileExistsError:
-                time.sleep(0.01)
+            # a lock older than the full retry window is a crashed writer's
+            # leftover: reclaim it so the fence self-heals instead of every
+            # future commit waiting 2 s and running unfenced forever
+            try:
+                if time.time() - os.stat(lock).st_mtime >= 2.0:
+                    os.unlink(lock)
+            except FileNotFoundError:
+                pass  # the holder released between the loop and the stat
         cur = load_manifest(lake_dir)
         if cur is not None and cur.epoch != expected_epoch:
             if lock_fd is not None:

@@ -412,3 +412,72 @@ def test_xml_record_path(ray_session, tmp_path):
     # .// descendant form works too
     got2 = read_xml_segments([p], schema, record_path=".//item").to_pandas()
     assert len(got2) == 2
+
+
+def test_bulk_ndjson_payload_parity(tmp_path):
+    """Payload-content check for the vectorized bulk writer: every line is
+    valid JSON, the action/source interleave survives control characters in
+    key values, nullable int64 payload columns don't float-widen, and
+    timestamps render exactly like the row-wise str(datetime) path did."""
+    import datetime
+    import json
+
+    from tapdata_connectors_ray.sources.files import write_bulk_ndjson_batch
+
+    batch = pa.table(
+        {
+            "conv_id": pa.array(
+                ['c"quote', "c\\back", "c\nnewline", "c\ttab", "plain", "del1"]
+            ),
+            "turn_idx": pa.array([0, 1, 2, 3, 4, 5], pa.int32()),
+            "op": pa.array(["I", "U", "I", "U", "I", "D"]),
+            "turn_score": pa.array([5, None, 7, None, 9, None], pa.int64()),
+            "ts": pa.array(
+                [
+                    datetime.datetime(2026, 1, 2, 3, 4, 5, 123000),
+                    datetime.datetime(2026, 1, 2),
+                    None,
+                    datetime.datetime(2026, 1, 2, 3, 4, 5, 1),
+                    datetime.datetime(2026, 1, 2),
+                    None,
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    writer = write_bulk_ndjson_batch(str(tmp_path), "idx", ["conv_id", "turn_idx"])
+    manifest = writer(batch)
+    assert manifest["n_index"][0].as_py() == 5
+    assert manifest["n_delete"][0].as_py() == 1
+    with open(manifest["file"][0].as_py()) as f:
+        lines = f.read().splitlines()
+    assert len(lines) == 6 + 5  # one action line per event + source per upsert
+    # every line parses standalone -> control chars were escaped, not raw
+    parsed = [json.loads(ln) for ln in lines]
+    # interleave: walk actions, collect sources
+    docs = []
+    i = 0
+    actions = []
+    while i < len(parsed):
+        action = next(iter(parsed[i]))
+        actions.append((action, parsed[i][action]["_id"]))
+        i += 1
+        if action == "index":
+            docs.append(parsed[i])
+            i += 1
+    assert [a for a, _ in actions] == ["index"] * 5 + ["delete"]
+    assert [i_ for _, i_ in actions] == [
+        'c"quote:0', "c\\back:1", "c\nnewline:2", "c\ttab:3", "plain:4", "del1:5"
+    ]
+    # row-wise reference payloads (the old to_pylist/json.dumps semantics)
+    ref = []
+    for row in batch.to_pylist():
+        if row["op"] == "D":
+            continue
+        ref.append(
+            {
+                k: (str(v) if isinstance(v, datetime.datetime) else v)
+                for k, v in row.items()
+            }
+        )
+    assert docs == ref

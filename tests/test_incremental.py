@@ -420,3 +420,30 @@ def test_mv_refreshes_only_touched_partitions(paths, expected, lake_dir):
     )
     assert mv["n_rows"].tolist() == exp["n_rows"].tolist()
     assert mv["sum_val"].astype("Int64").tolist() == exp["sum_val"].astype("Int64").tolist()
+
+
+def test_stale_lock_reclaimed(tmp_path):
+    """A crashed writer's leftover manifest.lock must be reclaimed after the
+    retry window: the next fenced commit acquires the lock (mutual exclusion
+    restored) and removes the stale file, instead of silently running
+    unfenced forever."""
+    import os
+    import time
+
+    from tapdata_connectors_ray.state.checkpoint import (
+        Manifest,
+        commit_manifest,
+        load_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    stale = os.path.join(lake, "manifest.lock")
+    with open(stale, "w"):
+        pass
+    old = time.time() - 60
+    os.utime(stale, (old, old))  # crashed 60 s ago
+    m = Manifest(num_partitions=4, epoch=1)
+    commit_manifest(lake, m, expected_epoch=0)
+    assert load_manifest(lake).epoch == 1
+    assert not os.path.exists(stale), "stale lock left in place"

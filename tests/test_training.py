@@ -8,6 +8,8 @@ oracles depend on.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -455,3 +457,86 @@ def test_embedding_and_simhash_ledgers_two_epochs(ray_session, tmp_path):
     got2 = ray.data.read_parquet(f"{led2}/pairs").to_pandas()
     assert set(zip(got2.doc_a, got2.doc_b)) == {(1, 2)}
     assert int(got2.hamming.iloc[0]) == 0
+
+
+def test_band_ledger_fold_retry_idempotent(tmp_path):
+    """A re-executed band-ledger fold task (same epoch) must NOT
+    double-append the bucket file, and must reproduce its candidate output
+    exactly — the last_epoch stamp-and-skip guard."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.pipelines.training import make_band_ledger_fold
+
+    d = str(tmp_path)
+    df1 = pd.DataFrame(
+        {
+            "sbucket": np.int32([7, 7]),
+            "band": np.int32([0, 1]),
+            "bucket": np.uint64([11, 22]),
+            "doc_id": np.int64([1, 1]),
+        }
+    )
+    fold1 = make_band_ledger_fold(d, epoch=1)
+    out1 = fold1(df1.copy())
+    path = f"{d}/bucket-0007.parquet"
+    rows_after_1 = pq.read_table(path).num_rows
+    # simulated Ray task retry: identical group, same epoch
+    out1_retry = fold1(df1.copy())
+    assert pq.read_table(path).num_rows == rows_after_1, "retry double-appended"
+    pd.testing.assert_frame_equal(
+        out1.reset_index(drop=True), out1_retry.reset_index(drop=True)
+    )
+    # next epoch: doc 2 collides with doc 1 on (band=0, bucket=11)
+    df2 = pd.DataFrame(
+        {
+            "sbucket": np.int32([7]),
+            "band": np.int32([0]),
+            "bucket": np.uint64([11]),
+            "doc_id": np.int64([2]),
+        }
+    )
+    fold2 = make_band_ledger_fold(d, epoch=2)
+    out2 = fold2(df2.copy())
+    assert set(zip(out2.doc_a, out2.doc_b)) == {(1, 2)}
+    assert pq.read_table(path).num_rows == rows_after_1 + 1
+    # and ITS retry reproduces the cross-epoch pair without re-appending
+    out2_retry = fold2(df2.copy())
+    assert set(zip(out2_retry.doc_a, out2_retry.doc_b)) == {(1, 2)}
+    assert pq.read_table(path).num_rows == rows_after_1 + 1
+
+
+def test_simhash_epoch_retry_idempotent(ray_session, tmp_path):
+    """Re-running a whole SimHash epoch fold (the lost-block retry case)
+    leaves the chunk ledger unchanged and the pair output identical."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tapdata_connectors_ray.pipelines.training import ingest_simhash_epoch
+
+    def dds(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    words = " ".join(f"tok{i}" for i in range(30))
+    led = str(tmp_path / "sh")
+    ingest_simhash_epoch(dds([(1, words)]), led, epoch=0)
+    ingest_simhash_epoch(dds([(2, words)]), led, epoch=1)
+    sizes = {
+        f.name: pq.read_table(f.path).num_rows
+        for f in os.scandir(f"{led}/chunks")
+    }
+    ingest_simhash_epoch(dds([(2, words)]), led, epoch=1)  # retry of epoch 1
+    sizes2 = {
+        f.name: pq.read_table(f.path).num_rows
+        for f in os.scandir(f"{led}/chunks")
+    }
+    assert sizes2 == sizes, "retried epoch re-appended chunk rows"
+    got = ray.data.read_parquet(f"{led}/pairs").to_pandas()
+    assert set(zip(got.doc_a, got.doc_b)) == {(1, 2)}
