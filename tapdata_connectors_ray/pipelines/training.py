@@ -295,11 +295,10 @@ def _add_pbucket(id_col: str):
     return f
 
 
-def _pruned_blob_read(root: str, id_col: str, involved: np.ndarray) -> ray.data.Dataset:
-    """Partition-pruned read of a blob ledger: only the ``pbucket=N`` hive
-    directories containing involved ids are opened (explicit path pruning —
-    every other partition's blobs never leave disk)."""
-    buckets = {int(b) for b in np.unique(involved % _PROFILE_PBUCKETS)}
+def _pruned_blob_paths(root: str, buckets: set[int]) -> list[str]:
+    """File list of a blob ledger restricted to the given ``pbucket=N`` hive
+    directories (explicit path pruning — every other partition's blobs never
+    leave disk; paths must be FILES, Ray's hive handling won't prune dirs)."""
     paths = []
     for epoch_entry in os.scandir(root):
         if not epoch_entry.is_dir():
@@ -310,7 +309,53 @@ def _pruned_blob_read(root: str, id_col: str, involved: np.ndarray) -> ray.data.
                 paths.extend(
                     f.path for f in os.scandir(p) if f.name.endswith(".parquet")
                 )
-    return ray.data.read_parquet(paths, override_num_blocks=8)
+    return paths
+
+
+def _pruned_blob_read(root: str, id_col: str, involved: np.ndarray) -> ray.data.Dataset:
+    """Partition-pruned read of a blob ledger: only the ``pbucket=N`` hive
+    directories containing involved ids are opened."""
+    buckets = {int(b) for b in np.unique(involved % _PROFILE_PBUCKETS)}
+    return ray.data.read_parquet(_pruned_blob_paths(root, buckets), override_num_blocks=8)
+
+
+def _pair_buckets(pairs_ds: ray.data.Dataset) -> set[int]:
+    """Distinct pbuckets touched by a candidate-pair dataset — ≤ 64 values
+    (metadata-scale), collected without pulling the pairs themselves."""
+
+    def pb_of(batch: pa.Table) -> pa.Table:
+        v = np.unique(
+            np.concatenate(
+                [
+                    batch["doc_a"].to_numpy() % _PROFILE_PBUCKETS,
+                    batch["doc_b"].to_numpy() % _PROFILE_PBUCKETS,
+                ]
+            )
+        ).astype(np.int64)
+        return pa.table({"pb": pa.array(v, type=pa.int64())})
+
+    return {
+        int(b)
+        for b in pairs_ds.map_batches(pb_of, batch_format="pyarrow").unique("pb")
+    }
+
+
+def _normalize_xy_pairs(batch: pa.Table) -> pa.Table:
+    """(doc_x, doc_y, common, union_n) -> canonical (doc_a<=doc_b) pair rows,
+    self-pairs dropped — the expansion normalizer shared by the batch and
+    incremental MinHash pipelines."""
+    x = batch["doc_x"].to_numpy()
+    y = batch["doc_y"].to_numpy()
+    keep = x != y
+    idx = np.nonzero(keep)[0]
+    return pa.table(
+        {
+            "doc_a": pa.array(np.minimum(x, y)[keep], type=pa.int64()),
+            "doc_b": pa.array(np.maximum(x, y)[keep], type=pa.int64()),
+            "common": batch["common"].take(idx).cast(pa.int64()),
+            "union_n": batch["union_n"].take(idx).cast(pa.int64()),
+        }
+    )
 
 
 def _epoch_keep(id_col: str, ep: int):
@@ -320,6 +365,19 @@ def _epoch_keep(id_col: str, ep: int):
 
     def keep(batch: pa.Table) -> pa.Table:
         m = (batch[id_col].to_numpy() % 3) == 0
+        return batch.filter(pa.array(m if ep == 2 else ~m))
+
+    return keep
+
+
+def _copies_keep(id_col: str, ep: int):
+    """Stress split: epoch 1 = the original corpus, epoch 2 = ALL
+    augmentation copies (``id >= 1_000_000``) — every epoch-2 row is an
+    exact or near dup of epoch 1, the mass-near-dup-ingest pathology of
+    crawl data.  Deterministic, so the batch oracle still applies."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = batch[id_col].to_numpy() >= 1_000_000
         return batch.filter(pa.array(m if ep == 2 else ~m))
 
     return keep
@@ -413,12 +471,151 @@ def make_band_ledger_fold(bands_dir: str, epoch: int):
     return bands_fold
 
 
+# Above this many candidate-pair / joiner rows an epoch's verify+expansion
+# leaves the driver-local fast path and runs as distributed hash joins (the
+# same two-regime switch as the diff family's BROADCAST_FLAG_CAP): a mass
+# near-dup epoch can exceed driver memory, and the join path is the batch
+# pipeline's own verified shape.
+LSH_CANDIDATE_CAP = 200_000
+
+
+def _lsh_epoch_apply_distributed(
+    ledger_dir: str,
+    epoch: int,
+    cand_ds: ray.data.Dataset | None,
+    joiners: pd.DataFrame,
+    threshold: float,
+) -> None:
+    """Oversized-epoch verify + expansion for the incremental MinHash
+    ledger, fully distributed — the batch pipeline's hash-join verify
+    (``q_dedup_minhash_lsh`` steps 3-4) re-aimed at the ledgers:
+
+    - exact-Jaccard verify: candidate rep pairs inner-join the
+      pbucket-PRUNED profiles ledger twice (only hive partitions containing
+      involved ids are read), then ``verify_pairs_batch`` per batch;
+    - member expansion: two inner joins against the members ledger;
+    - late-joiner inheritance: stored rep pairs join the epoch's joiners,
+      then the partner clusters' membership — all as Dataset joins.
+
+    Nothing candidate-scale is collected; the driver holds only the
+    epoch's joiner bookkeeping it already had."""
+    from tapdata_connectors_ray.stages.dedup import verify_pairs_batch
+
+    members_dir = os.path.join(ledger_dir, "members")
+    mem_ds = ray.data.read_parquet(members_dir, columns=["rep", "doc_id"])
+    out_parts: list[ray.data.Dataset] = []
+
+    n_join = join_partitions(
+        max(cand_ds.count() if cand_ds is not None else 0, len(joiners))
+    )
+    verified_ds = None
+    if cand_ds is not None:
+        cand_dd = _pair_dedupe(cand_ds).materialize()
+        sets = ray.data.read_parquet(
+            _pruned_blob_paths(
+                os.path.join(ledger_dir, "profiles"), _pair_buckets(cand_dd)
+            ),
+            columns=["doc_id", "shingles"],
+        )
+        j1 = cand_dd.join(
+            sets, join_type="inner", num_partitions=n_join,
+            on=("doc_a",), right_on=("doc_id",),
+        ).rename_columns({"shingles": "shingles_a"})
+        j2 = j1.join(
+            sets, join_type="inner", num_partitions=n_join,
+            on=("doc_b",), right_on=("doc_id",),
+        ).rename_columns({"shingles": "shingles_b"})
+        verified_ds = j2.map_batches(
+            lambda b: verify_pairs_batch(b, threshold),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        if verified_ds.count():
+            verified_ds.write_parquet(
+                os.path.join(ledger_dir, "reppairs", f"epoch-{epoch}")
+            )
+        else:
+            verified_ds = None
+
+    if verified_ds is not None:
+        e1 = verified_ds.join(
+            mem_ds, join_type="inner", num_partitions=n_join,
+            on=("doc_a",), right_on=("rep",),
+        ).rename_columns({"doc_id": "doc_x"})
+        e2 = e1.join(
+            mem_ds, join_type="inner", num_partitions=n_join,
+            on=("doc_b",), right_on=("rep",),
+        ).rename_columns({"doc_id": "doc_y"})
+        out_parts.append(
+            e2.map_batches(
+                _normalize_xy_pairs, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+
+    if len(joiners):
+        reppairs_root = os.path.join(ledger_dir, "reppairs")
+        if any(os.scandir(reppairs_root)):
+            stored = ray.data.read_parquet(reppairs_root)
+            cols = ["rep", "other", "common", "union_n"]
+            directional = (
+                stored.rename_columns({"doc_a": "rep", "doc_b": "other"})
+                .select_columns(cols)
+                .union(
+                    stored.rename_columns({"doc_b": "rep", "doc_a": "other"})
+                    .select_columns(cols)
+                )
+            )
+            j_ds = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "rep": pa.array(joiners["a"].to_numpy(), pa.int64()),
+                        "member": pa.array(joiners["b"].to_numpy(), pa.int64()),
+                    }
+                )
+            )
+            x = directional.join(
+                j_ds, join_type="inner", num_partitions=n_join, on=("rep",)
+            )
+            omem = mem_ds.rename_columns({"rep": "other", "doc_id": "partner_doc"})
+            x2 = x.join(
+                omem, join_type="inner", num_partitions=n_join, on=("other",)
+            )
+
+            def norm_inherit(batch: pa.Table) -> pa.Table:
+                return _normalize_xy_pairs(
+                    pa.table(
+                        {
+                            "doc_x": batch["member"],
+                            "doc_y": batch["partner_doc"],
+                            "common": batch["common"],
+                            "union_n": batch["union_n"],
+                        }
+                    )
+                )
+
+            out_parts.append(
+                x2.map_batches(
+                    norm_inherit, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+
+    if not out_parts:
+        return
+    final = out_parts[0]
+    for extra in out_parts[1:]:
+        final = final.union(extra)
+    new_pairs = _pair_dedupe(final).materialize()
+    if new_pairs.count():
+        new_pairs.write_parquet(os.path.join(ledger_dir, "pairs", f"epoch-{epoch}"))
+
+
 def ingest_lsh_epoch(
     docs: ray.data.Dataset,
     ledger_dir: str,
     epoch: int,
     ngram: int = NGRAM,
     threshold: float = MINHASH_THRESHOLD,
+    candidate_cap: int | None = None,
 ) -> None:
     """One incremental MinHash-LSH epoch: near-dup pairs of the NEW docs
     against everything already ingested, without re-scanning prior epochs.
@@ -438,13 +635,18 @@ def ingest_lsh_epoch(
       lookup set that lets a late exact copy inherit its rep's pairs.
 
     Scale shape: the distributed folds (members, bands) move only
-    epoch-sized narrow rows; verification and member expansion are
-    CANDIDATE-scale and run on collected frames (the same discrepancy-scale
-    argument as the diff family's phase 2).  Banding cost still scales with
-    distinct NEW texts only.  Like the exact ledger, epochs must be applied
-    exactly once: a re-executed fold task double-appends its rows (tmp +
-    rename only covers crash-before-rename), so production wraps each epoch
-    in the manifest fencing, as lake writes do."""
+    epoch-sized narrow rows.  Verification and member expansion are
+    two-regime (the diff family's BROADCAST_FLAG_CAP pattern): up to
+    ``candidate_cap`` (default ``LSH_CANDIDATE_CAP``) candidate/joiner rows
+    they run on collected frames (the discrepancy-scale argument of the
+    diff family's phase 2); above it — a mass near-dup epoch — the whole
+    verify + expansion runs as distributed hash joins against the
+    pbucket-pruned profile ledger and the members ledger, so no
+    candidate-scale frame ever lands on the driver.  Banding cost still
+    scales with distinct NEW texts only.  Every ledger fold is
+    last_epoch-stamped (re-executed tasks skip the append and reproduce
+    their output), so a Ray task retry cannot double-apply; re-running a
+    WHOLE epoch still requires outer fencing, as lake writes do."""
     import pyarrow.parquet as pq
 
     from tapdata_connectors_ray.stages.dedup import (
@@ -591,7 +793,7 @@ def ingest_lsh_epoch(
 
     # ---- band NEW reps only; fold into the band ledger (distributed) ----
     bands_dir = os.path.join(ledger_dir, "bands")
-    cand_frames = []
+    cand_ds = None
     if new_reps:
         reps_arr = np.fromiter(new_reps, dtype=np.int64)
 
@@ -605,20 +807,30 @@ def ingest_lsh_epoch(
         new_bands = prof.map_batches(
             keep_new_reps, batch_format="pyarrow", zero_copy_batch=True
         ).map_batches(MinHashLSH(ngram=ngram, num_perm=128, num_bands=64), batch_format="pyarrow")
-        cand = (
+        cand_ds = (
             new_bands.groupby("sbucket")
             .map_groups(bands_fold, batch_format="pandas")
-            .to_pandas()
-            .drop_duplicates()
+            .materialize()  # drives the ledger fold; count below is metadata
         )
-        if len(cand):
-            cand_frames.append(cand)
+
+    # ---- cap switch: a pathological epoch (mass near-dup ingest — the
+    # common crawl-data case) produces candidate/joiner sets too large for
+    # the driver-local fast path below; route it through the batch
+    # pipeline's distributed hash-join verify + join expansion instead
+    # (the BROADCAST_FLAG_CAP pattern of stages/inspector.py) -------------
+    cap = LSH_CANDIDATE_CAP if candidate_cap is None else candidate_cap
+    n_cand = cand_ds.count() if cand_ds is not None else 0
+    if n_cand > cap or len(joiners) > cap:
+        _lsh_epoch_apply_distributed(
+            ledger_dir, epoch, cand_ds if n_cand else None, joiners, threshold
+        )
+        return
 
     # ---- verify candidates exactly (candidate-scale, shingles from the
     # profiles ledger filtered to involved reps) -------------------------
     verified = pd.DataFrame(columns=["doc_a", "doc_b", "common", "union_n"])
-    if cand_frames:
-        cand = pd.concat(cand_frames, ignore_index=True).drop_duplicates()
+    if n_cand:
+        cand = cand_ds.to_pandas().drop_duplicates()
         involved = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
 
         def keep_involved(batch: pa.Table) -> pa.Table:
@@ -764,6 +976,52 @@ def q_dedup_minhash_incremental(sf_dir: str) -> Any:
             ),
             ledger,
             epoch=ep,
+        )
+    return ray.data.read_parquet(os.path.join(ledger, "pairs"), override_num_blocks=8)
+
+
+def q_dedup_minhash_incremental_stress(sf_dir: str) -> Any:
+    """Mass near-dup epoch stress: epoch 2 ingests ONLY the augmentation
+    copies — 100% exact/near dups of epoch 1 — with ``candidate_cap=0`` so
+    verify, member expansion AND joiner inheritance all run on the
+    distributed hash-join path end-to-end (no candidate-scale frame on the
+    driver).  The union argument holds for any deterministic split, so the
+    oracle is the same batch pair set as ``dedup_minhash_lsh``."""
+    ledger = _inc_ledger_dir(sf_dir, "lsh_stress")
+    aug = _aug_docs(sf_dir)
+
+    for ep in (1, 2):
+        ingest_lsh_epoch(
+            aug.map_batches(
+                _copies_keep("doc_id", ep), batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ledger,
+            epoch=ep,
+            candidate_cap=0,
+        )
+    return ray.data.read_parquet(os.path.join(ledger, "pairs"), override_num_blocks=8)
+
+
+def q_dedup_embedding_incremental_stress(sf_dir: str) -> Any:
+    """Embedding twin of the mass near-dup stress: epoch 2 = all copy
+    vectors, ``candidate_cap=0`` forces the distributed blob-join verify.
+    Same oracle as ``dedup_embedding_cosine``."""
+    ledger = _inc_ledger_dir(sf_dir, "emb_stress")
+    aug = (
+        _emb(sf_dir)
+        .select_columns(["vec_id", "embedding"])
+        .map_batches(augment_embeddings_batch, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    for ep in (1, 2):
+        ingest_embedding_epoch(
+            aug.map_batches(
+                _copies_keep("vec_id", ep), batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ledger,
+            epoch=ep,
+            dim=EMB_DIM,
+            candidate_cap=0,
         )
     return ray.data.read_parquet(os.path.join(ledger, "pairs"), override_num_blocks=8)
 
@@ -974,21 +1232,8 @@ def q_dedup_minhash_lsh(sf_dir: str) -> Any:
         mem, join_type="inner", num_partitions=n_join, on=("doc_b",), right_on=("rep_id",)
     ).rename_columns({"doc_id": "doc_y"})
 
-    def normalize_pairs(batch: pa.Table) -> pa.Table:
-        x = batch["doc_x"].to_numpy()
-        y = batch["doc_y"].to_numpy()
-        keep = x != y
-        return pa.table(
-            {
-                "doc_a": pa.array(np.minimum(x, y)[keep], type=pa.int64()),
-                "doc_b": pa.array(np.maximum(x, y)[keep], type=pa.int64()),
-                "common": batch["common"].take(np.nonzero(keep)[0]),
-                "union_n": batch["union_n"].take(np.nonzero(keep)[0]),
-            }
-        )
-
     return _pair_dedupe(
-        e2.map_batches(normalize_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        e2.map_batches(_normalize_xy_pairs, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -1198,6 +1443,7 @@ def ingest_embedding_epoch(
     epoch: int,
     dim: int,
     threshold: float = COSINE_DUP_THRESHOLD,
+    candidate_cap: int | None = None,
 ) -> None:
     """One incremental embedding-near-dup epoch: hyperplane-LSH band rows of
     the NEW vectors probe the stored band ledger (only touched buckets are
@@ -1229,18 +1475,50 @@ def ingest_embedding_epoch(
         partition_cols=["pbucket"],
     )
 
-    cand = (
+    cand_ds = (
         embs.map_batches(HyperplaneLSH(dim), batch_format="pyarrow")
         .groupby("sbucket")
         .map_groups(
             make_band_ledger_fold(os.path.join(ledger_dir, "bands"), epoch),
             batch_format="pandas",
         )
-        .to_pandas()
-        .drop_duplicates()
+        .materialize()  # drives the ledger fold; count below is metadata
     )
-    if not len(cand):
+    n_cand = cand_ds.count()
+    if not n_cand:
         return
+    cap = LSH_CANDIDATE_CAP if candidate_cap is None else candidate_cap
+    if n_cand > cap:
+        # mass near-dup epoch: verify as distributed hash joins against the
+        # pbucket-pruned blob ledger (the batch pipeline's shape) — nothing
+        # candidate-scale reaches the driver
+        cand_dd = _pair_dedupe(cand_ds).materialize()
+        n_join = join_partitions(cand_dd.count())
+        blob_ds = ray.data.read_parquet(
+            _pruned_blob_paths(
+                os.path.join(ledger_dir, "embs"), _pair_buckets(cand_dd)
+            ),
+            columns=["vec_id", "emb"],
+        )
+        j1 = cand_dd.join(
+            blob_ds, join_type="inner", num_partitions=n_join,
+            on=("doc_a",), right_on=("vec_id",),
+        ).rename_columns({"emb": "emb_a"})
+        j2 = j1.join(
+            blob_ds, join_type="inner", num_partitions=n_join,
+            on=("doc_b",), right_on=("vec_id",),
+        ).rename_columns({"emb": "emb_b"})
+        verified_ds = j2.map_batches(
+            lambda b: verify_cosine_pairs(b, threshold),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        if verified_ds.count():
+            verified_ds.write_parquet(
+                os.path.join(ledger_dir, "pairs", f"epoch-{epoch}")
+            )
+        return
+    cand = cand_ds.to_pandas().drop_duplicates()
     involved = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
 
     def keep_involved(batch: pa.Table) -> pa.Table:
@@ -1725,6 +2003,9 @@ FROM e GROUP BY text ORDER BY doc_id
     # union of per-epoch incremental results == the batch answer: banding is
     # per-signature deterministic, so the oracle is the same pair set
     "dedup_minhash_incremental": _pairs_sql(MINHASH_THRESHOLD),
+    # the stress split (originals, then all copies) unions to the same
+    # batch pair set; candidate_cap=0 forces the distributed join path
+    "dedup_minhash_incremental_stress": _pairs_sql(MINHASH_THRESHOLD),
     "dedup_minhash_lsh_join": _pairs_sql(MINHASH_THRESHOLD),
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_simhash_incremental": _SIMHASH_SQL,
@@ -1739,6 +2020,15 @@ ORDER BY vec_a, vec_b
     # incremental epochs (vec_id % 3) union to the same pair set: hyperplane
     # banding is seed-fixed, so the pair appears when its later vector lands
     "dedup_embedding_incremental": _EAUG_CTE
+    + f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 5) AS sim
+FROM eaug a JOIN eaug b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 5) >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+""",
+    # stress split (originals, then all copy vectors): same batch pair set
+    "dedup_embedding_incremental_stress": _EAUG_CTE
     + f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.v, b.v), 5) AS sim
@@ -1886,10 +2176,12 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_join": q_dedup_minhash_lsh,  # alias (join IS the path)
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_minhash_incremental_stress": q_dedup_minhash_incremental_stress,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_incremental": q_dedup_simhash_incremental,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_incremental": q_dedup_embedding_incremental,
+        "dedup_embedding_incremental_stress": q_dedup_embedding_incremental_stress,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_counts": q_text_token_counts,
