@@ -44,17 +44,7 @@ def pk_range_boundaries(
     schema = ds.schema()
     pk_type = schema.base_schema.field(pk).type
     if not (pa.types.is_integer(pk_type) or pa.types.is_floating(pk_type)):
-        # non-numeric pk: sorted driver stream (narrow column, rare path)
-        sorted_ds = ds.sort(pk)
-        boundaries: list = []
-        seen = 0
-        for batch in sorted_ds.iter_batches(batch_size=64 * 1024, batch_format="pyarrow"):
-            col = batch[pk].to_numpy(zero_copy_only=False)
-            first = (-seen) % every
-            if first < len(col):
-                boundaries.extend(col[first::every].tolist())
-            seen += len(col)
-        return pd.DataFrame({"boundary": boundaries})
+        return _pk_range_boundaries_str(ds, pk, every, bins)
 
     from ray.data.aggregate import Max, Min
 
@@ -110,6 +100,117 @@ def pk_range_boundaries(
     if pa.types.is_integer(pk_type):
         out["boundary"] = out["boundary"].astype(np.int64)
     return out
+
+
+def _str_prefix_key(col: pa.Array | pa.ChunkedArray, skip: int) -> np.ndarray:
+    """Order-consistent float64 bin key for a UTF-8/binary column: the 8
+    bytes AFTER the table-wide common prefix (``skip``), big-endian, shifted
+    to 48 bits so float64 represents it exactly.  UTF-8 byte order equals
+    code-point order, so ``key(a) < key(b)`` implies ``a < b`` and bins on
+    the key are contiguous runs of the true lexicographic order — the
+    reference's fixed-prefix string/ObjectId splitting idea
+    (``ObjectIdSplitter.java:15-64``; case-insensitive string splitter used
+    at ``MysqlConnector.java:268-273``), minus the case folding (the lake
+    compares binary, as DuckDB's default collation does).
+
+    Fully vectorized: the padded byte matrix is built from the Arrow binary
+    buffers with one scatter, no per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros(0, dtype=np.float64)
+    b = col.cast(pa.binary())
+    if b.buffers()[2] is None:  # all-empty values buffer
+        return np.zeros(len(b), dtype=np.float64)
+    off = np.frombuffer(b.buffers()[1], dtype=np.int32)[
+        b.offset : b.offset + len(b) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(b.buffers()[2], dtype=np.uint8)
+    starts = np.minimum(off[:-1] + skip, off[1:])
+    lens = np.minimum(off[1:] - starts, 8)
+    mat = np.zeros((len(b), 8), dtype=np.uint8)
+    idx_rows = np.repeat(np.arange(len(b)), lens)
+    total = int(lens.sum())
+    idx_cols = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    src = np.repeat(starts, lens) + idx_cols
+    mat[idx_rows, idx_cols] = data[src]
+    key = mat.view(">u8").ravel().astype(np.uint64) >> np.uint64(16)
+    return key.astype(np.float64)
+
+
+def _pk_range_boundaries_str(
+    ds: ray.data.Dataset, pk: str, every: int, bins: int
+) -> pd.DataFrame:
+    """String-pk boundary planning WITHOUT a global sort or driver stream:
+    the numeric histogram + targeted-pull machinery over an 8-byte
+    fixed-prefix key (common table prefix skipped first, so uniform
+    key schemes like 'Customer#0000...' still spread across bins).
+
+    Driver traffic = bins + the needed bins' values.  Keys sharing the
+    first ``skip``+6 bytes collapse into one bin and only widen that bin's
+    pull — correctness is unaffected (in-bin ranks use the true strings)."""
+    from ray.data.aggregate import Max, Min
+
+    row = ds.aggregate(Min(pk, alias_name="mn"), Max(pk, alias_name="mx"))
+    mn, mx = str(row["mn"]), str(row["mx"])
+    mnb, mxb = mn.encode(), mx.encode()
+    skip = 0
+    while skip < min(len(mnb), len(mxb)) and mnb[skip] == mxb[skip]:
+        skip += 1
+    # back up to a UTF-8 character boundary so the key never splits a
+    # multi-byte sequence inconsistently across values
+    while skip > 0 and (mnb[skip] & 0xC0) == 0x80:
+        skip -= 1
+
+    lo = float(_str_prefix_key(pa.array([mn]), skip)[0])
+    hi = float(_str_prefix_key(pa.array([mx]), skip)[0])
+    edges = np.linspace(lo, np.nextafter(hi, np.inf), bins + 1)
+    edges_ref = ray.put(edges)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        e = ray.get(edges_ref)
+        v = _str_prefix_key(batch[pk], skip)
+        idx = np.clip(np.searchsorted(e, v, side="right") - 1, 0, len(e) - 2)
+        counts = np.bincount(idx, minlength=len(e) - 1)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bin": nz.astype(np.int64), "n": counts[nz]})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .sum("n")
+        .to_pandas()
+    )
+    counts = np.zeros(bins, dtype=np.int64)
+    counts[hist["bin"].to_numpy()] = hist["sum(n)"].to_numpy()
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    total = int(cum[-1])
+
+    targets = np.arange(0, total, every)
+    t_bins = np.searchsorted(cum, targets, side="right") - 1
+    in_bin_rank = targets - cum[t_bins]
+    needed = np.unique(t_bins)
+    lo_e, hi_e = edges[needed], edges[needed + 1]
+
+    def pull_needed(batch: pa.Table) -> pa.Table:
+        v = _str_prefix_key(batch[pk], skip)
+        mask = np.zeros(len(v), dtype=bool)
+        for a, b in zip(lo_e, hi_e):
+            mask |= (v >= a) & (v < b)
+        t = batch.filter(pa.array(mask))
+        return t.append_column("_key", pa.array(_str_prefix_key(t[pk], skip)))
+
+    pulled = (
+        ds.map_batches(pull_needed, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    vals = pulled[pk].to_numpy()
+    keys = pulled["_key"].to_numpy()
+    boundaries = []
+    for b, rank in zip(t_bins, in_bin_rank):
+        in_bin = vals[(keys >= edges[b]) & (keys < edges[b + 1])]
+        boundaries.append(np.sort(in_bin)[rank])  # object sort: true strcmp
+    return pd.DataFrame({"boundary": boundaries})
 
 
 def minmax_split_partitions(

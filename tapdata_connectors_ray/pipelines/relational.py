@@ -151,6 +151,13 @@ def q_pk_range_boundaries_orders(sf_dir: str):
     return pk_range_boundaries(_t(sf_dir, "orders"), "o_orderkey", every=5000)
 
 
+def q_pk_range_boundaries_strings(sf_dir: str):
+    """String-keyed snapshot splitting (the reference's string/ObjectId
+    splitters): histogram over an 8-byte fixed-prefix key after skipping the
+    table-wide common prefix — no global sort, no driver stream."""
+    return pk_range_boundaries(_t(sf_dir, "customer"), "c_name", every=25)
+
+
 def q_distinct_segments(sf_dir: str):
     vals = ray.data.read_parquet(
         _t(sf_dir, "customer"), columns=["c_mktsegment"]
@@ -734,6 +741,14 @@ RELATIONAL_SQL: dict[str, str] = {
         ) WHERE (rn - 1) % 5000 = 0
         ORDER BY boundary
     """,
+    "pk_range_boundaries_strings": """
+        SELECT c_name AS boundary FROM (
+            SELECT c_name,
+                   row_number() OVER (ORDER BY c_name) AS rn
+            FROM customer
+        ) WHERE (rn - 1) % 25 = 0
+        ORDER BY boundary
+    """,
     "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1",
     "master_subdoc_merge": """
         WITH li AS (
@@ -947,6 +962,7 @@ def relational_queries():
         "table_stats_orders": q_table_stats_orders,
         "point_lookup_customer": q_point_lookup_customer,
         "pk_range_boundaries_orders": q_pk_range_boundaries_orders,
+        "pk_range_boundaries_strings": q_pk_range_boundaries_strings,
         "distinct_segments": q_distinct_segments,
         "quantiles_lineitem": q_quantiles_lineitem,
         "profile_customer": q_profile_customer,
