@@ -248,6 +248,103 @@ def q_sink_bulk_ndjson(sf_dir: str) -> Any:
     return counts
 
 
+def q_sink_partitioned_log(sf_dir: str) -> Any:
+    """MQ producer sink round-trip (the replicate-OUT direction the
+    reference ships as ``AbstractMqService``/``BatchPusher``): the
+    normalized change feed is produced DISTRIBUTED into a partitioned topic
+    with the MqOp envelope, read back via the consumer poll, and aggregated
+    per op tag — (count, sum of LSNs, distinct keys) must equal the log's.
+    Key-move tombstones carry the moved key and the original LSN, so every
+    column is oracle-expressible."""
+    import tempfile
+
+    import numpy as np
+
+    from tapdata_connectors_ray.functions.hashing import stable_hash_strings
+    from tapdata_connectors_ray.pipelines.replay import normalized_events
+    from tapdata_connectors_ray.sources.partitioned_log import (
+        poll_topic,
+        read_topic_segments,
+        write_topic_dataset,
+    )
+
+    ev, _ = _fixture_paths(sf_dir)
+    topic = tempfile.mkdtemp(prefix="topic_sink_", dir="/tmp")
+    feed = normalized_events(ev, None, prereduce=False)
+    write_topic_dataset(feed, topic, "conv_id", n_partitions=8).materialize()
+    files, _ = poll_topic(topic)
+    back = read_topic_segments(files)
+
+    # per-(op, key) partials inside each batch, bucket-folded (the coarse-
+    # bucket pattern: a pair-level Ray groupby would pay per-group overhead)
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.select(["mq_op", "conv_id", "lsn"]).to_pandas()
+        g = (
+            df.groupby(["mq_op", "conv_id"], sort=False)["lsn"]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        kb = (
+            stable_hash_strings(g["conv_id"].to_numpy(object).astype(str))
+            % np.uint64(64)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "kbucket": pa.array(kb),
+                "mq_op": pa.array(g["mq_op"], pa.string()),
+                "conv_id": pa.array(g["conv_id"], pa.string()),
+                "n_part": pa.array(g["size"].to_numpy(np.int64)),
+                "lsn_part": pa.array(g["sum"].to_numpy(np.int64)),
+            }
+        )
+
+    def fold(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        g = (
+            df.groupby(["mq_op", "conv_id"], sort=False)[["n_part", "lsn_part"]]
+            .sum()
+            .reset_index()
+        )
+        out = g.groupby("mq_op", sort=False).agg(
+            n=("n_part", "sum"), sum_lsn=("lsn_part", "sum"), n_keys=("conv_id", "nunique")
+        )
+        return out.reset_index()
+
+    partial_ds = back.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    per_bucket = partial_ds.groupby("kbucket").map_groups(fold, batch_format="pandas")
+    agg = (
+        per_bucket.to_pandas()  # ≤ 64 buckets × 3 ops — metadata scale
+        .groupby("mq_op", sort=True)[["n", "sum_lsn", "n_keys"]]
+        .sum()
+        .reset_index()
+    )
+    return agg
+
+
+def _sink_topic_sql() -> str:
+    from tapdata_connectors_ray.pipelines.entrypoints import _oracle_events_path
+
+    ev = _oracle_events_path()
+    return f"""
+WITH ev AS (
+    SELECT op, conv_id, lsn FROM read_parquet('{ev}') WHERE op <> 'DDL'
+), moved AS (
+    SELECT 'D' AS op, before_conv_id AS conv_id, lsn FROM read_parquet('{ev}')
+    WHERE op = 'U' AND before_turn_idx IS NOT NULL
+      AND (before_conv_id <> conv_id OR before_turn_idx <> turn_idx)
+), allv AS (
+    SELECT * FROM ev UNION ALL SELECT * FROM moved
+)
+SELECT CASE op WHEN 'I' THEN 'insert' WHEN 'U' THEN 'update'
+       ELSE 'delete' END AS mq_op,
+       count(*) AS n,
+       CAST(sum(lsn) AS BIGINT) AS sum_lsn,
+       count(DISTINCT conv_id) AS n_keys
+FROM allv GROUP BY 1 ORDER BY 1
+"""
+
+
 def _fixture_paths(sf_dir: str):
     from tapdata_connectors_ray.pipelines.entrypoints import _fixture_paths_for
 
@@ -264,6 +361,7 @@ def filesource_queries() -> dict[str, Callable[[str], Any]]:
         "source_storage_mock_backend": q_source_storage_mock_backend,
         "source_partitioned_log": q_source_partitioned_log,
         "sink_bulk_ndjson": q_sink_bulk_ndjson,
+        "sink_partitioned_log": q_sink_partitioned_log,
     }
 
 
@@ -328,6 +426,7 @@ def filesource_oracle_sql(oracle_sf_dir: str | None = None) -> dict[str, str]:
         # backend must be invisible in the values
         "source_storage_mock_backend": events_agg_sql,
         "sink_bulk_ndjson": _bulk_counts_sql(),
+        "sink_partitioned_log": _sink_topic_sql(),
         "source_partitioned_log": _final_state_sql(),
         "source_jsonl_resume": f"""
             SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx

@@ -80,6 +80,91 @@ def read_topic_segments(files: list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(files)
 
 
+# the reference's MqOp envelope tags (constant/MqOp.java): every produced
+# message carries its DML kind so a consumer can apply without diffing
+_MQ_OPS = {"I": "insert", "U": "update", "D": "delete"}
+
+
+def write_topic_dataset(
+    ds: ray.data.Dataset,
+    topic_dir: str,
+    partition_key_col: str,
+    n_partitions: int = 8,
+    rows_per_segment: int = 65_536,
+    op_col: str = "op",
+) -> ray.data.Dataset:
+    """Distributed MQ producer sink — the replicate-OUT direction of the
+    partitioned-log contract (``AbstractMqService`` produce path +
+    ``BatchPusher.java:15-42`` size/delay batching, re-expressed as a
+    ``map_batches`` sink that parallelizes with the stream; nothing funnels
+    through the driver):
+
+    - **op-tag envelope**: rows gain ``mq_op`` (insert/update/delete — the
+      ``MqOp.java`` analogue) from ``op_col`` when present;
+    - **per-key routing**: stable key hash -> one partition per key, so a
+      key's history lands in ONE partition (Kafka's ordering unit);
+    - **size+delay batching**: the segment size is the size knob (one
+      segment per task per touched partition, split at
+      ``rows_per_segment``); the streaming executor's batch cadence is the
+      delay knob — a slow trickle flushes small segments, a firehose
+      flushes full ones;
+    - **ordering**: segment names embed the segment's min LSN when an
+      ``lsn`` column exists, so a sorted listing approximates append order;
+      cross-task interleave within a partition is absorbed by the LSN-based
+      LWW merge downstream (the same contract as the read side).
+
+    Returns the segment manifest (partition, file, rows) as a Dataset —
+    metadata-scale; materialize it to drive the sink."""
+    import uuid as _uuid
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.functions.hashing import stable_hash_strings
+
+    for pid in range(n_partitions):
+        os.makedirs(os.path.join(topic_dir, f"partition={pid}"), exist_ok=True)
+
+    def produce(batch: pa.Table) -> pa.Table:
+        if op_col in batch.column_names:
+            ops = batch[op_col].to_pandas().map(_MQ_OPS).fillna("insert")
+            tags = pa.array(ops.to_numpy(object), pa.string())
+        else:
+            tags = pa.array(np.full(batch.num_rows, "insert", object), pa.string())
+        batch = batch.append_column("mq_op", tags)
+        keys = batch[partition_key_col].to_numpy(zero_copy_only=False)
+        pids = (
+            stable_hash_strings(keys.astype(str)) % np.uint64(n_partitions)
+        ).astype(np.int64)
+        rows = []
+        for pid in np.unique(pids):
+            part = batch.filter(pa.array(pids == pid))
+            pdir = os.path.join(topic_dir, f"partition={int(pid)}")
+            for j in range(0, part.num_rows, rows_per_segment):
+                chunk = part.slice(j, rows_per_segment)
+                if "lsn" in chunk.column_names and chunk.num_rows:
+                    import pyarrow.compute as pc
+
+                    stamp = f"{pc.min(chunk['lsn']).as_py():012d}"
+                else:
+                    stamp = "0" * 12
+                path = os.path.join(
+                    pdir, f"seg-{stamp}-{_uuid.uuid4().hex[:12]}.parquet"
+                )
+                pq.write_table(chunk, path)
+                rows.append(
+                    {"partition": int(pid), "file": path, "rows": chunk.num_rows}
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("partition", pa.int64()), ("file", pa.string()), ("rows", pa.int64())]
+            ),
+        )
+
+    return ds.map_batches(produce, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def write_topic(
     table: pa.Table,
     topic_dir: str,

@@ -481,3 +481,49 @@ def test_bulk_ndjson_payload_parity(tmp_path):
             }
         )
     assert docs == ref
+
+
+def test_write_topic_dataset_routing_and_envelope(ray_session, tmp_path):
+    """Distributed producer sink: per-key routing is consistent (one key ->
+    one partition), the MqOp envelope tags every row, and segment names
+    embed the min LSN for append-order listing."""
+    import ray.data
+
+    from tapdata_connectors_ray.sources.partitioned_log import (
+        poll_topic,
+        read_topic_segments,
+        write_topic_dataset,
+    )
+
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i % 7}" for i in range(200)]),
+            "lsn": pa.array(list(range(200)), pa.int64()),
+            "op": pa.array((["I", "U", "D", "U"] * 50)[:200]),
+        }
+    )
+    topic = str(tmp_path / "topic")
+    manifest = (
+        write_topic_dataset(
+            ray.data.from_arrow(t), topic, "conv_id", n_partitions=4,
+            rows_per_segment=32,
+        )
+        .to_pandas()
+    )
+    assert manifest["rows"].sum() == 200
+    files, _ = poll_topic(topic)
+    back = read_topic_segments(files).to_pandas()
+    assert len(back) == 200
+    assert set(back["mq_op"]) == {"insert", "update", "delete"}
+    assert (back["mq_op"] == "delete").sum() == (t["op"].to_pandas() == "D").sum()
+    # one partition per key
+    part_of = {}
+    for f in files:
+        pid = int(f.split("partition=")[1].split("/")[0])
+        seg = read_topic_segments([f]).to_pandas()
+        for k in seg["conv_id"].unique():
+            part_of.setdefault(k, set()).add(pid)
+    assert all(len(v) == 1 for v in part_of.values()), "key split across partitions"
+    # min-LSN segment naming: listing order within a partition tracks lsn
+    names = [os.path.basename(f) for f in files]
+    assert all(n.startswith("seg-") and n.split("-")[1].isdigit() for n in names)
