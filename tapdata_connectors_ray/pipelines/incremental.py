@@ -26,6 +26,7 @@ worker; P is decoupled from cluster size).
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -701,6 +702,40 @@ class CheckpointedIngest:
         """Transcripts-keyed convenience wrapper over :meth:`lookup`."""
         return self.lookup({"conv_id": conv_id, "turn_idx": turn_idx})
 
+    def define_mv(self, name: str, aggs: list[dict]) -> None:
+        """Register a named materialized view with a declarative aggregate
+        spec: ``[{"op": "count"|"sum"|"min"|"max", "col": <payload column or
+        None for count>, "alias": <output name>}, ...]``.  Group columns are
+        always the partition key (the property that keeps refresh
+        partition-local).  The spec persists beside the view's data
+        (``mv/<name>/spec.json``) so refreshes resume across runs."""
+        for a in aggs:
+            if a["op"] not in ("count", "sum", "min", "max"):
+                raise ValueError(f"unsupported MV aggregate {a['op']!r}")
+            if a["op"] != "count" and not a.get("col"):
+                raise ValueError(f"aggregate {a['op']!r} needs a col")
+        mv_dir = os.path.join(self.lake_dir, "mv", name)
+        os.makedirs(mv_dir, exist_ok=True)
+        with open(os.path.join(mv_dir, "spec.json"), "w") as f:
+            json.dump({"aggs": aggs}, f)
+
+    def _mv_aggs(self, name: str, plan) -> list[dict]:
+        spec_path = os.path.join(self.lake_dir, "mv", name, "spec.json")
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                return json.load(f)["aggs"]
+        # legacy default view: row count + sum of the first integer payload
+        # column (NULLs skipped, matching SQL ``sum``)
+        num_cols = [
+            f.name
+            for f in plan.schema_at()
+            if pa.types.is_integer(f.type) and f.name not in plan.keys()
+        ]
+        aggs = [{"op": "count", "col": None, "alias": "n_rows"}]
+        if num_cols:
+            aggs.append({"op": "sum", "col": num_cols[0], "alias": "sum_val"})
+        return aggs
+
     def update_mv(self, name: str = "conv_stats") -> list[int]:
         """Incremental materialized-view maintenance (the CDC-downstream
         aggregate): per-group aggregates over the lake, refreshed ONLY for
@@ -709,25 +744,24 @@ class CheckpointedIngest:
         an epoch's MV refresh rewrites exactly the partitions it changed
         (O(touched), never O(P), never a global shuffle).
 
-        View definition: per group-key row count + sum of the first integer
-        payload column (NULLs skipped, matching SQL ``sum``).  Returns the
-        refreshed partition ids."""
+        The view's aggregate list comes from :meth:`define_mv` (or the
+        legacy count+sum default); the per-partition aggregate itself is a
+        zero-copy ``pyarrow.TableGroupBy`` — no pandas round-trip of the
+        wide payload.  Returns the refreshed partition ids."""
         plan = self.committed_plan()
         group_cols = plan.partition_columns()
-        num_cols = [
-            f.name
-            for f in plan.schema_at()
-            if pa.types.is_integer(f.type) and f.name not in plan.keys()
-        ]
-        sum_col = num_cols[0] if num_cols else None
+        aggs = self._mv_aggs(name, plan)
         epoch = self.manifest.epoch
-        # stale = data lineage advanced past the last MV refresh (catches
-        # partitions touched in ANY epoch since, not just the latest)
+        # stale = data lineage advanced past the last refresh of THIS view
+        # (catches partitions touched in ANY epoch since, not just the
+        # latest; per-view key so sibling views track independently —
+        # the legacy key name is kept for the default view's lineage)
+        mvk = "mv_epoch" if name == "conv_stats" else f"mv_epoch:{name}"
         touched = [
             pid
             for pid, st in sorted(self.manifest.partitions.items())
             if st.files
-            and int(st.lineage.get("epoch", -1)) > int(st.lineage.get("mv_epoch", -1))
+            and int(st.lineage.get("epoch", -1)) > int(st.lineage.get(mvk, -1))
         ]
         if not touched:
             return []
@@ -751,6 +785,18 @@ class CheckpointedIngest:
             plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
             keys = plan_l.keys()
             out_schema = merged_schema(plan_l.schema_at())
+            # declarative spec -> Arrow grouped-aggregate plan (zero-copy;
+            # ScalarAggregateOptions default min_count=1 matches SQL sum/min/
+            # max null handling)
+            pa_aggs, renames = [], {}
+            for a in aggs:
+                if a["op"] == "count":
+                    pa_aggs.append(([], "count_all"))
+                    renames["count_all"] = a["alias"]
+                else:
+                    pa_aggs.append((a["col"], a["op"]))
+                    renames[f"{a['col']}_{a['op']}"] = a["alias"]
+            out_cols = list(group_cols) + [a["alias"] for a in aggs]
             rows = []
             for _, row in batch.iterrows():
                 pid = int(row["pid"])
@@ -758,17 +804,15 @@ class CheckpointedIngest:
                     _lake_file_to_table(f, plan_l, int(v))
                     for f, v in zip(row["files"], row["vers"])
                 ]
-                merged = lww_merge_tables(tables, out_schema, keys).to_pandas()
-                g = merged.groupby(group_cols, sort=True)
-                agg = pd.DataFrame({"n_rows": g.size()})
-                if sum_col is not None:
-                    agg["sum_val"] = g[sum_col].sum(min_count=1)
-                agg = agg.reset_index()
+                merged = lww_merge_tables(tables, out_schema, keys)
+                agg = merged.group_by(group_cols).aggregate(pa_aggs)
+                agg = agg.rename_columns(
+                    [renames.get(c, c) for c in agg.column_names]
+                ).select(out_cols)
+                agg = agg.sort_by([(c, "ascending") for c in group_cols])
                 out = os.path.join(mv_dir, f"p={pid:05d}.parquet")
                 tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-                pq.write_table(
-                    pa.Table.from_pandas(agg, preserve_index=False), tmp
-                )
+                pq.write_table(agg, tmp)
                 os.replace(tmp, out)
                 rows.append({"partition_id": pid})
             return pa.Table.from_pylist(rows)
@@ -780,7 +824,7 @@ class CheckpointedIngest:
         )
         for pid in touched:
             st = self.manifest.partitions[pid]
-            st.lineage["mv_epoch"] = epoch
+            st.lineage[mvk] = epoch
         commit_manifest(self.lake_dir, self.manifest)
         return touched
 
