@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 
 from tapdata_connectors_ray.schema import EVENT_LOG_SCHEMA, TRANSCRIPTS_SCHEMA
 
-FIXTURE_VERSION = 8  # bump to invalidate cached fixtures
+FIXTURE_VERSION = 9  # bump to invalidate cached fixtures
 
 _EPOCH_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in microseconds
 
@@ -81,9 +81,14 @@ DEFAULT_FIXTURE_ROOT = "/tmp/tcr_fixtures"
 # dropped again at v5, so the final schema carries no tool_meta
 DDL_SCHEDULE = (
     (0.25, 2, {"kind": "add_field", "name": "tool_meta", "type": "string"}),
+    # index lifecycle events are schema NO-OPS (same version as the change
+    # before them) but must survive as typed history rows (kind="index")
+    (0.30, 2, {"kind": "create_index", "name": "idx_conv_turn",
+               "columns": ["conv_id", "turn_idx"], "unique": True}),
     (0.50, 3, {"kind": "rename_field", "from": "tool", "to": "tool_name"}),
     (0.75, 4, {"kind": "widen_field", "name": "turn_score",
                "from_type": "int32", "to_type": "int64"}),
+    (0.85, 4, {"kind": "drop_index", "name": "idx_conv_turn"}),
     (0.90, 5, {"kind": "drop_field", "name": "tool_meta"}),
 )
 

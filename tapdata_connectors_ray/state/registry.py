@@ -58,10 +58,21 @@ class DDLChange:
         no-op that is preserved in the history (and therefore surfaced by
         the schema-history query) instead of killing the replay, mirroring
         the reference's ``TapDDLUnknownEvent`` fallback
-        (``DDLFactory.java:63-88``, ``MysqlReader.java:722-731``)."""
+        (``DDLFactory.java:63-88``, ``MysqlReader.java:722-731``).
+
+        Index lifecycle DDL (create/drop index — the reference's
+        ``TapCreateIndexEvent`` surface, ``CommonDbConnector.java:400-443``)
+        parses to the TYPED no-op ``kind="index"``: a columnar lake has no
+        secondary indexes to build, but the event stays distinguishable in
+        the history instead of being swallowed as "unknown"."""
         try:
             p = json.loads(ddl_payload)
             kind = p["kind"]
+            if kind in ("create_index", "drop_index"):
+                return cls(
+                    lsn=lsn, version=version, kind="index",
+                    payload={"action": kind, **{k: v for k, v in p.items() if k != "kind"}},
+                )
             if kind not in _KNOWN_DDL_KINDS:
                 raise ValueError(f"unrecognized DDL kind {kind!r}")
             if kind == "widen_field":
@@ -278,8 +289,8 @@ class EvolutionPlan:
                 name = ch.payload["name"]
                 if name in batch.column_names:
                     batch = batch.drop_columns([name])
-            elif ch.kind == "unknown":
-                pass  # degraded DDL: preserved in history, schema no-op
+            elif ch.kind in ("unknown", "index"):
+                pass  # degraded / index-lifecycle DDL: history-only no-op
             else:
                 raise ValueError(f"unknown DDL kind {ch.kind}")
         return batch

@@ -104,3 +104,24 @@ def test_replay_survives_malformed_ddl_row(smoke_fixture_dir, tmp_path):
         return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(final_df(mod_path), final_df(ev_path))
+
+
+def test_index_ddl_typed_noop():
+    """create/drop-index DDL parses to the typed kind='index' history row
+    (CommonDbConnector.java:400-443 surface) — a schema no-op that stays
+    distinguishable from degraded-unknown DDL."""
+    import json
+
+    from tapdata_connectors_ray.state.registry import DDLChange, EvolutionPlan
+
+    c = DDLChange.from_row(
+        7, 2, json.dumps({"kind": "create_index", "name": "ix", "columns": ["a"]})
+    )
+    assert c.kind == "index" and c.payload["action"] == "create_index"
+    d = DDLChange.from_row(9, 2, json.dumps({"kind": "drop_index", "name": "ix"}))
+    assert d.kind == "index" and d.payload["action"] == "drop_index"
+    bogus = DDLChange.from_row(11, 2, json.dumps({"kind": "exotic"}))
+    assert bogus.kind == "unknown"
+    # schema unchanged by index events
+    plan = EvolutionPlan(changes=[c, d])
+    assert plan.schema_at().names == plan.spec.base_schema.names
