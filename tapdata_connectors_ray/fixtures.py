@@ -388,8 +388,11 @@ _SHARD_ROWS = 64 * 1024
 
 
 def _write_sharded(table: pa.Table, out_dir: str) -> None:
-    """Write a table as a directory of <=64k-row parquet segment files."""
+    """Write a table as a directory of <=64k-row parquet segment files.
+    Schema metadata (the pandas block dict) is stripped — Ray's executor
+    can't hash dict-bearing schemas and logs a warning per read."""
     os.makedirs(out_dir, exist_ok=True)
+    table = table.replace_schema_metadata(None)
     n = table.num_rows
     n_shards = max(1, (n + _SHARD_ROWS - 1) // _SHARD_ROWS)
     for i in range(n_shards):
@@ -888,3 +891,56 @@ def ensure_patch_fixture(sf: str = "sf0.001", root: str = DEFAULT_FIXTURE_ROOT) 
     _write_sharded(patches, out_dir)
     open(marker, "w").close()
     return out_dir
+
+
+class RateControlledProducer:
+    """Throttled synthetic change-stream producer — the dummy connector's
+    ``IRate``/``Rate.java`` generator (``DummyConnector.java:190-234``)
+    re-expressed as a segment-file writer for the live tailer's soak path.
+
+    A token budget derived from the injected clock throttles emission:
+    ``produce_wave()`` writes AT MOST ``(elapsed × events_per_sec) -
+    already_emitted`` events, in LSN order, as one immutable segment file —
+    the shape a CDC writer lands for :class:`~.livetail.LogTailer`.  The
+    clock is injectable so soak tests drive waves deterministically without
+    wall-clock sleeps; production passes ``time.monotonic``."""
+
+    def __init__(
+        self,
+        events: pa.Table,
+        out_dir: str,
+        events_per_sec: float,
+        clock=None,
+    ):
+        import time
+
+        self.events = events.sort_by("lsn")
+        self.out_dir = out_dir
+        self.rate = float(events_per_sec)
+        self.clock = clock if clock is not None else time.monotonic
+        self.t0 = self.clock()
+        self.emitted = 0
+        self.segments = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    def due(self) -> int:
+        """Events the rate budget allows right now (the Rate.java token)."""
+        budget = int((self.clock() - self.t0) * self.rate)
+        return max(0, min(budget, self.events.num_rows) - self.emitted)
+
+    def produce_wave(self) -> int:
+        """Emit all currently-due events as one segment; returns the count
+        (0 = the budget is exhausted for now — a live producer would sleep)."""
+        n = self.due()
+        if n == 0:
+            return 0
+        chunk = self.events.slice(self.emitted, n)
+        path = os.path.join(self.out_dir, f"seg-{self.segments:06d}.parquet")
+        pq.write_table(chunk, path)
+        self.segments += 1
+        self.emitted += n
+        return n
+
+    @property
+    def exhausted(self) -> bool:
+        return self.emitted >= self.events.num_rows

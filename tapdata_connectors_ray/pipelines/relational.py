@@ -380,22 +380,27 @@ def hopping_expand(batch: pa.Table, hop_us: int = _HOP_US) -> pa.Table:
     )
 
 
-def hopping_fold(df: pd.DataFrame) -> pd.DataFrame:
-    """Per-bucket (user, window) count+sum over the expanded rows."""
+def hopping_fold(df: pd.DataFrame) -> pa.Table:
+    """Per-bucket (user, window) count+sum over the expanded rows.  Output
+    schema is PINNED (survey §8.5: Ray emits schema-less zero-column blocks
+    for empty sort splits; unpinned fold outputs also trip the executor's
+    RefBundle schema-mismatch warning)."""
     g = df.groupby(["user_id", "win_start_us"], sort=False)["value"].agg(
         ["size", "sum"]
     )
-    return pd.DataFrame(
+    return pa.table(
         {
-            "user_id": g.index.get_level_values(0).to_numpy(),
-            "win_start_us": g.index.get_level_values(1).to_numpy(),
-            "n_events": g["size"].to_numpy(),
-            "sum_value": np.round(g["sum"].to_numpy(), 6),
+            "user_id": pa.array(g.index.get_level_values(0).to_numpy(), pa.int64()),
+            "win_start_us": pa.array(
+                g.index.get_level_values(1).to_numpy(), pa.int64()
+            ),
+            "n_events": pa.array(g["size"].to_numpy(), pa.int64()),
+            "sum_value": pa.array(np.round(g["sum"].to_numpy(), 6), pa.float64()),
         }
     )
 
 
-def sessions_fold(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+def sessions_fold(df: pd.DataFrame, gap_us: int) -> pa.Table:
     """Per-bucket gap-based sessionization: sorted lag/cumsum session
     assignment, then per-user session count + max session length."""
     df = df.sort_values(["user_id", "ts"], kind="stable")
@@ -406,11 +411,11 @@ def sessions_fold(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     df = df.assign(session=new_session.cumsum())
     sess = df.groupby(["user_id", "session"], sort=False).size()
     per_user = sess.groupby(level=0).agg(["count", "max"])
-    return pd.DataFrame(
+    return pa.table(  # pinned schema — see hopping_fold
         {
-            "user_id": per_user.index.to_numpy(),
-            "n_sessions": per_user["count"].to_numpy(),
-            "max_session_events": per_user["max"].to_numpy(),
+            "user_id": pa.array(per_user.index.to_numpy(), pa.int64()),
+            "n_sessions": pa.array(per_user["count"].to_numpy(), pa.int64()),
+            "max_session_events": pa.array(per_user["max"].to_numpy(), pa.int64()),
         }
     )
 

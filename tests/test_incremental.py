@@ -447,3 +447,48 @@ def test_stale_lock_reclaimed(tmp_path):
     commit_manifest(lake, m, expected_epoch=0)
     assert load_manifest(lake).epoch == 1
     assert not os.path.exists(stale), "stale lock left in place"
+
+
+def test_rate_controlled_soak(paths, expected, tmp_path):
+    """Rate-controlled live-tail soak (the dummy connector's Rate.java
+    throttled generator feeding the tailer): a token-budget producer emits
+    the log in >=3 timed waves; after EVERY poll the tailer is fully caught
+    up (applied-LSN == produced head — bounded lag) and the source-clock
+    watermark advances monotonically; the final lake equals the one-shot
+    replay."""
+    import pyarrow.compute as pc
+
+    from tapdata_connectors_ray.fixtures import RateControlledProducer
+    from tapdata_connectors_ray.pipelines.livetail import LogTailer
+
+    ev, base = paths
+    events = pq.read_table(ev)
+    n = events.num_rows
+
+    clock_now = [0.0]
+    prod = RateControlledProducer(
+        events, str(tmp_path / "log"), events_per_sec=n / 4.0,
+        clock=lambda: clock_now[0],
+    )
+    assert prod.due() == 0 and prod.produce_wave() == 0  # throttled at t=0
+
+    tailer = LogTailer(str(tmp_path / "log"), str(tmp_path / "lake"),
+                       num_partitions=16)
+    waves = 0
+    last_wm, last_lsn = -1, -1
+    while not prod.exhausted:
+        clock_now[0] += 1.0
+        emitted = prod.produce_wave()
+        assert 0 < emitted <= int(n / 4.0) + 1, "rate budget violated"
+        assert tailer.poll_once(base if waves == 0 else None) == 1
+        waves += 1
+        m = tailer.ingest.metrics()
+        produced = prod.events.slice(0, prod.emitted)  # producer emits LSN-ordered
+        head = pc.max(produced["lsn"]).as_py()
+        assert m["applied_lsn_max"] == head, "tailer lagging behind producer"
+        assert m["watermark_ts_max"] >= last_wm
+        assert m["applied_lsn_max"] > last_lsn
+        last_wm, last_lsn = m["watermark_ts_max"], m["applied_lsn_max"]
+    assert waves >= 3
+    assert prod.due() == 0
+    assert_lake_matches(tailer.ingest, expected)

@@ -49,7 +49,7 @@ def test_hopping_matches_bruteforce(df):
             "value": df["value"].to_numpy(),
         }
     )
-    got = hopping_fold(hopping_expand(batch, hop_us=HOP).to_pandas())
+    got = hopping_fold(hopping_expand(batch, hop_us=HOP).to_pandas()).to_pandas()
     got = {
         (int(u), int(w)): (int(n), float(s))
         for u, w, n, s in zip(
@@ -75,7 +75,7 @@ def test_hopping_matches_bruteforce(df):
 @given(event_sets())
 @settings(max_examples=80, deadline=None)
 def test_sessions_match_bruteforce(df):
-    got = sessions_fold(df.copy(), GAP)
+    got = sessions_fold(df.copy(), GAP).to_pandas()
     got = {
         int(u): (int(n), int(m))
         for u, n, m in zip(
