@@ -23,48 +23,56 @@ def entry() -> Any:
     return flagship_entry()
 
 
-# Queries that run before everything else (cheap conformance checks that a
-# time-bounded driver sweep must never truncate away; dict order = run order).
+# Queries that run before everything else (dict order = run order; the
+# driver caps a sweep at 50 queries, so the set whose newest green row is
+# OLDEST goes first).  Round 4: the 5 new queries, then the 36 whose last
+# driver row is CORRECTNESS_r02 (round 3's driver run spent its 50 slots on
+# the then-new queries) — 41 total, so one capped sweep refreshes every
+# query that isn't already green in CORRECTNESS_r03.
 _RUN_FIRST = (
-    # round-3 second-half additions — never driver-run before r03, so they
-    # must land CORRECTNESS rows even under a truncated sweep (cheap first)
-    "dedup_exact_incremental",
-    "dedup_minhash_incremental",
-    "dedup_embedding_incremental",
-    "dedup_simhash_incremental",
-    "processor_chain_orders",
-    "sample_hash_documents",
-    "profile_customer",
-    "text_mask_documents",
-    "lookup_enrich_customer",
-    "events_hopping_window",
-    "quantiles_lineitem",
-    "cdc_multi_table_consistent",
-    "cdc_multi_table_single_pass",
-    "cdc_dlq_reasons",
-    "cdc_dlq_routing",
-    "cdc_partition_resync",
-    "cdc_snapshot_switchover",
-    "cdc_time_travel",
-    "cdc_inspect_diff",
-    "cdc_diff_capture_roundtrip",
-    "cdc_delta_minor_compact",
-    "cdc_incremental_mv",
-    # round-3 first-half list (unverified as of r02)
-    "source_csv_events_agg",
-    "source_xml_events_agg",
-    "source_xlsx_events_agg",
-    "source_jsonl_resume",
-    "source_csv_dialect",
-    "source_storage_mock_backend",
-    "source_partitioned_log",
-    "sink_bulk_ndjson",
-    "sink_kv_state",
-    "cdc_patch_merge",
-    "subdoc_array_state",
-    "events_asof_join",
-    "events_follow_within",
-    "multimodal_frame_sample",
+    # new in round 4
+    "dedup_minhash_incremental_stress",
+    "dedup_embedding_incremental_stress",
+    "pk_range_boundaries_strings",
+    "sink_partitioned_log",
+    "cdc_incremental_mv_multi",
+    # green in r02 but not re-run since (driver 50-query cap)
+    "af_customer_match",
+    "af_lineitem_filter_sort_limit",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "batch_count_orders",
+    "cdc_double_active_filter",
+    "cdc_replay_nopk",
+    "cdc_replay_second_table",
+    "cdc_write_policies",
+    "count_by_filter_events",
+    "curation_pipeline",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_join",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_segments",
+    "events_session_windows",
+    "events_tumbling_window",
+    "hash_split_shard",
+    "master_subdoc_merge",
+    "min_max_lineitem",
+    "multimodal_decode_features",
+    "multimodal_payload_stats",
+    "multimodal_resize_pipeline",
+    "pk_range_boundaries_orders",
+    "point_lookup_customer",
+    "table_hash_customer",
+    "table_stats_orders",
+    "text_bigram_topk",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_counts",
+    "typelattice_roundtrip",
 )
 
 

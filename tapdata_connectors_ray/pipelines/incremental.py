@@ -40,6 +40,7 @@ import ray.data
 
 from tapdata_connectors_ray.schema import TRANSCRIPTS_SPEC, TableSpec
 from tapdata_connectors_ray.stages.merge import lww_collapse, merged_schema
+from tapdata_connectors_ray.sources.storage import atomic_put_parquet
 from tapdata_connectors_ray.state.checkpoint import (
     Manifest,
     PartitionState,
@@ -154,13 +155,13 @@ class MergeApplyWriter:
             name = f"part-{self.epoch:06d}.parquet"
 
         pdir = partition_dir(self.lake_dir, pid)
-        os.makedirs(pdir, exist_ok=True)
         out = os.path.join(pdir, name)
         # deterministic final name: a retried task rewrites identical content;
-        # write tmp + atomic rename so readers never see partial files
-        tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-        pq.write_table(merged, tmp)
-        os.replace(tmp, out)
+        # the SPI's atomic put (LOCAL: tmp + rename) keeps partial files
+        # invisible — swap the backend and the commit mechanics follow
+        from tapdata_connectors_ray.sources.storage import atomic_put_parquet
+
+        atomic_put_parquet(merged, out)
 
         import pyarrow.compute as pc
 
@@ -487,9 +488,7 @@ class CheckpointedIngest:
                 out = os.path.join(
                     partition_dir(lake_dir, pid), f"delta-{epoch:06d}.parquet"
                 )
-                tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-                pq.write_table(merged, tmp)
-                os.replace(tmp, out)
+                atomic_put_parquet(merged, out)
                 rows.append({"partition_id": pid, "file": out, "rows": merged.num_rows})
             return pa.Table.from_pylist(rows)
 
@@ -570,9 +569,7 @@ class CheckpointedIngest:
                 ]
                 merged = lww_merge_tables(tables, out_schema, keys)
                 out = os.path.join(partition_dir(lake_dir, pid), f"part-{epoch:06d}.parquet")
-                tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-                pq.write_table(merged, tmp)
-                os.replace(tmp, out)
+                atomic_put_parquet(merged, out)
                 rows.append({"partition_id": pid, "file": out, "rows": merged.num_rows})
             return pa.Table.from_pylist(rows)
 
@@ -811,9 +808,7 @@ class CheckpointedIngest:
                 ).select(out_cols)
                 agg = agg.sort_by([(c, "ascending") for c in group_cols])
                 out = os.path.join(mv_dir, f"p={pid:05d}.parquet")
-                tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-                pq.write_table(agg, tmp)
-                os.replace(tmp, out)
+                atomic_put_parquet(agg, out)
                 rows.append({"partition_id": pid})
             return pa.Table.from_pylist(rows)
 

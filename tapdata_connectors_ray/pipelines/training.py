@@ -29,6 +29,7 @@ from ray.data.aggregate import Count
 
 from tapdata_connectors_ray.fixtures import sf_label_from_dir
 from tapdata_connectors_ray.functions.sizing import actor_pool, join_partitions
+from tapdata_connectors_ray.sources.storage import atomic_put_parquet
 
 NGRAM = 3
 JACCARD_THRESHOLD = 0.6
@@ -262,12 +263,10 @@ def ingest_dedup_epoch(
             )
         else:
             out = inc
-        tmp = f"{path}.tmp-{os.getpid()}"
         out_t = pa.Table.from_pandas(out, preserve_index=False)
         if epoch is not None:
             out_t = out_t.replace_schema_metadata({"last_epoch": str(epoch)})
-        pq.write_table(out_t, tmp)
-        os.replace(tmp, path)
+        atomic_put_parquet(out_t, path)
         return pd.DataFrame({"bucket": [b], "ledger_rows": [len(out)]})
 
     (
@@ -460,12 +459,10 @@ def make_band_ledger_fold(bands_dir: str, epoch: int):
         bb = np.maximum(m["doc_id_l"], m["doc_id_r"])
         out = pd.DataFrame({"doc_a": a, "doc_b": bb}).drop_duplicates()
         if not stamped:
-            tmp = f"{path}.tmp-{os.getpid()}"
             out_t = pa.Table.from_pandas(both, preserve_index=False)
-            pq.write_table(
-                out_t.replace_schema_metadata({"last_epoch": str(epoch)}), tmp
+            atomic_put_parquet(
+                out_t.replace_schema_metadata({"last_epoch": str(epoch)}), path
             )
-            os.replace(tmp, path)
         return out
 
     return bands_fold
@@ -738,12 +735,10 @@ def ingest_lsh_epoch(
         )
 
         merged = pd.concat([old, new], ignore_index=True)
-        tmp = f"{path}.tmp-{os.getpid()}"
         merged_t = pa.Table.from_pandas(merged, preserve_index=False)
-        pq.write_table(
-            merged_t.replace_schema_metadata({"last_epoch": str(epoch)}), tmp
+        atomic_put_parquet(
+            merged_t.replace_schema_metadata({"last_epoch": str(epoch)}), path
         )
-        os.replace(tmp, path)
         return pd.concat(
             [pair_rows, joiner_rows, newrep_rows], ignore_index=True
         ).astype({"a": "int64", "b": "int64", "common": "int64", "union_n": "int64"})
@@ -1319,12 +1314,10 @@ def ingest_simhash_epoch(
             }
         ).drop_duplicates(["doc_a", "doc_b"])
         if not stamped:
-            tmp = f"{path}.tmp-{os.getpid()}"
             both_t = pa.Table.from_pandas(both, preserve_index=False)
-            pq.write_table(
-                both_t.replace_schema_metadata({"last_epoch": str(epoch)}), tmp
+            atomic_put_parquet(
+                both_t.replace_schema_metadata({"last_epoch": str(epoch)}), path
             )
-            os.replace(tmp, path)
         return out
 
     cand = (

@@ -57,6 +57,18 @@ class FileStorage(Protocol):
 
     def move(self, src: str, dst: str) -> None: ...
 
+    def atomic_put(self, path: str, data: bytes) -> None:
+        """Replace ``path`` with ``data`` such that a reader never observes
+        partial content (POSIX: tmp+fsync+rename; object store: PUT, atomic
+        by contract)."""
+        ...
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Create ``path`` only if it does not exist; True on success.  The
+        mutual-exclusion primitive (POSIX ``O_EXCL``; object store:
+        conditional put / If-None-Match)."""
+        ...
+
 
 class LocalFileStorage:
     """The os-backed storage every production path uses; paths are visible
@@ -109,6 +121,27 @@ class LocalFileStorage:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.replace(src, dst)
 
+    def atomic_put(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+        finally:
+            os.close(fd)
+        return True
+
 
 @dataclass
 class MemoryFileStorage:
@@ -155,5 +188,48 @@ class MemoryFileStorage:
         self._clock += 1
         self.files[dst] = (self._clock, self.files.pop(src)[1])
 
+    def atomic_put(self, path: str, data: bytes) -> None:
+        self.write_bytes(path, data)  # a single PUT is atomic by contract
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        if path in self.files:
+            return False
+        self.write_bytes(path, data)
+        return True
+
 
 LOCAL = LocalFileStorage()
+
+
+def atomic_put_parquet(table, path: str, storage: FileStorage = LOCAL) -> None:
+    """Atomic parquet write through the SPI: the LOCAL backend keeps the
+    zero-extra-copy tmp+rename fast path workers use today; any other
+    backend serializes to a buffer and relies on its atomic PUT.  This is
+    the single write primitive of the lake/ledger writers, so swapping the
+    backend swaps the commit mechanics everywhere at once."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if isinstance(storage, LocalFileStorage):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    else:
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        storage.atomic_put(path, buf.getvalue())
+
+
+def read_parquet_table(path: str, storage: FileStorage = LOCAL):
+    """SPI twin of ``pq.read_table`` for the ledger folds' bucket files."""
+    import pyarrow.parquet as pq
+
+    if isinstance(storage, LocalFileStorage):
+        return pq.read_table(path)
+    import io
+
+    return pq.read_table(io.BytesIO(storage.read_bytes(path)))

@@ -113,12 +113,14 @@ def manifest_path(lake_dir: str) -> str:
     return os.path.join(lake_dir, "manifest.json")
 
 
-def load_manifest(lake_dir: str) -> Manifest | None:
+def load_manifest(lake_dir: str, storage=None) -> Manifest | None:
+    from tapdata_connectors_ray.sources.storage import LOCAL
+
+    storage = storage or LOCAL
     path = manifest_path(lake_dir)
-    if not os.path.exists(path):
+    if not storage.exists(path):
         return None
-    with open(path) as f:
-        return Manifest.from_json(json.load(f))
+    return Manifest.from_json(json.loads(storage.read_bytes(path)))
 
 
 class ManifestConflictError(RuntimeError):
@@ -128,96 +130,100 @@ class ManifestConflictError(RuntimeError):
 
 
 def commit_manifest(
-    lake_dir: str, manifest: Manifest, expected_epoch: int | None = None
+    lake_dir: str,
+    manifest: Manifest,
+    expected_epoch: int | None = None,
+    storage=None,
 ) -> None:
-    """Atomic swap: tmp write + fsync + rename — the single commit point.
+    """Atomic swap through the FileStorage SPI — the single commit point.
 
     ``expected_epoch`` arms the optimistic-concurrency fence (the
     lake-table conditional-put / Hudi instant-conflict analogue): the swap
-    only lands if the on-disk manifest is still at that epoch, under a
-    best-effort ``manifest.lock`` (O_EXCL) spanning check+swap so two
-    same-box writers can't interleave.  On an object store this maps to a
-    conditional put / ETag precondition.
+    only lands if the stored manifest is still at that epoch, under a
+    best-effort ``manifest.lock`` taken with ``storage.put_if_absent`` —
+    O_EXCL on the local backend, a conditional put / If-None-Match on an
+    object store — spanning check+swap so two writers can't interleave.
+    The protocol therefore needs only atomic_put / put_if_absent / delete
+    from the backend: no fsync, no POSIX rename semantics leak out of the
+    SPI (``test_fencing_under_memory_storage`` pins this).
 
     Every commit ALSO lands an immutable per-epoch snapshot under
     ``history/manifest-{epoch}.json`` — the time-travel index (the lake-table
     commit timeline: any epoch whose data files haven't been GC'd by a later
     compaction is readable as of that epoch)."""
+    from tapdata_connectors_ray.sources.storage import LOCAL
+
+    storage = storage or LOCAL
     os.makedirs(lake_dir, exist_ok=True)
     path = manifest_path(lake_dir)
-    lock_fd = None
+    locked = False
     if expected_epoch is not None:
         import time
 
         lock = os.path.join(lake_dir, "manifest.lock")
         for attempt in range(2):
             for _ in range(200):  # ~2 s of 10 ms retries per acquire attempt
-                try:
-                    lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                if storage.put_if_absent(lock, b""):
+                    locked = True
                     break
-                except FileExistsError:
-                    time.sleep(0.01)
-            if lock_fd is not None or attempt == 1:
+                time.sleep(0.01)
+            if locked or attempt == 1:
                 break
             # a lock older than the full retry window is a crashed writer's
             # leftover: reclaim it so the fence self-heals instead of every
             # future commit waiting 2 s and running unfenced forever
             try:
-                if time.time() - os.stat(lock).st_mtime >= 2.0:
-                    os.unlink(lock)
-            except FileNotFoundError:
+                if time.time() - storage.stat(lock).mtime_ns / 1e9 >= 2.0:
+                    storage.delete(lock)
+            except (FileNotFoundError, KeyError):
                 pass  # the holder released between the loop and the stat
-        cur = load_manifest(lake_dir)
+        cur = load_manifest(lake_dir, storage=storage)
         if cur is not None and cur.epoch != expected_epoch:
-            if lock_fd is not None:
-                os.close(lock_fd)
-                os.unlink(lock)
+            if locked:
+                storage.delete(lock)
             raise ManifestConflictError(
                 f"manifest moved to epoch {cur.epoch} (expected {expected_epoch}) "
                 f"— another writer committed; reload and retry"
             )
     try:
-        _write_manifest_files(lake_dir, path, manifest)
+        _write_manifest_files(lake_dir, path, manifest, storage)
     finally:
-        if lock_fd is not None:
-            os.close(lock_fd)
-            os.unlink(os.path.join(lake_dir, "manifest.lock"))
+        if locked:
+            storage.delete(os.path.join(lake_dir, "manifest.lock"))
 
 
-def _write_manifest_files(lake_dir: str, path: str, manifest: Manifest) -> None:
-    payload = json.dumps(manifest.to_json(), indent=1)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
-    hist_dir = os.path.join(lake_dir, "history")
-    os.makedirs(hist_dir, exist_ok=True)
-    hist = os.path.join(hist_dir, f"manifest-{manifest.epoch:06d}.json")
-    htmp = hist + ".tmp"
-    with open(htmp, "w") as f:
-        f.write(payload)
-    os.replace(htmp, hist)
+def _write_manifest_files(lake_dir: str, path: str, manifest: Manifest, storage) -> None:
+    payload = json.dumps(manifest.to_json(), indent=1).encode()
+    storage.atomic_put(path, payload)
+    hist = os.path.join(
+        lake_dir, "history", f"manifest-{manifest.epoch:06d}.json"
+    )
+    storage.atomic_put(hist, payload)
 
 
-def load_manifest_at(lake_dir: str, epoch: int) -> Manifest | None:
+def load_manifest_at(lake_dir: str, epoch: int, storage=None) -> Manifest | None:
     """The manifest as committed at ``epoch`` (time-travel read), or None if
     that epoch was never committed in this lake."""
+    from tapdata_connectors_ray.sources.storage import LOCAL
+
+    storage = storage or LOCAL
     path = os.path.join(lake_dir, "history", f"manifest-{epoch:06d}.json")
-    if not os.path.exists(path):
+    if not storage.exists(path):
         return None
-    with open(path) as f:
-        return Manifest.from_json(json.load(f))
+    return Manifest.from_json(json.loads(storage.read_bytes(path)))
 
 
-def committed_epochs(lake_dir: str) -> list[int]:
+def committed_epochs(lake_dir: str, storage=None) -> list[int]:
+    from tapdata_connectors_ray.sources.storage import LOCAL
+
+    storage = storage or LOCAL
     hist_dir = os.path.join(lake_dir, "history")
-    if not os.path.isdir(hist_dir):
+    if isinstance(storage, type(LOCAL)) and not os.path.isdir(hist_dir):
         return []
     out = []
-    for n in os.listdir(hist_dir):
-        if n.startswith("manifest-") and n.endswith(".json"):
+    for st in storage.list(hist_dir, suffixes=(".json",)):
+        n = os.path.basename(st.path)
+        if n.startswith("manifest-"):
             out.append(int(n[len("manifest-"):-len(".json")]))
     return sorted(out)
 
