@@ -109,6 +109,11 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "cdc_diff_capture_roundtrip",
         "cdc_incremental_mv",
         "events_hopping_window",
+        # round-4 additions: distributed-path stress, MQ sink, second MV
+        "dedup_minhash_incremental_stress",
+        "sink_partitioned_log",
+        "cdc_incremental_mv_multi",
+        "pk_range_boundaries_strings",
     ]
     out: dict[str, float] = {}
     for name in panel:
