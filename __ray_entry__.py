@@ -36,6 +36,7 @@ _RUN_FIRST = (
     "pk_range_boundaries_strings",
     "sink_partitioned_log",
     "cdc_incremental_mv_multi",
+    "kmeans_train",
     # green in r02 but not re-run since (driver 50-query cap)
     "af_customer_match",
     "af_lineitem_filter_sort_limit",

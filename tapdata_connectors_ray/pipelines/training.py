@@ -1675,6 +1675,106 @@ def q_ann_ivf_topk(sf_dir: str) -> Any:
     return final_topk(cands, ANN_K)
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q_kmeans_train(sf_dir: str) -> Any:
+    """Distributed k-means (Lloyd) TRAINING for the IVF layout — the
+    train-the-index step ``ann_ivf_topk``'s pre-supplied labels skip.
+
+    Deterministic protocol mirrored exactly by the SQL oracle (two unrolled
+    Lloyd rounds): init = the K lowest-vec_id vectors; each round assigns
+    every vector to its nearest centroid (squared-L2 argmin, ties to the
+    lowest label) and recomputes centroids as member means; clusters that
+    go empty are dropped.  Output: per surviving cluster, member count and
+    the rounded centroid norm.
+
+    Scale shape: each round is ONE ``map_batches`` pass emitting
+    (label, count, sum-vector) PARTIALS — k x d floats per block, metadata
+    scale — folded on the driver; the k x d centroid matrix rides to tasks
+    by closure (tiny).  No shuffle anywhere; cost is O(n·k·d) compute per
+    round, embarrassingly parallel."""
+    from tapdata_connectors_ray.stages.similarity import stack_embeddings
+
+    import numpy as _np
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def init_partial(batch: pa.Table) -> pa.Table:
+        # per-block K-smallest vec_ids (no global sort; K rows per block
+        # reach the driver, which merges)
+        ids = batch["vec_id"].to_numpy()
+        if len(ids) > KMEANS_K:
+            batch = batch.take(_np.sort(_np.argpartition(ids, KMEANS_K - 1)[:KMEANS_K]))
+        return batch
+
+    init = (
+        ds.map_batches(init_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .nsmallest(KMEANS_K, "vec_id")
+        .sort_values("vec_id")
+    )
+    cents = _np.stack(
+        [_np.asarray(v, dtype=_np.float64) for v in init["embedding"]]
+    )
+    labels = _np.arange(KMEANS_K, dtype=_np.int64)
+
+    last = None
+    for _ in range(KMEANS_ITERS):
+        C = cents  # rebind for closure capture (k x d — ships per task, tiny)
+        L = labels
+
+        def partials(batch: pa.Table) -> pa.Table:
+            mat = stack_embeddings(batch)
+            # squared L2 via the expansion — no n x k x d intermediate
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            lab = d2.argmin(axis=1)  # ties -> lowest index == lowest label
+            rows_lab, rows_n, rows_sum = [], [], []
+            for li in _np.unique(lab):
+                sel = mat[lab == li]
+                rows_lab.append(int(L[li]))
+                rows_n.append(sel.shape[0])
+                rows_sum.append(sel.sum(axis=0).tobytes())
+            return pa.table(
+                {
+                    "label": pa.array(rows_lab, pa.int64()),
+                    "n": pa.array(rows_n, pa.int64()),
+                    "vsum": pa.array(rows_sum, pa.binary()),
+                }
+            )
+
+        part = ds.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()  # <= k rows per block — metadata scale
+        agg_n = part.groupby("label")["n"].sum()
+        sums = {
+            int(li): _np.sum(
+                [_np.frombuffer(b, dtype=_np.float64) for b in grp["vsum"]], axis=0
+            )
+            for li, grp in part.groupby("label")
+        }
+        alive = _np.array(sorted(sums), dtype=_np.int64)
+        cents = _np.stack([sums[int(li)] / agg_n[li] for li in alive])
+        labels = alive  # empty clusters dropped, label ids retained
+        last = agg_n
+
+    norms = _np.round(_np.sqrt((cents * cents).sum(axis=1)), 5)
+    return pd.DataFrame(
+        {
+            "label": labels,
+            "n_members": last.loc[labels].to_numpy(),
+            "centroid_norm": norms,
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -2029,6 +2129,55 @@ FROM eaug a JOIN eaug b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 5) >= {COSINE_DUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """,
+    # two unrolled Lloyd rounds: deterministic init (K lowest vec_ids),
+    # argmin assignment with ties to the lowest label, element-wise mean
+    # update, empty clusters dropped — the exact protocol of q_kmeans_train
+    "kmeans_train": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS label, v AS cv
+    FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+),
+a1 AS (
+    SELECT vec_id, label FROM (
+        SELECT e.vec_id, c0.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c0.cv), c0.label) AS rn
+        FROM e CROSS JOIN c0
+    ) WHERE rn = 1
+),
+el1 AS (
+    SELECT a1.label, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS d
+    FROM e JOIN a1 USING (vec_id)
+),
+c1 AS (
+    SELECT label, list(cx ORDER BY d) AS cv FROM (
+        SELECT label, d, avg(x) AS cx FROM el1 GROUP BY label, d
+    ) GROUP BY label
+),
+a2 AS (
+    SELECT vec_id, label FROM (
+        SELECT e.vec_id, c1.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c1.cv), c1.label) AS rn
+        FROM e CROSS JOIN c1
+    ) WHERE rn = 1
+),
+el2 AS (
+    SELECT a2.label, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS d
+    FROM e JOIN a2 USING (vec_id)
+),
+c2 AS (
+    SELECT label, list(cx ORDER BY d) AS cv FROM (
+        SELECT label, d, avg(x) AS cx FROM el2 GROUP BY label, d
+    ) GROUP BY label
+)
+SELECT a2.label, count(*) AS n_members,
+       round(sqrt(list_inner_product(c2.cv, c2.cv)), 5) AS centroid_norm
+FROM a2 JOIN c2 USING (label)
+GROUP BY a2.label, c2.cv
+ORDER BY label
+""",
     "ann_cosine_topk": f"""
 WITH q AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2177,6 +2326,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_incremental_stress": q_dedup_embedding_incremental_stress,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "kmeans_train": q_kmeans_train,
         "text_token_counts": q_text_token_counts,
         "text_quality_scores": q_text_quality_scores,
         "text_language_id": q_text_language_id,
