@@ -418,6 +418,21 @@ def _inc_ledger_dir(sf_dir: str, name: str) -> str:
     return d
 
 
+def _coarsen_bucket(col: str, n: int = _LEDGER_BUCKETS):
+    """Remap a shuffle-bucket column to ledger-file granularity (mod n):
+    each fold task reads+rewrites ONE ledger file, so the bucket count is
+    the per-epoch file-op count — 64 files beats the batch pipeline's 256
+    shuffle buckets when the ledger is the output."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = (batch[col].to_numpy() % n).astype(np.int32)
+        return batch.set_column(
+            batch.schema.get_field_index(col), col, pa.array(v)
+        )
+
+    return f
+
+
 def make_band_ledger_fold(bands_dir: str, epoch: int):
     """Per-sbucket band-LEDGER fold shared by the incremental near-dup
     pipelines (MinHash and hyperplane banding emit the same row layout):
@@ -744,9 +759,13 @@ def ingest_lsh_epoch(
         ).astype({"a": "int64", "b": "int64", "common": "int64", "union_n": "int64"})
 
     def add_hbucket(batch: pa.Table) -> pa.Table:
+        # ledger-file granularity: _LEDGER_BUCKETS files, not the batch
+        # pipeline's 256 shuffle buckets — every fold task reads+rewrites
+        # one file, so bucket count is file-op count per epoch
         h = batch["text_hash"].to_numpy()
         return batch.append_column(
-            "hbucket", pa.array((h.view(np.uint64) % np.uint64(256)).astype(np.int32))
+            "hbucket",
+            pa.array((h.view(np.uint64) % np.uint64(_LEDGER_BUCKETS)).astype(np.int32)),
         )
 
     ev_ds = (
@@ -799,9 +818,13 @@ def ingest_lsh_epoch(
 
         bands_fold = make_band_ledger_fold(bands_dir, epoch)
 
-        new_bands = prof.map_batches(
-            keep_new_reps, batch_format="pyarrow", zero_copy_batch=True
-        ).map_batches(MinHashLSH(ngram=ngram, num_perm=128, num_bands=64), batch_format="pyarrow")
+        new_bands = (
+            prof.map_batches(
+                keep_new_reps, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .map_batches(MinHashLSH(ngram=ngram, num_perm=128, num_bands=64), batch_format="pyarrow")
+            .map_batches(_coarsen_bucket("sbucket"), batch_format="pyarrow", zero_copy_batch=True)
+        )
         cand_ds = (
             new_bands.groupby("sbucket")
             .map_groups(bands_fold, batch_format="pandas")
@@ -1323,6 +1346,7 @@ def ingest_simhash_epoch(
     cand = (
         docs.map_batches(SimHash(), batch_format="pyarrow")
         .map_batches(simhash_chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_coarsen_bucket("cbucket"), batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cbucket")
         .map_groups(fold, batch_format="pandas")
         .to_pandas()
@@ -1470,6 +1494,7 @@ def ingest_embedding_epoch(
 
     cand_ds = (
         embs.map_batches(HyperplaneLSH(dim), batch_format="pyarrow")
+        .map_batches(_coarsen_bucket("sbucket"), batch_format="pyarrow", zero_copy_batch=True)
         .groupby("sbucket")
         .map_groups(
             make_band_ledger_fold(os.path.join(ledger_dir, "bands"), epoch),
