@@ -37,6 +37,7 @@ _RUN_FIRST = (
     "sink_partitioned_log",
     "cdc_incremental_mv_multi",
     "kmeans_train",
+    "source_sql_command",
     # green in r02 but not re-run since (driver 50-query cap)
     "af_customer_match",
     "af_lineitem_filter_sort_limit",

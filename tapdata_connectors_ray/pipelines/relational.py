@@ -158,6 +158,32 @@ def q_pk_range_boundaries_strings(sf_dir: str):
     return pk_range_boundaries(_t(sf_dir, "customer"), "c_name", every=25)
 
 
+def q_source_sql_command(sf_dir: str):
+    """Raw SQL command source (the reference's executeCommand / query
+    passthrough): a window-function one-off the operator algebra doesn't
+    cover runs via the lake's SQL surface (DuckDB inside ONE Ray task),
+    and the RAY pipeline continues on the result — a vectorized derived
+    column + filter over the returned Dataset."""
+    from tapdata_connectors_ray.sources.sqlcmd import read_sql_command
+
+    sql = """
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 6) AS total,
+               max(o_orderdate) AS last_order
+        FROM orders GROUP BY o_custkey
+    """
+    ds = read_sql_command(sql, {"orders": _t(sf_dir, "orders")})
+
+    def continue_in_ray(batch: pa.Table) -> pa.Table:
+        # identical operands to the oracle's total / n_orders -> identical
+        # IEEE result; no pre-rounding (round-mode parity trap)
+        avg = pc.divide(batch["total"], pc.cast(batch["n_orders"], pa.float64()))
+        batch = batch.append_column("avg_price", avg)
+        return batch.filter(pc.greater_equal(batch["n_orders"], 3))
+
+    return ds.map_batches(continue_in_ray, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_distinct_segments(sf_dir: str):
     vals = ray.data.read_parquet(
         _t(sf_dir, "customer"), columns=["c_mktsegment"]
@@ -754,6 +780,17 @@ RELATIONAL_SQL: dict[str, str] = {
         ) WHERE (rn - 1) % 25 = 0
         ORDER BY boundary
     """,
+    "source_sql_command": """
+        WITH s AS (
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 6) AS total,
+                   max(o_orderdate) AS last_order
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, n_orders, total, last_order,
+               total / n_orders AS avg_price
+        FROM s WHERE n_orders >= 3 ORDER BY o_custkey
+    """,
     "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1",
     "master_subdoc_merge": """
         WITH li AS (
@@ -968,6 +1005,7 @@ def relational_queries():
         "point_lookup_customer": q_point_lookup_customer,
         "pk_range_boundaries_orders": q_pk_range_boundaries_orders,
         "pk_range_boundaries_strings": q_pk_range_boundaries_strings,
+        "source_sql_command": q_source_sql_command,
         "distinct_segments": q_distinct_segments,
         "quantiles_lineitem": q_quantiles_lineitem,
         "profile_customer": q_profile_customer,
