@@ -366,6 +366,32 @@ def replay_final_state(
     )
 
 
+def replay_from_normalized(
+    feed: ray.data.Dataset,
+    plan: EvolutionPlan,
+) -> ray.data.Dataset:
+    """Apply an ALREADY-normalized change feed (e.g. consumed back from the
+    MQ topic sink — the replicate-out channel's consumer side) to final
+    state: drop envelope extras (``mq_op``), per-partition LWW merge,
+    latest-schema projection.  The feed must carry the normalize stage's
+    columns (payload + lsn + op + partition_id)."""
+    payload_names = plan.schema_at().names
+    keep = list(payload_names) + ["lsn", "op", "partition_id"]
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select([c for c in keep if c in batch.column_names])
+
+    merge_fn = make_lww_merge(plan.schema_at(), plan.keys())
+    merged = (
+        feed.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("partition_id")
+        .map_groups(merge_fn, batch_format="pyarrow")
+    )
+    return merged.map_batches(
+        lambda b: b.select(payload_names), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def lsn_bounds(events_path: str | list[str]) -> tuple[int, int]:
     """(min, max) LSN of the log from parquet footer statistics — no data
     read (same footer-only probe the epoch splitter uses,

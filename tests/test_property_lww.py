@@ -326,3 +326,61 @@ def test_time_travel_equals_prefix_reducer(ray_session, tmp_path_factory, log, d
             df["turn_score"] = df["turn_score"].astype("Int64")
             df["turn_idx"] = df["turn_idx"].astype("Int32")
         pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(log=event_logs())
+def test_topic_sink_roundtrip_equals_direct_replay(ray_session, tmp_path_factory, log):
+    """The distributed MQ producer sink as a replication channel: feeding
+    the normalized change feed through write_topic_dataset -> poll ->
+    replay of the consumed segments must equal the direct replay — for
+    arbitrary little logs with dup LSNs, key moves and DDL."""
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.pipelines.replay import (
+        normalized_events,
+        replay_final_state,
+    )
+    from tapdata_connectors_ray.sources.partitioned_log import (
+        poll_topic,
+        read_topic_segments,
+        write_topic_dataset,
+    )
+
+    d = tmp_path_factory.mktemp("topic_prop")
+    path = str(d / "events.parquet")
+    pq.write_table(_to_table(log), path)
+
+    def _sorted(df):
+        if df.empty:  # all-tombstone logs: empty frame may carry no columns
+            return df
+        return df.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+    direct = _sorted(replay_final_state(path, None, num_partitions=8).to_pandas())
+
+    topic = str(d / "topic")
+    feed = normalized_events(path, None, prereduce=False)
+    write_topic_dataset(
+        feed, topic, "conv_id", n_partitions=4, rows_per_segment=16
+    ).materialize()
+    files, _ = poll_topic(topic)
+    back = read_topic_segments(files)
+    # apply the consumed feed: per-partition LWW merge, same as the lake
+    from tapdata_connectors_ray.pipelines.replay import (
+        replay_from_normalized,
+        scan_evolution_plan_distributed,
+    )
+
+    got = _sorted(
+        replay_from_normalized(back, scan_evolution_plan_distributed(path)).to_pandas()
+    )
+    if direct.empty or got.empty:
+        assert len(direct) == len(got) == 0
+        return
+    pd.testing.assert_frame_equal(
+        got[direct.columns.tolist()], direct, check_dtype=False
+    )
