@@ -45,6 +45,7 @@ from tapdata_connectors_ray.state.checkpoint import (
     Manifest,
     PartitionState,
     commit_manifest,
+    committed_epochs,
     load_manifest,
     load_manifest_at,
     partition_dir,
@@ -884,6 +885,51 @@ class CheckpointedIngest:
                 except OSError:
                     pass
         return self.ingest(events_path, base_path)
+
+    def vacuum(self, retain_last: int = 2) -> dict:
+        """Lake vacuum — the Hudi cleaner / Delta VACUUM analogue: drop
+        history manifests beyond the newest ``retain_last`` and delete every
+        data file no RETAINED commit references (superseded rewrite files,
+        orphans from crashed or fenced writers, stray ``.tmp`` parts).
+
+        Time travel stays valid for exactly the retained epochs; anything
+        older raises on read (the documented compact/resync GC contract,
+        now with an explicit retention knob).  Returns removal counts."""
+        epochs = committed_epochs(self.lake_dir)
+        retained = set(epochs[-retain_last:]) if retain_last > 0 else set()
+        retained.add(self.manifest.epoch)
+        live: set[str] = set(self.manifest.all_files())
+        removed_history = 0
+        for ep in epochs:
+            if ep in retained:
+                m = load_manifest_at(self.lake_dir, ep)
+                if m is not None:
+                    live.update(m.all_files())
+            else:
+                try:
+                    os.remove(
+                        os.path.join(
+                            self.lake_dir, "history", f"manifest-{ep:06d}.json"
+                        )
+                    )
+                    removed_history += 1
+                except OSError:
+                    pass
+        removed_files = 0
+        parts_root = os.path.join(self.lake_dir, "partitions")
+        if os.path.isdir(parts_root):
+            for root, _, files in os.walk(parts_root):
+                for f in files:
+                    p = os.path.join(root, f)
+                    if p in live:
+                        continue
+                    if f.endswith(".parquet") or ".parquet.tmp-" in f:
+                        try:
+                            os.remove(p)
+                            removed_files += 1
+                        except OSError:
+                            pass
+        return {"removed_files": removed_files, "removed_history": removed_history}
 
     def clear_table(self) -> None:
         """``clearTable`` analogue (``CommonDbConnector.java:352-362``):

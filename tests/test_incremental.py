@@ -558,3 +558,41 @@ def test_atomic_put_parquet_backends(tmp_path):
     assert mem.put_if_absent("/mock/lock", b"") is False
     assert LOCAL.put_if_absent(str(tmp_path / "lock"), b"") is True
     assert LOCAL.put_if_absent(str(tmp_path / "lock"), b"") is False
+
+
+def test_vacuum_gc_and_retention(paths, expected, lake_dir):
+    """Lake vacuum: superseded rewrite files + crashed-writer orphans are
+    collected, history retention is honored, the latest state and retained
+    time travel survive, vacuumed epochs become unreadable."""
+    import os
+
+    from tapdata_connectors_ray.fixtures import parquet_num_rows
+    from tapdata_connectors_ray.state.checkpoint import committed_epochs
+
+    ev, base = paths
+    mid = parquet_num_rows(ev)
+    ing = CheckpointedIngest(lake_dir, num_partitions=8)
+    ing.ingest(ev, base, end_lsn=mid // 3)      # epoch 1 (rewrite mode)
+    ing.ingest(ev, None, end_lsn=2 * mid // 3)  # epoch 2 rewrites -> ep-1 files orphaned
+    ing.ingest(ev, None)                        # epoch 3
+    # a crashed writer's stray tmp part
+    stray = os.path.join(lake_dir, "partitions", "p=00003",
+                         "part-999999.parquet.tmp-deadbeef")
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    assert committed_epochs(lake_dir) == [1, 2, 3]
+    old_files = {
+        f for st in ing.manifest.partitions.values() for f in st.files
+    }
+    res = ing.vacuum(retain_last=1)
+    assert res["removed_history"] == 2           # epochs 1 and 2 dropped
+    assert res["removed_files"] > 0
+    assert not os.path.exists(stray)
+    assert committed_epochs(lake_dir) == [3]
+    # current state intact, current files untouched
+    assert_lake_matches(ing, expected)
+    assert all(os.path.exists(f) for f in old_files)
+    # retained epoch still time-travels; vacuumed epoch raises
+    assert ing.dataset_at(3).count() > 0
+    with pytest.raises(ValueError):
+        ing.dataset_at(1)
