@@ -38,6 +38,7 @@ _RUN_FIRST = (
     "cdc_incremental_mv_multi",
     "kmeans_train",
     "source_sql_command",
+    "ann_ivf_trained_topk",
     # green in r02 but not re-run since (driver 50-query cap)
     "af_customer_match",
     "af_lineitem_filter_sort_limit",

@@ -1704,7 +1704,18 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
-def q_kmeans_train(sf_dir: str) -> Any:
+def _kmeans_assign(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Row-wise nearest-centroid index (squared L2 via the expansion — no
+    n x k x d intermediate); ties go to the lowest index == lowest label."""
+    d2 = (
+        (mat * mat).sum(axis=1)[:, None]
+        - 2.0 * (mat @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    return d2.argmin(axis=1)
+
+
+def _kmeans_fit(sf_dir: str):
     """Distributed k-means (Lloyd) TRAINING for the IVF layout — the
     train-the-index step ``ann_ivf_topk``'s pre-supplied labels skip.
 
@@ -1712,14 +1723,15 @@ def q_kmeans_train(sf_dir: str) -> Any:
     Lloyd rounds): init = the K lowest-vec_id vectors; each round assigns
     every vector to its nearest centroid (squared-L2 argmin, ties to the
     lowest label) and recomputes centroids as member means; clusters that
-    go empty are dropped.  Output: per surviving cluster, member count and
-    the rounded centroid norm.
+    go empty are dropped.
 
     Scale shape: each round is ONE ``map_batches`` pass emitting
     (label, count, sum-vector) PARTIALS — k x d floats per block, metadata
     scale — folded on the driver; the k x d centroid matrix rides to tasks
     by closure (tiny).  No shuffle anywhere; cost is O(n·k·d) compute per
-    round, embarrassingly parallel."""
+    round, embarrassingly parallel.
+
+    Returns (labels, centroids, member counts of the final assignment)."""
     from tapdata_connectors_ray.stages.similarity import stack_embeddings
 
     import numpy as _np
@@ -1754,13 +1766,7 @@ def q_kmeans_train(sf_dir: str) -> Any:
 
         def partials(batch: pa.Table) -> pa.Table:
             mat = stack_embeddings(batch)
-            # squared L2 via the expansion — no n x k x d intermediate
-            d2 = (
-                (mat * mat).sum(axis=1)[:, None]
-                - 2.0 * (mat @ C.T)
-                + (C * C).sum(axis=1)[None, :]
-            )
-            lab = d2.argmin(axis=1)  # ties -> lowest index == lowest label
+            lab = _kmeans_assign(mat, C)
             rows_lab, rows_n, rows_sum = [], [], []
             for li in _np.unique(lab):
                 sel = mat[lab == li]
@@ -1790,14 +1796,98 @@ def q_kmeans_train(sf_dir: str) -> Any:
         labels = alive  # empty clusters dropped, label ids retained
         last = agg_n
 
-    norms = _np.round(_np.sqrt((cents * cents).sum(axis=1)), 5)
+    return labels, cents, last
+
+
+def q_kmeans_train(sf_dir: str) -> Any:
+    """Per surviving cluster: member count + rounded centroid norm — the
+    conformance surface of :func:`_kmeans_fit` (see there for the
+    protocol)."""
+    labels, cents, counts = _kmeans_fit(sf_dir)
+    norms = np.round(np.sqrt((cents * cents).sum(axis=1)), 5)
     return pd.DataFrame(
         {
             "label": labels,
-            "n_members": last.loc[labels].to_numpy(),
+            "n_members": counts.loc[labels].to_numpy(),
             "centroid_norm": norms,
         }
     )
+
+
+def q_ann_ivf_trained_topk(sf_dir: str) -> Any:
+    """END-TO-END trained IVF ANN: Lloyd-trained centroids (no pre-supplied
+    labels anywhere) -> per-query nprobe nearest cells (L2, rounded before
+    rank — centroid means sum in different orders across systems) ->
+    cell-filtered exact cosine top-k.  Cells are COMPUTED per batch from the
+    broadcast centroid matrix (assignment is deterministic), so the search
+    needs no stored label column at all."""
+    from tapdata_connectors_ray.stages.similarity import (
+        BruteForceTopK,
+        final_topk,
+        normalize_rows,
+    )
+
+    labels, cents, _ = _kmeans_fit(sf_dir)
+    q_ids, q_mat = _query_matrix(sf_dir)
+    # probe selection: nprobe nearest TRAINED centroids by euclidean
+    # distance, ties to the lowest label (the oracle's row_number order)
+    dists = np.round(
+        np.sqrt(
+            ((q_mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        ),
+        5,
+    )
+    order = np.lexsort((np.broadcast_to(labels, dists.shape), dists), axis=1)
+    probes = {
+        int(q): set(labels[order[i, :IVF_NPROBE]].tolist())
+        for i, q in enumerate(q_ids)
+    }
+
+    qref = ray.put({"ids": q_ids, "mat": normalize_rows(q_mat)})
+    cents_ref = ray.put({"labels": labels, "cents": cents})
+
+    class TrainedIVFTopK(BruteForceTopK):
+        def __init__(self) -> None:
+            super().__init__(qref, ANN_K)
+            cd = ray.get(cents_ref)
+            self.labels = cd["labels"]
+            self.cents = cd["cents"]
+            self.probes = probes
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from tapdata_connectors_ray.stages.similarity import (
+                normalize_rows as _nr,
+                stack_embeddings as _se,
+            )
+
+            raw = _se(batch)
+            row_labels = self.labels[_kmeans_assign(raw, self.cents)]
+            mat = _nr(raw)
+            ids = batch["vec_id"].to_numpy()
+            sims = mat @ self.q_mat.T
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(self.q_ids):
+                allowed = np.isin(row_labels, list(self.probes[int(qid)]))
+                mask = allowed & (ids != qid)
+                cand_ids, cand_sims = self.block_topk(ids[mask], sims[mask, j], self.k)
+                out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
+                out_n.append(cand_ids)
+                out_s.append(cand_sims)
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                    "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cands = ds.map_batches(
+        TrainedIVFTopK, batch_format="pyarrow", concurrency=actor_pool()
+    ).to_pandas()
+    return final_topk(cands, ANN_K)
 
 
 # ---------------------------------------------------------------------------
@@ -2070,6 +2160,53 @@ _CENTROID_CTE = """
 )
 """
 
+# two unrolled Lloyd rounds: deterministic init (K lowest vec_ids), argmin
+# assignment with ties to the lowest label, element-wise mean update, empty
+# clusters dropped — the exact protocol of _kmeans_fit; shared by the
+# kmeans_train and ann_ivf_trained_topk oracles
+_KMEANS_CTE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS label, v AS cv
+    FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+),
+a1 AS (
+    SELECT vec_id, label FROM (
+        SELECT e.vec_id, c0.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c0.cv), c0.label) AS rn
+        FROM e CROSS JOIN c0
+    ) WHERE rn = 1
+),
+el1 AS (
+    SELECT a1.label, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS d
+    FROM e JOIN a1 USING (vec_id)
+),
+c1 AS (
+    SELECT label, list(cx ORDER BY d) AS cv FROM (
+        SELECT label, d, avg(x) AS cx FROM el1 GROUP BY label, d
+    ) GROUP BY label
+),
+a2 AS (
+    SELECT vec_id, label FROM (
+        SELECT e.vec_id, c1.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c1.cv), c1.label) AS rn
+        FROM e CROSS JOIN c1
+    ) WHERE rn = 1
+),
+el2 AS (
+    SELECT a2.label, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS d
+    FROM e JOIN a2 USING (vec_id)
+),
+c2 AS (
+    SELECT label, list(cx ORDER BY d) AS cv FROM (
+        SELECT label, d, avg(x) AS cx FROM el2 GROUP BY label, d
+    ) GROUP BY label
+)
+"""
+
+
 TRAINING_SQL: dict[str, str] = {
     "curation_pipeline": _grams_cutoff_cte()
     + """
@@ -2154,54 +2291,53 @@ FROM eaug a JOIN eaug b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 5) >= {COSINE_DUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """,
-    # two unrolled Lloyd rounds: deterministic init (K lowest vec_ids),
-    # argmin assignment with ties to the lowest label, element-wise mean
-    # update, empty clusters dropped — the exact protocol of q_kmeans_train
-    "kmeans_train": f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c0 AS (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS label, v AS cv
-    FROM e ORDER BY vec_id LIMIT {KMEANS_K}
-),
-a1 AS (
-    SELECT vec_id, label FROM (
-        SELECT e.vec_id, c0.label,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY list_distance(e.v, c0.cv), c0.label) AS rn
-        FROM e CROSS JOIN c0
-    ) WHERE rn = 1
-),
-el1 AS (
-    SELECT a1.label, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS d
-    FROM e JOIN a1 USING (vec_id)
-),
-c1 AS (
-    SELECT label, list(cx ORDER BY d) AS cv FROM (
-        SELECT label, d, avg(x) AS cx FROM el1 GROUP BY label, d
-    ) GROUP BY label
-),
-a2 AS (
-    SELECT vec_id, label FROM (
-        SELECT e.vec_id, c1.label,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY list_distance(e.v, c1.cv), c1.label) AS rn
-        FROM e CROSS JOIN c1
-    ) WHERE rn = 1
-),
-el2 AS (
-    SELECT a2.label, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS d
-    FROM e JOIN a2 USING (vec_id)
-),
-c2 AS (
-    SELECT label, list(cx ORDER BY d) AS cv FROM (
-        SELECT label, d, avg(x) AS cx FROM el2 GROUP BY label, d
-    ) GROUP BY label
-)
+    "kmeans_train": _KMEANS_CTE
+    + f"""
 SELECT a2.label, count(*) AS n_members,
        round(sqrt(list_inner_product(c2.cv, c2.cv)), 5) AS centroid_norm
 FROM a2 JOIN c2 USING (label)
 GROUP BY a2.label, c2.cv
 ORDER BY label
+""",
+    # trained-IVF ANN: probes = nprobe nearest TRAINED centroids (rounded
+    # euclidean, ties to lowest label), candidates = vectors ASSIGNED to a
+    # probed cell, exact cosine top-k within
+    "ann_ivf_trained_topk": _KMEANS_CTE
+    + f"""
+, q AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE vec_id IN {ANN_QUERY_IDS}
+), probes AS (
+    SELECT query_id, label FROM (
+        SELECT q.vec_id AS query_id, c2.label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_distance(q.v, c2.cv), 5), c2.label) AS rn
+        FROM q CROSS JOIN c2
+    ) WHERE rn <= {IVF_NPROBE}
+), a3 AS (
+    -- index layout: every vector assigned to its nearest FINAL centroid
+    SELECT vec_id, label FROM (
+        SELECT e.vec_id, c2.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c2.cv), c2.label) AS rn
+        FROM e CROSS JOIN c2
+    ) WHERE rn = 1
+), cand AS (
+    SELECT p.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(qq.v, e.v) AS sim
+    FROM probes p
+    JOIN a3 ON a3.label = p.label
+    JOIN e ON e.vec_id = a3.vec_id
+    JOIN q qq ON qq.vec_id = p.query_id
+    WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, round(sim, 5) AS sim FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM cand
+) WHERE rn <= {ANN_K}
+ORDER BY query_id, neighbor_id
 """,
     "ann_cosine_topk": f"""
 WITH q AS (
@@ -2352,6 +2488,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_train": q_kmeans_train,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "text_token_counts": q_text_token_counts,
         "text_quality_scores": q_text_quality_scores,
         "text_language_id": q_text_language_id,
