@@ -114,6 +114,9 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "sink_partitioned_log",
         "cdc_incremental_mv_multi",
         "pk_range_boundaries_strings",
+        "kmeans_train",
+        "ann_ivf_trained_topk",
+        "source_sql_command",
     ]
     out: dict[str, float] = {}
     for name in panel:
