@@ -158,8 +158,11 @@ def _pk_range_boundaries_str(
     while skip < min(len(mnb), len(mxb)) and mnb[skip] == mxb[skip]:
         skip += 1
     # back up to a UTF-8 character boundary so the key never splits a
-    # multi-byte sequence inconsistently across values
-    while skip > 0 and (mnb[skip] & 0xC0) == 0x80:
+    # multi-byte sequence inconsistently across values (when min is a full
+    # prefix of max — or equal — the boundary is trivially aligned, and the
+    # first differing byte to inspect lives in max)
+    probe = mnb if skip < len(mnb) else mxb
+    while skip > 0 and skip < len(probe) and (probe[skip] & 0xC0) == 0x80:
         skip -= 1
 
     lo = float(_str_prefix_key(pa.array([mn]), skip)[0])
