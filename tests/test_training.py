@@ -540,3 +540,52 @@ def test_simhash_epoch_retry_idempotent(ray_session, tmp_path):
     assert sizes2 == sizes, "retried epoch re-appended chunk rows"
     got = ray.data.read_parquet(f"{led}/pairs").to_pandas()
     assert set(zip(got.doc_a, got.doc_b)) == {(1, 2)}
+
+
+def test_kmeans_fit_matches_sequential_reference(ray_session, tmp_path):
+    """The distributed Lloyd fit (per-block partial sums folded on the
+    driver) must equal a sequential numpy reference bit-for-bit in
+    assignment and near-exactly in centroids, across several seeds."""
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.pipelines.training import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        _kmeans_fit,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n, d = rng.integers(30, 200), 8
+        mat = rng.normal(size=(n, d)).astype(np.float32)
+        ids = rng.permutation(1000)[:n].astype(np.int64)
+        sf = str(tmp_path / f"t{trial}")
+        import os as _os
+
+        _os.makedirs(sf, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+                }
+            ),
+            f"{sf}/embeddings.parquet",
+        )
+        labels, cents, counts = _kmeans_fit(sf)
+
+        # sequential reference
+        order = np.argsort(ids)
+        m64 = mat.astype(np.float64)
+        ref_c = m64[order[:KMEANS_K]]
+        ref_l = np.arange(min(KMEANS_K, n), dtype=np.int64)
+        for _ in range(KMEANS_ITERS):
+            d2 = ((m64[:, None, :] - ref_c[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            alive = np.unique(a)
+            ref_c = np.stack([m64[a == j].mean(axis=0) for j in alive])
+            ref_l = ref_l[alive]
+            last = {int(ref_l[i]): int((a == alive[i]).sum()) for i in range(len(alive))}
+        assert labels.tolist() == ref_l.tolist()
+        assert {int(k): int(v) for k, v in counts.items()} == last
+        np.testing.assert_allclose(cents, ref_c, rtol=0, atol=1e-9)
