@@ -140,6 +140,7 @@ def write_topic_dataset(
         for pid in np.unique(pids):
             part = batch.filter(pa.array(pids == pid))
             pdir = os.path.join(topic_dir, f"partition={int(pid)}")
+            os.makedirs(pdir, exist_ok=True)  # task may land on a fresh node
             for j in range(0, part.num_rows, rows_per_segment):
                 chunk = part.slice(j, rows_per_segment)
                 if "lsn" in chunk.column_names and chunk.num_rows:
