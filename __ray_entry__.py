@@ -39,6 +39,7 @@ _RUN_FIRST = (
     "kmeans_train",
     "source_sql_command",
     "ann_ivf_trained_topk",
+    "ann_ivf_incremental_topk",
     # green in r02 but not re-run since (driver 50-query cap)
     "af_customer_match",
     "af_lineitem_filter_sort_limit",

@@ -1890,6 +1890,129 @@ def q_ann_ivf_trained_topk(sf_dir: str) -> Any:
     return final_topk(cands, ANN_K)
 
 
+def ingest_ivf_epoch(
+    embs: ray.data.Dataset,
+    ledger_dir: str,
+    epoch: int,
+    labels: np.ndarray,
+    cents: np.ndarray,
+) -> None:
+    """IVF index MAINTENANCE under ingest: assign the epoch's vectors to the
+    FIXED trained centroids (assignment is deterministic, so the index never
+    needs retraining to stay query-consistent) and append them to per-cell
+    hive partitions (``cells/epoch-K/cell=N/``).  A search then reads ONLY
+    its probed cells' files — the query-side read cost tracks nprobe/k of
+    the corpus, not the corpus."""
+    cents_ref = ray.put({"labels": labels, "cents": cents})
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from tapdata_connectors_ray.stages.similarity import stack_embeddings
+
+        cd = ray.get(cents_ref)
+        lab = cd["labels"][_kmeans_assign(stack_embeddings(batch), cd["cents"])]
+        # label kept as DATA too: explicit-path reads don't see hive columns
+        batch = batch.append_column("label", pa.array(lab, pa.int64()))
+        return batch.append_column("cell", pa.array(lab, pa.int64()))
+
+    embs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        os.path.join(ledger_dir, "cells", f"epoch-{epoch}"),
+        partition_cols=["cell"],
+    )
+
+
+def q_ann_ivf_incremental_topk(sf_dir: str) -> Any:
+    """Incremental IVF: vectors arrive in deterministic epochs
+    (``vec_id % 3``) and fold into the trained cell ledger; the search
+    enumerates ONLY the probed cells' partition files across all epochs
+    (explicit path pruning) — unlike the one-shot trained query, the probe
+    never scans unprobed cells.  Assignment to fixed centroids is
+    order-independent, so the answer equals the one-shot trained IVF's —
+    same oracle."""
+    from tapdata_connectors_ray.stages.similarity import (
+        BruteForceTopK,
+        final_topk,
+        normalize_rows,
+    )
+
+    labels, cents, _ = _kmeans_fit(sf_dir)
+    ledger = _inc_ledger_dir(sf_dir, "ivf")
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    for ep in (1, 2):
+        ingest_ivf_epoch(
+            base.map_batches(
+                _epoch_keep("vec_id", ep), batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ledger,
+            epoch=ep,
+            labels=labels,
+            cents=cents,
+        )
+
+    q_ids, q_mat = _query_matrix(sf_dir)
+    dists = np.round(
+        np.sqrt(((q_mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)), 5
+    )
+    order = np.lexsort((np.broadcast_to(labels, dists.shape), dists), axis=1)
+    probes = {
+        int(q): set(labels[order[i, :IVF_NPROBE]].tolist())
+        for i, q in enumerate(q_ids)
+    }
+    probed_union = sorted(set().union(*probes.values()))
+
+    # explicit path pruning: only probed cells' files are ever opened
+    paths = []
+    cells_root = os.path.join(ledger, "cells")
+    for epoch_entry in os.scandir(cells_root):
+        for c in probed_union:
+            p = os.path.join(epoch_entry.path, f"cell={c}")
+            if os.path.isdir(p):
+                paths.extend(
+                    f.path for f in os.scandir(p) if f.name.endswith(".parquet")
+                )
+
+    qref = ray.put({"ids": q_ids, "mat": normalize_rows(q_mat)})
+
+    class LedgerIVFTopK(BruteForceTopK):
+        def __init__(self) -> None:
+            super().__init__(qref, ANN_K)
+            self.probes = probes
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from tapdata_connectors_ray.stages.similarity import (
+                normalize_rows as _nr,
+                stack_embeddings as _se,
+            )
+
+            mat = _nr(_se(batch))
+            ids = batch["vec_id"].to_numpy()
+            row_labels = batch["label"].to_numpy()
+            sims = mat @ self.q_mat.T
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(self.q_ids):
+                allowed = np.isin(row_labels, list(self.probes[int(qid)]))
+                mask = allowed & (ids != qid)
+                cand_ids, cand_sims = self.block_topk(ids[mask], sims[mask, j], self.k)
+                out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
+                out_n.append(cand_ids)
+                out_s.append(cand_sims)
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                    "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+                }
+            )
+
+    cands = (
+        ray.data.read_parquet(paths)
+        .map_batches(LedgerIVFTopK, batch_format="pyarrow", concurrency=actor_pool())
+        .to_pandas()
+    )
+    return final_topk(cands, ANN_K)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -2432,6 +2555,11 @@ FROM hits ORDER BY doc_id
 }
 
 
+# incremental cell-ledger IVF: assignment to fixed centroids is order-
+# independent, so the incremental answer equals the one-shot trained one
+TRAINING_SQL["ann_ivf_incremental_topk"] = TRAINING_SQL["ann_ivf_trained_topk"]
+
+
 def _fingerprint_sql(sf_dir: str) -> str:
     """generate_series takes constants only in DuckDB 1.0 -> render the
     stride series bound from the table's ACTUAL max doc length (the Ray
@@ -2489,6 +2617,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_train": q_kmeans_train,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        "ann_ivf_incremental_topk": q_ann_ivf_incremental_topk,
         "text_token_counts": q_text_token_counts,
         "text_quality_scores": q_text_quality_scores,
         "text_language_id": q_text_language_id,

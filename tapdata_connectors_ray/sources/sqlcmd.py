@@ -29,8 +29,8 @@ import ray.data
 _BATCH_ROWS = 65_536
 
 
-@ray.remote
-def _run_sql(sql: str, tables: dict[str, str | list[str]]) -> list[pa.Table]:
+@ray.remote(num_returns="dynamic")
+def _run_sql(sql: str, tables: dict[str, str | list[str]]):
     import duckdb
 
     con = duckdb.connect()
@@ -42,15 +42,15 @@ def _run_sql(sql: str, tables: dict[str, str | list[str]]) -> list[pa.Table]:
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet([{quoted}])"
             )
         reader = con.execute(sql).fetch_record_batch(_BATCH_ROWS)
-        out: list[pa.Table] = []
+        n = 0
         while True:
             try:
-                out.append(pa.Table.from_batches([reader.read_next_batch()]))
+                yield pa.Table.from_batches([reader.read_next_batch()])
+                n += 1
             except StopIteration:
                 break
-        if not out:  # empty result still carries the schema
-            out.append(pa.Table.from_batches([], schema=reader.schema))
-        return out
+        if n == 0:  # empty result still carries the schema
+            yield pa.Table.from_batches([], schema=reader.schema)
     finally:
         con.close()
 
@@ -59,6 +59,8 @@ def read_sql_command(
     sql: str, tables: dict[str, str | list[str]]
 ) -> ray.data.Dataset:
     """Execute ``sql`` over the registered parquet ``tables`` (name ->
-    path(s)) inside a Ray task and return the result as a Dataset."""
-    blocks = ray.get(_run_sql.remote(sql, tables))
-    return ray.data.from_arrow(blocks)
+    path(s)) inside a Ray task and return the result as a Dataset.  Result
+    blocks stream straight into the object store (dynamic task returns) —
+    the driver holds only the block refs, never the bytes."""
+    refs = list(ray.get(_run_sql.remote(sql, tables)))
+    return ray.data.from_arrow_refs(refs)
