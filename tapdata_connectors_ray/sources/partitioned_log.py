@@ -111,7 +111,12 @@ def write_topic_dataset(
     - **ordering**: segment names embed the segment's min LSN when an
       ``lsn`` column exists, so a sorted listing approximates append order;
       cross-task interleave within a partition is absorbed by the LSN-based
-      LWW merge downstream (the same contract as the read side).
+      LWW merge downstream (the same contract as the read side);
+    - **delivery**: AT-LEAST-ONCE under task retry (a retried producer task
+      re-emits its segments under fresh names — exactly Kafka's produce
+      retry), absorbed by the consumer's LSN dedup/LWW the way every
+      at-least-once channel in this engine is; the round-trip property test
+      replays a dup-LSN feed through the topic and still matches.
 
     Returns the segment manifest (partition, file, rows) as a Dataset —
     metadata-scale; materialize it to drive the sink."""
