@@ -596,3 +596,44 @@ def test_vacuum_gc_and_retention(paths, expected, lake_dir):
     assert ing.dataset_at(3).count() > 0
     with pytest.raises(ValueError):
         ing.dataset_at(1)
+
+
+def test_mv_declarative_spec_matches_pandas(paths, lake_dir):
+    """Random declarative MV specs: the Arrow TableGroupBy refresh equals a
+    pandas groupby twin over the final lake state, for every op kind."""
+    import numpy as np
+
+    ev, base = paths
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing.ingest(ev, base)
+    rng = np.random.default_rng(3)
+    num_cols = ["turn_idx", "turn_score"]
+    for trial in range(3):
+        aggs = [{"op": "count", "col": None, "alias": "n_rows"}]
+        for i, op in enumerate(rng.choice(["sum", "min", "max"], size=3)):
+            aggs.append({"op": str(op), "col": str(rng.choice(num_cols)), "alias": f"a{i}"})
+        name = f"view{trial}"
+        ing.define_mv(name, aggs)
+        ing.update_mv(name)
+        got = (
+            ing.mv_dataset(name).to_pandas().sort_values("conv_id", ignore_index=True)
+        )
+        final = ing.final_dataset().to_pandas()
+        g = final.groupby("conv_id", sort=True)
+        exp = pd.DataFrame({"conv_id": sorted(final["conv_id"].unique())})
+        exp["n_rows"] = g.size().to_numpy()
+        for a in aggs[1:]:
+            exp[a["alias"]] = getattr(g[a["col"]], a["op"])().to_numpy()
+        got = got[exp.columns.tolist()]
+        for c in exp.columns:
+            if c == "conv_id":
+                continue
+            assert np.allclose(
+                got[c].astype("float64"), exp[c].astype("float64"), equal_nan=True
+            ), (name, c)
+
+    # spec validation
+    with pytest.raises(ValueError):
+        ing.define_mv("bad", [{"op": "median", "col": "turn_score", "alias": "x"}])
+    with pytest.raises(ValueError):
+        ing.define_mv("bad2", [{"op": "sum", "col": None, "alias": "x"}])
