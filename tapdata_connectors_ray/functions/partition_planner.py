@@ -37,15 +37,48 @@ def pk_range_boundaries(
        bins values per boundary) and a local ``np.partition`` per bin.
 
     Driver traffic = bins + occupied-needed-bin values, not the table.
-    Falls back to a sorted stream for non-numeric keys."""
+    Key-type dispatch: numeric direct; temporal via the physical int64;
+    string/binary via the fixed-prefix key path; anything else raises."""
     import pyarrow.compute as _pc
 
     ds = ray.data.read_parquet(path, columns=[pk])
     schema = ds.schema()
     pk_type = schema.base_schema.field(pk).type
-    if not (pa.types.is_integer(pk_type) or pa.types.is_floating(pk_type)):
-        return _pk_range_boundaries_str(ds, pk, every, bins)
+    if pa.types.is_temporal(pk_type):
+        # timestamps/dates are ordered int64 underneath: run the numeric
+        # histogram on the physical value, restore the logical type after
+        def as_int(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index(pk), pk,
+                batch[pk].cast(pa.int64()),
+            )
 
+        out = pk_range_boundaries_ds(
+            ds.map_batches(as_int, batch_format="pyarrow", zero_copy_batch=True),
+            pk, pa.int64(), every, bins,
+        )
+        out["boundary"] = (
+            pa.array(out["boundary"].to_numpy(), pa.int64())
+            .cast(pk_type)
+            .to_pandas()
+        )
+        return out
+    if pa.types.is_string(pk_type) or pa.types.is_large_string(pk_type) or (
+        pa.types.is_binary(pk_type) or pa.types.is_large_binary(pk_type)
+    ):
+        return _pk_range_boundaries_str(ds, pk, every, bins)
+    if not (pa.types.is_integer(pk_type) or pa.types.is_floating(pk_type)):
+        raise ValueError(
+            f"pk_range_boundaries: unsupported key type {pk_type} — numeric, "
+            "temporal, string and binary keys are splittable"
+        )
+    return pk_range_boundaries_ds(ds, pk, pk_type, every, bins)
+
+
+def pk_range_boundaries_ds(
+    ds: ray.data.Dataset, pk: str, pk_type: pa.DataType, every: int, bins: int
+) -> pd.DataFrame:
+    """Numeric-key boundary planning over an already-built dataset."""
     from ray.data.aggregate import Max, Min
 
     row = ds.aggregate(Min(pk, alias_name="mn"), Max(pk, alias_name="mx"))
@@ -152,8 +185,10 @@ def _pk_range_boundaries_str(
     from ray.data.aggregate import Max, Min
 
     row = ds.aggregate(Min(pk, alias_name="mn"), Max(pk, alias_name="mx"))
-    mn, mx = str(row["mn"]), str(row["mx"])
-    mnb, mxb = mn.encode(), mx.encode()
+    if isinstance(row["mn"], bytes):  # binary pk: bytes straight through
+        mnb, mxb = row["mn"], row["mx"]
+    else:
+        mnb, mxb = str(row["mn"]).encode(), str(row["mx"]).encode()
     skip = 0
     while skip < min(len(mnb), len(mxb)) and mnb[skip] == mxb[skip]:
         skip += 1
@@ -165,8 +200,8 @@ def _pk_range_boundaries_str(
     while skip > 0 and skip < len(probe) and (probe[skip] & 0xC0) == 0x80:
         skip -= 1
 
-    lo = float(_str_prefix_key(pa.array([mn]), skip)[0])
-    hi = float(_str_prefix_key(pa.array([mx]), skip)[0])
+    lo = float(_str_prefix_key(pa.array([mnb], pa.binary()), skip)[0])
+    hi = float(_str_prefix_key(pa.array([mxb], pa.binary()), skip)[0])
     edges = np.linspace(lo, np.nextafter(hi, np.inf), bins + 1)
     edges_ref = ray.put(edges)
 

@@ -916,19 +916,23 @@ class CheckpointedIngest:
                 except OSError:
                     pass
         removed_files = 0
+        from tapdata_connectors_ray.sources.storage import LOCAL
+
         parts_root = os.path.join(self.lake_dir, "partitions")
         if os.path.isdir(parts_root):
-            for root, _, files in os.walk(parts_root):
-                for f in files:
-                    p = os.path.join(root, f)
-                    if p in live:
-                        continue
-                    if f.endswith(".parquet") or ".parquet.tmp-" in f:
-                        try:
-                            os.remove(p)
-                            removed_files += 1
-                        except OSError:
-                            pass
+            # listing + delete go through the SPI surface (recursive list is
+            # an object-store prefix scan), so vacuum ports with the backend
+            for st in LOCAL.list(parts_root, suffixes=("",), recursive=True):
+                p = st.path
+                if p in live:
+                    continue
+                name = os.path.basename(p)
+                if name.endswith(".parquet") or ".parquet.tmp-" in name:
+                    try:
+                        LOCAL.delete(p)
+                        removed_files += 1
+                    except OSError:
+                        pass
         return {"removed_files": removed_files, "removed_history": removed_history}
 
     def clear_table(self) -> None:

@@ -132,7 +132,9 @@ def write_topic_dataset(
 
     def produce(batch: pa.Table) -> pa.Table:
         if op_col in batch.column_names:
-            ops = batch[op_col].to_pandas().map(_MQ_OPS).fillna("insert")
+            # unknown ops (a raw log's DDL rows, future kinds) tag "unknown"
+            # rather than masquerading as inserts — the consumer decides
+            ops = batch[op_col].to_pandas().map(_MQ_OPS).fillna("unknown")
             tags = pa.array(ops.to_numpy(object), pa.string())
         else:
             tags = pa.array(np.full(batch.num_rows, "insert", object), pa.string())

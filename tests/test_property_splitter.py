@@ -55,3 +55,33 @@ def test_prefix_key_is_order_consistent():
         for j in range(len(vals)):
             if k[i] < k[j]:
                 assert enc[i] < enc[j], (vals[i], vals[j])
+
+
+def test_temporal_and_binary_keys_split(ray_session, tmp_path):
+    """Key-type dispatch: timestamp pk splits via the physical int64 path
+    (boundaries restored to timestamps); binary pk via the byte-prefix
+    path; an unsupported type raises."""
+    import datetime
+
+    import pandas as pd
+
+    n = 101
+    ts = [datetime.datetime(2026, 1, 1) + datetime.timedelta(minutes=7 * i) for i in range(n)]
+    p1 = str(tmp_path / "ts.parquet")
+    pq.write_table(pa.table({"k": pa.array(ts, pa.timestamp("us"))}), p1)
+    got = pk_range_boundaries(p1, "k", every=25, bins=16)["boundary"]
+    exp = sorted(ts)[::25]
+    assert [pd.Timestamp(x) for x in got] == [pd.Timestamp(x) for x in exp]
+
+    raw = [bytes([i % 7, 255 - i % 11, i % 256]) for i in range(n)]
+    p2 = str(tmp_path / "bin.parquet")
+    pq.write_table(pa.table({"k": pa.array(raw, pa.binary())}), p2)
+    got2 = pk_range_boundaries(p2, "k", every=25, bins=16)["boundary"].tolist()
+    assert got2 == sorted(raw)[::25]
+
+    p3 = str(tmp_path / "bool.parquet")
+    pq.write_table(pa.table({"k": pa.array([True, False] * 10)}), p3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pk_range_boundaries(p3, "k", every=5)
