@@ -527,3 +527,39 @@ def test_write_topic_dataset_routing_and_envelope(ray_session, tmp_path):
     # min-LSN segment naming: listing order within a partition tracks lsn
     names = [os.path.basename(f) for f in files]
     assert all(n.startswith("seg-") and n.split("-")[1].isdigit() for n in names)
+
+
+def test_topic_consumer_offset_resume_across_waves(ray_session, tmp_path):
+    """Consumer contract across producer waves: a poll after the first wave
+    returns only that wave's segments; the next wave's poll returns ONLY the
+    new segments (per-partition offset map advanced); a third poll returns
+    nothing."""
+    import ray.data
+
+    from tapdata_connectors_ray.sources.partitioned_log import (
+        poll_topic,
+        read_topic_segments,
+        write_topic_dataset,
+    )
+
+    def feed(lo, hi):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "conv_id": pa.array([f"c{i % 5}" for i in range(lo, hi)]),
+                    "lsn": pa.array(list(range(lo, hi)), pa.int64()),
+                    "op": pa.array(["I"] * (hi - lo)),
+                }
+            )
+        )
+
+    topic = str(tmp_path / "t")
+    write_topic_dataset(feed(0, 100), topic, "conv_id", n_partitions=4).materialize()
+    files1, off1 = poll_topic(topic)
+    assert read_topic_segments(files1).count() == 100
+    write_topic_dataset(feed(100, 150), topic, "conv_id", n_partitions=4).materialize()
+    files2, off2 = poll_topic(topic, off1)
+    got2 = read_topic_segments(files2).to_pandas()
+    assert len(got2) == 50 and got2["lsn"].min() == 100
+    files3, _ = poll_topic(topic, off2)
+    assert files3 == []
