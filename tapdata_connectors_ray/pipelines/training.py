@@ -809,11 +809,13 @@ def ingest_lsh_epoch(
     bands_dir = os.path.join(ledger_dir, "bands")
     cand_ds = None
     if new_reps:
-        reps_arr = np.fromiter(new_reps, dtype=np.int64)
+        # broadcast once (epoch-scale int ids): tasks read zero-copy from
+        # their local object store instead of re-shipping per task
+        reps_ref = ray.put(np.fromiter(new_reps, dtype=np.int64))
 
         def keep_new_reps(batch: pa.Table) -> pa.Table:
             return batch.filter(
-                pa.array(np.isin(batch["doc_id"].to_numpy(), reps_arr))
+                pa.array(np.isin(batch["doc_id"].to_numpy(), ray.get(reps_ref)))
             )
 
         bands_fold = make_band_ledger_fold(bands_dir, epoch)
