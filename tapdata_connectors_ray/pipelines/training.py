@@ -2050,6 +2050,54 @@ def q_text_fingerprint(sf_dir: str) -> Any:
     return _docs(sf_dir).map_batches(Fingerprint, batch_format="pyarrow", concurrency=actor_pool())
 
 
+def q_text_chunking(sf_dir: str) -> Any:
+    """Fixed-window document chunking (LLM sequence prep): one row per
+    64-token chunk, document boundaries never crossed — flattened token
+    lengths + reduceat, zero per-chunk Python."""
+    from tapdata_connectors_ray.stages.textqc import chunk_documents_batch
+
+    return _docs(sf_dir).map_batches(
+        chunk_documents_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _chunking_sql(sf_dir: str) -> str:
+    """generate_series takes constants only in DuckDB 1.0 -> bound the chunk
+    index series from the table's actual max token count (fingerprint-oracle
+    pattern)."""
+    from tapdata_connectors_ray.stages.textqc import CHUNK_TOKENS
+
+    bound = 64
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        # token count = spaces + 1; spaces <= chars
+        maxlen = pc.max(pc.utf8_length(t["text"])).as_py() or 0
+        bound = max(bound, (maxlen + 1 + CHUNK_TOKENS - 1) // CHUNK_TOKENS + 1)
+    except OSError:
+        pass
+    w = CHUNK_TOKENS
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), ch AS (
+    SELECT t.doc_id, g.i - 1 AS chunk_idx
+    FROM toks t JOIN generate_series(1, {bound}) AS g(i)
+      ON g.i <= (len(t.ws) + {w} - 1) // {w}
+)
+SELECT c.doc_id, c.chunk_idx,
+       least({w}, len(t.ws) - c.chunk_idx * {w}) AS n_tokens,
+       length(array_to_string(
+           t.ws[c.chunk_idx * {w} + 1 : least((c.chunk_idx + 1) * {w}, len(t.ws))],
+           ' ')) AS n_chars
+FROM ch c JOIN toks t USING (doc_id)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -2624,6 +2672,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_scores": q_text_quality_scores,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_chunking": q_text_chunking,
         "multimodal_payload_stats": q_multimodal_payload_stats,
         "multimodal_decode_features": q_multimodal_decode_features,
         "multimodal_resize_pipeline": q_multimodal_resize_pipeline,
@@ -2640,6 +2689,7 @@ def training_oracle_sql() -> dict[str, str]:
     # driver's correctness tier, like the CDC fixture oracles)
     out["multimodal_payload_stats"] = _payload_stats_sql(sf_dir)
     out["text_fingerprint"] = _fingerprint_sql(sf_dir)
+    out["text_chunking"] = _chunking_sql(sf_dir)
     # decode/resize: expected-value side tables materialized at media-fixture
     # generation time FROM THE GENERATOR'S variables (w/h/pixels before
     # packing) — an independent expectation for the binary-parsing stages,

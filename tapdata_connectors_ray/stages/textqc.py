@@ -146,3 +146,49 @@ class Fingerprint:
                 "fingerprint": pa.array(fps, type=pa.uint64()),
             }
         )
+
+
+CHUNK_TOKENS = 64
+
+
+def chunk_documents_batch(batch: pa.Table, window: int = CHUNK_TOKENS) -> pa.Table:
+    """Fixed-window document CHUNKING — the sequence-prep step of an LLM
+    training pipeline (split each doc into ``window``-token pieces at
+    whitespace-token boundaries, document boundaries never crossed).
+
+    Fully vectorized via flattened token lengths + ``np.add.reduceat`` at
+    the chunk cut points — no per-row or per-chunk Python.  Emits one row
+    per chunk: (doc_id, chunk_idx, n_tokens, n_chars), where ``n_chars``
+    is the length of the space-rejoined chunk (== the matching substring of
+    the original text, single-space separators preserved by the split/join
+    round trip)."""
+    low = _lower_series(batch)
+    tokens = low.str.split(" ")
+    n_tok = tokens.map(len).to_numpy(dtype=np.int64)
+    ids = batch["doc_id"].to_numpy()
+
+    # flat token lengths across the batch + per-doc offsets
+    flat_lens = np.fromiter(
+        (len(t) for toks in tokens for t in toks), dtype=np.int64, count=int(n_tok.sum())
+    )
+    doc_starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+
+    k = (n_tok + window - 1) // window  # chunks per doc (>=1: empty text -> [''])
+    doc_rep = np.repeat(np.arange(len(ids)), k)
+    # chunk_idx within doc: ranges 0..k_i-1, vectorized
+    chunk_idx = np.arange(int(k.sum())) - np.repeat(np.cumsum(k) - k, k)
+    cut = doc_starts[doc_rep] + chunk_idx * window  # flat start of each chunk
+    n_in_chunk = np.minimum(n_tok[doc_rep] - chunk_idx * window, window)
+    # per-chunk char sums at the cut points (reduceat needs sorted cuts — they are)
+    char_sums = (
+        np.add.reduceat(flat_lens, cut) if len(flat_lens) else np.zeros(0, np.int64)
+    )
+    n_chars = char_sums + (n_in_chunk - 1)  # (count-1) single-space separators
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[doc_rep], type=pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
+            "n_tokens": pa.array(n_in_chunk, type=pa.int64()),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+        }
+    )
