@@ -41,6 +41,7 @@ _RUN_FIRST = (
     "ann_ivf_trained_topk",
     "ann_ivf_incremental_topk",
     "text_chunking",
+    "text_packing",
     # green in r02 but not re-run since (driver 50-query cap)
     "af_customer_match",
     "af_lineitem_filter_sort_limit",

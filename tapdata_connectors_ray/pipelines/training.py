@@ -2061,6 +2061,85 @@ def q_text_chunking(sf_dir: str) -> Any:
     )
 
 
+def q_text_packing(sf_dir: str) -> Any:
+    """Sequence PACKING (concatenate-then-slice): all docs' whitespace
+    tokens, in doc_id order, sliced into fixed 64-token training sequences —
+    documents CROSS sequence boundaries (the packing counterpart of
+    ``text_chunking``).  The global token offset of every doc comes from a
+    DISTRIBUTED PREFIX-SUM: one narrow pass emits per-block (first doc,
+    token sum), the driver prefixes that block-count-scale frame, and the
+    expansion pass resolves its offset from the broadcast map — no driver
+    stream of the data, no second shuffle.  Output: per sequence, the doc
+    count and token count (== window except the final remainder)."""
+    from tapdata_connectors_ray.stages.textqc import (
+        CHUNK_TOKENS,
+        doc_token_counts_batch,
+        make_pack_expand,
+        pack_block_meta,
+        pack_fold,
+    )
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(doc_token_counts_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")  # narrow (doc_id, n) only — the payload never sorts
+        .materialize()
+    )
+    meta = (
+        counts.map_batches(
+            pack_block_meta, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,  # one batch per block: offsets key on block heads
+        )
+        .to_pandas()  # block-count scale
+        .sort_values("first_doc")
+    )
+    offsets = meta["block_tokens"].cumsum().shift(fill_value=0)
+    prefix_ref = ray.put(dict(zip(meta["first_doc"].astype(int), offsets.astype(int))))
+    pairs = counts.map_batches(
+        make_pack_expand(prefix_ref, CHUNK_TOKENS),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    return pairs.groupby("sbucket").map_groups(pack_fold, batch_format="pandas")
+
+
+def _packing_sql(sf_dir: str) -> str:
+    """Concatenate-then-slice packing twin: window cumulative token offsets
+    over doc_id order, then one row per (sequence, doc) overlap."""
+    from tapdata_connectors_ray.stages.textqc import CHUNK_TOKENS
+
+    bound = 64
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        maxlen = pc.max(pc.utf8_length(t["text"])).as_py() or 0
+        bound = max(bound, (maxlen + 1 + CHUNK_TOKENS - 1) // CHUNK_TOKENS + 2)
+    except OSError:
+        pass
+    w = CHUNK_TOKENS
+    return f"""
+WITH toks AS (
+    SELECT doc_id, len(string_split(lower(text), ' ')) AS n FROM documents
+), off AS (
+    SELECT doc_id, n,
+           sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS start
+    FROM toks
+), sd AS (
+    SELECT o.doc_id,
+           CAST((o.start // {w}) + g.i - 1 AS BIGINT) AS seq_id,
+           least(o.start + o.n, ((o.start // {w}) + g.i) * {w})
+             - greatest(o.start, ((o.start // {w}) + g.i - 1) * {w}) AS tok
+    FROM off o JOIN generate_series(1, {bound}) AS g(i)
+      ON g.i <= ((o.start + o.n - 1) // {w}) - (o.start // {w}) + 1
+)
+SELECT seq_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+FROM sd GROUP BY seq_id ORDER BY seq_id
+"""
+
+
 def _chunking_sql(sf_dir: str) -> str:
     """generate_series takes constants only in DuckDB 1.0 -> bound the chunk
     index series from the table's actual max token count (fingerprint-oracle
@@ -2673,6 +2752,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "text_chunking": q_text_chunking,
+        "text_packing": q_text_packing,
         "multimodal_payload_stats": q_multimodal_payload_stats,
         "multimodal_decode_features": q_multimodal_decode_features,
         "multimodal_resize_pipeline": q_multimodal_resize_pipeline,
@@ -2690,6 +2770,7 @@ def training_oracle_sql() -> dict[str, str]:
     out["multimodal_payload_stats"] = _payload_stats_sql(sf_dir)
     out["text_fingerprint"] = _fingerprint_sql(sf_dir)
     out["text_chunking"] = _chunking_sql(sf_dir)
+    out["text_packing"] = _packing_sql(sf_dir)
     # decode/resize: expected-value side tables materialized at media-fixture
     # generation time FROM THE GENERATOR'S variables (w/h/pixels before
     # packing) — an independent expectation for the binary-parsing stages,

@@ -192,3 +192,87 @@ def chunk_documents_batch(batch: pa.Table, window: int = CHUNK_TOKENS) -> pa.Tab
             "n_chars": pa.array(n_chars, type=pa.int64()),
         }
     )
+
+
+def doc_token_counts_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens) — the narrow input of the packing prefix-sum."""
+    low = _lower_series(batch)
+    n = low.str.split(" ").map(len).to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(batch["doc_id"].to_numpy(), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+        }
+    )
+
+
+def pack_block_meta(batch: pa.Table) -> pa.Table:
+    """Per-block (first doc_id, token sum) — the tiny frame the driver turns
+    into per-block prefix offsets (a distributed prefix-sum in two passes)."""
+    ids = batch["doc_id"].to_numpy()
+    return pa.table(
+        {
+            "first_doc": pa.array([int(ids[0])] if len(ids) else [], pa.int64()),
+            "block_tokens": pa.array(
+                [int(batch["n"].to_numpy().sum())] if len(ids) else [], pa.int64()
+            ),
+        }
+    )
+
+
+def make_pack_expand(prefix_ref, window: int):
+    """map_batches fn over the doc_id-sorted counts: resolve this block's
+    global token offset from the broadcast per-block prefix map, then emit
+    one row per (sequence, doc) overlap — vectorized repeat/range, the same
+    shape as the chunk expansion."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        empty = pa.table(
+            {
+                "seq_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "tok": pa.array([], pa.int64()),
+                "sbucket": pa.array([], pa.int32()),
+            }
+        )
+        ids = batch["doc_id"].to_numpy()
+        if not len(ids):
+            return empty
+        prefix = _ray.get(prefix_ref)
+        n = batch["n"].to_numpy()
+        start = int(prefix[int(ids[0])]) + np.cumsum(n) - n  # global offsets
+        first_seq = start // window
+        last_seq = (start + n - 1) // window
+        k = (last_seq - first_seq + 1).astype(np.int64)
+        doc_rep = np.repeat(np.arange(len(ids)), k)
+        seq_off = np.arange(int(k.sum())) - np.repeat(np.cumsum(k) - k, k)
+        seq = first_seq[doc_rep] + seq_off
+        lo = np.maximum(start[doc_rep], seq * window)
+        hi = np.minimum(start[doc_rep] + n[doc_rep], (seq + 1) * window)
+        return pa.table(
+            {
+                "seq_id": pa.array(seq, pa.int64()),
+                "doc_id": pa.array(ids[doc_rep], pa.int64()),
+                "tok": pa.array(hi - lo, pa.int64()),
+                "sbucket": pa.array((seq % 256).astype(np.int32)),
+            }
+        )
+
+    return f
+
+
+def pack_fold(df) -> pa.Table:
+    """One seq bucket: per-sequence doc count + token sum (a sequence lives
+    wholly in its bucket, so the fold is exact)."""
+    g = df.groupby("seq_id", sort=False).agg(
+        n_docs=("doc_id", "size"), n_tokens=("tok", "sum")
+    )
+    return pa.table(
+        {
+            "seq_id": pa.array(g.index.to_numpy(), pa.int64()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(), pa.int64()),
+        }
+    )
