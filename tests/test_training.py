@@ -589,3 +589,47 @@ def test_kmeans_fit_matches_sequential_reference(ray_session, tmp_path):
         assert labels.tolist() == ref_l.tolist()
         assert {int(k): int(v) for k, v in counts.items()} == last
         np.testing.assert_allclose(cents, ref_c, rtol=0, atol=1e-9)
+
+
+def test_packing_matches_bruteforce(ray_session, tmp_path):
+    """Concatenate-then-slice packing vs a sequential brute force on random
+    little corpora (exercises the distributed prefix-sum's block-head
+    offset-resolution assumption across several doc-count/length mixes)."""
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.pipelines.training import training_queries
+    from tapdata_connectors_ray.stages.textqc import CHUNK_TOKENS
+
+    rng = np.random.default_rng(11)
+    q = training_queries()["text_packing"]
+    for trial in range(3):
+        n_docs = int(rng.integers(5, 120))
+        texts = [
+            " ".join(f"w{j}" for j in range(int(rng.integers(1, 200))))
+            for _ in range(n_docs)
+        ]
+        ids = sorted(rng.permutation(10_000)[:n_docs].tolist())
+        sf = str(tmp_path / f"p{trial}")
+        os.makedirs(sf, exist_ok=True)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+            f"{sf}/documents.parquet",
+        )
+        got = (
+            q(sf).to_pandas().sort_values("seq_id").reset_index(drop=True)
+        )
+        # brute force: one concatenated token stream in doc_id order
+        W = CHUNK_TOKENS
+        exp: dict[int, list] = {}
+        pos = 0
+        for d, t in zip(ids, texts):
+            n = len(t.lower().split(" "))
+            for s in range(pos // W, (pos + n - 1) // W + 1):
+                lo, hi = max(pos, s * W), min(pos + n, (s + 1) * W)
+                e = exp.setdefault(s, [0, 0])
+                e[0] += 1
+                e[1] += hi - lo
+            pos += n
+        assert got["seq_id"].tolist() == sorted(exp)
+        assert got["n_docs"].tolist() == [exp[s][0] for s in sorted(exp)]
+        assert got["n_tokens"].tolist() == [exp[s][1] for s in sorted(exp)]
