@@ -42,6 +42,7 @@ _RUN_FIRST = (
     "ann_ivf_incremental_topk",
     "text_chunking",
     "text_packing",
+    "sample_stratified_documents",
     # green in r02 but not re-run since (driver 50-query cap)
     "af_customer_match",
     "af_lineitem_filter_sort_limit",

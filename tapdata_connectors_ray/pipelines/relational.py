@@ -383,6 +383,51 @@ def q_sample_hash_documents(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_STRATIFIED_K = 20
+
+
+def q_sample_stratified_documents(sf_dir: str):
+    """Deterministic STRATIFIED sampling: the K lowest-digest docs per
+    stratum (language) — the balanced-eval-set primitive (uniform hash
+    sampling under-represents small strata).  Distributed top-k: each batch
+    keeps only its own K best per stratum, so the driver merge sees
+    ≤ strata x K x blocks rows (metadata scale) — the same lossless
+    per-block-truncation argument as the ANN top-k."""
+    from tapdata_connectors_ray.functions.hashing import md5_number_lower
+
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.string()).to_pylist()
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "doc_id": batch["doc_id"].to_numpy(),
+                "h": md5_number_lower(ids),
+            }
+        )
+        top = (
+            df.sort_values(["h", "doc_id"]).groupby("lang", sort=False).head(_STRATIFIED_K)
+        )
+        return pa.table(
+            {
+                "lang": pa.array(top["lang"], pa.string()),
+                "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+                "h": pa.array(top["h"].to_numpy(), pa.uint64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    final = (
+        parts.sort_values(["lang", "h", "doc_id"])
+        .groupby("lang", sort=True)
+        .head(_STRATIFIED_K)
+        .reset_index(drop=True)
+    )
+    final["rank"] = final.groupby("lang").cumcount() + 1
+    return final[["lang", "doc_id", "rank"]]
+
+
 # -- windowed aggregate (training-pipeline op; reference has no windows) -----
 
 
@@ -780,6 +825,17 @@ RELATIONAL_SQL: dict[str, str] = {
         ) WHERE (rn - 1) % 25 = 0
         ORDER BY boundary
     """,
+    "sample_stratified_documents": """
+        SELECT lang, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+        ORDER BY lang, rank
+    """,
     "source_sql_command": """
         WITH s AS (
             SELECT o_custkey, count(*) AS n_orders,
@@ -1006,6 +1062,7 @@ def relational_queries():
         "pk_range_boundaries_orders": q_pk_range_boundaries_orders,
         "pk_range_boundaries_strings": q_pk_range_boundaries_strings,
         "source_sql_command": q_source_sql_command,
+        "sample_stratified_documents": q_sample_stratified_documents,
         "distinct_segments": q_distinct_segments,
         "quantiles_lineitem": q_quantiles_lineitem,
         "profile_customer": q_profile_customer,
