@@ -658,7 +658,13 @@ def ingest_lsh_epoch(
     scales with distinct NEW texts only.  Every ledger fold is
     last_epoch-stamped (re-executed tasks skip the append and reproduce
     their output), so a Ray task retry cannot double-apply; re-running a
-    WHOLE epoch still requires outer fencing, as lake writes do."""
+    WHOLE epoch still requires outer fencing, as lake writes do.
+
+    Driver footprint: the per-epoch BOOKKEEPING (joiner/new-rep id pairs —
+    3 narrow int columns) is collected to the driver; it is epoch-scale,
+    never corpus-scale, and an epoch whose bookkeeping outgrows driver
+    memory is split by the ingest cadence knob (smaller epochs), the same
+    lever the lake ingest uses."""
     import pyarrow.parquet as pq
 
     from tapdata_connectors_ray.stages.dedup import (
