@@ -25,9 +25,9 @@ def entry() -> Any:
 
 # Queries that run before everything else (dict order = run order; the
 # driver caps a sweep at 50 queries, so the set whose newest green row is
-# OLDEST goes first).  Round 4: the 5 new queries, then the 36 whose last
+# OLDEST goes first).  Round 4: the 12 new queries, then the 36 whose last
 # driver row is CORRECTNESS_r02 (round 3's driver run spent its 50 slots on
-# the then-new queries) — 41 total, so one capped sweep refreshes every
+# the then-new queries) — 48 total, so one capped sweep refreshes every
 # query that isn't already green in CORRECTNESS_r03.
 _RUN_FIRST = (
     # new in round 4
