@@ -25,12 +25,16 @@ def entry() -> Any:
 
 # Queries that run before everything else (dict order = run order; the
 # driver caps a sweep at 50 queries, so the set whose newest green row is
-# OLDEST goes first).  Round 4: the 12 new queries, then the 36 whose last
-# driver row is CORRECTNESS_r02 (round 3's driver run spent its 50 slots on
-# the then-new queries) — 48 total, so one capped sweep refreshes every
-# query that isn't already green in CORRECTNESS_r03.
+# OLDEST goes first).  Round 4: the 15 new queries, then 35 of the 36 whose
+# last driver row is CORRECTNESS_r02 (round 3's driver run spent its 50
+# slots on the then-new queries) — 50 total, so one capped sweep refreshes
+# every query that isn't already green in CORRECTNESS_r03 (the minhash-lsh
+# alias rides its twin's slot).
 _RUN_FIRST = (
     # new in round 4
+    "text_decontaminate",
+    "text_repetition_scores",
+    "dedup_connected_components",
     "dedup_minhash_incremental_stress",
     "dedup_embedding_incremental_stress",
     "pk_range_boundaries_strings",
@@ -58,7 +62,9 @@ _RUN_FIRST = (
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_minhash_lsh_join",
+    # NOT front-loaded: dedup_minhash_lsh_join is a pure alias of
+    # dedup_minhash_lsh (same callable) — a fresh row for one refreshes the
+    # other, and the slot goes to a genuinely new query instead
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "distinct_segments",

@@ -70,17 +70,17 @@ def _avalanche(z: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
-def batch_distinct_gram_hashes(
-    texts: list[str], n: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """(concatenated per-doc sorted-distinct gram hashes, per-doc counts) for
-    a WHOLE batch in one pass: every word is hashed once (vectorized
+def batch_gram_hashes(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(per-gram doc index, per-gram hash) for every POSITIONAL word n-gram
+    of a whole batch in one pass: every word is hashed once (vectorized
     SipHash), n-gram hashes are a numeric combine of consecutive word hashes
-    (no gram strings are ever built), and per-doc dedup is one lexsort.
-    Internal representation only — gram hashes never surface to the oracle;
-    collision class is the same 64 bits as hashing the gram strings."""
+    (no gram strings are ever built).  Duplicated grams within a doc appear
+    once per occurrence — callers that need set semantics dedup on top
+    (``batch_distinct_gram_hashes``).  Internal representation only — gram
+    hashes never surface to the oracle; collision class is the same 64 bits
+    as hashing the gram strings."""
     if not texts:
-        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     tok_lists = [t.lower().split(" ") for t in texts]
     wlens = np.fromiter((len(t) for t in tok_lists), np.int64, count=len(texts))
     flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
@@ -88,7 +88,7 @@ def batch_distinct_gram_hashes(
     total = len(wh)
     m = total - n + 1
     if m <= 0:
-        return np.empty(0, dtype=np.uint64), np.zeros(len(texts), dtype=np.int64)
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     with np.errstate(over="ignore"):
         gh = wh[:m].copy()
         for k in range(1, n):
@@ -96,7 +96,17 @@ def batch_distinct_gram_hashes(
         gh = _avalanche(gh)
     did = np.repeat(np.arange(len(texts), dtype=np.int64), wlens)
     valid = did[:m] == did[n - 1 :]  # window must not cross a doc boundary
-    did_g, gh = did[:m][valid], gh[valid]
+    return did[:m][valid], gh[valid]
+
+
+def batch_distinct_gram_hashes(
+    texts: list[str], n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated per-doc sorted-distinct gram hashes, per-doc counts):
+    the positional kernel plus one lexsort for per-doc dedup."""
+    did_g, gh = batch_gram_hashes(texts, n)
+    if len(gh) == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(len(texts), dtype=np.int64)
     order = np.lexsort((gh, did_g))
     did_s, gh_s = did_g[order], gh[order]
     keep = np.ones(len(gh_s), dtype=bool)

@@ -2110,6 +2110,185 @@ def q_text_packing(sf_dir: str) -> Any:
     return pairs.groupby("sbucket").map_groups(pack_fold, batch_format="pandas")
 
 
+def q_text_repetition_scores(sf_dir: str) -> Any:
+    """Intra-document repetition quality gates (Gopher rules 4/5 analogue):
+    top-bigram occupancy + duplicated-trigram coverage per doc, thresholded."""
+    from tapdata_connectors_ray.stages.textqc import repetition_scores_batch
+
+    return _docs(sf_dir).map_batches(
+        repetition_scores_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_text_decontaminate(sf_dir: str) -> Any:
+    """Benchmark decontamination (GPT-3 / Pile style): docs sharing any word
+    3-gram with the EVAL holdout (doc_id % 97 == 0) are flagged.  Two-phase
+    broadcast shape: (1) one narrow pass collects the holdout's distinct gram
+    hashes (benchmark-suite scale — small by construction), (2) the corpus
+    pass streams against the ``ray.put`` gram set; the corpus never
+    shuffles.  At 100 TB the eval set is its own small table and phase 1 is
+    a driver-side read; here it derives from the same table, so phase 1 is a
+    filtered map_batches over the pruned (doc_id, text) read."""
+    from tapdata_connectors_ray.stages.textqc import (
+        eval_gram_partials,
+        make_decontaminate,
+    )
+
+    docs = _docs(sf_dir)
+    ev = (
+        docs.map_batches(
+            eval_gram_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_pandas()["gh"]
+        .to_numpy(dtype=np.uint64)
+    )
+    eval_ref = ray.put(np.unique(ev))
+    return docs.map_batches(
+        make_decontaminate(eval_ref), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_dedup_connected_components(sf_dir: str) -> Any:
+    """Duplicate-cluster assignment: connected components over the n-gram
+    Jaccard pair graph (min-label propagation, ``stages/dedup.
+    connected_components``) + component sizes.  The reference's dedup story
+    stops at pairwise merges; cluster closure is what a curation pipeline
+    actually drops by."""
+    from tapdata_connectors_ray.stages.dedup import connected_components
+
+    pairs = (
+        q_dedup_ngram_jaccard(sf_dir).select_columns(["doc_a", "doc_b"]).materialize()
+    )
+    comp = connected_components(pairs, num_partitions=join_partitions(pairs.count() * 2))
+    # component sizes in the same pass as the final projection (join-free)
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("component", pa.int64()), ("csize", pa.int64())]
+    )
+
+    def size_fold(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["id"].to_numpy(dtype=np.int64),
+                "component": df["label"].to_numpy(dtype=np.int64),
+                "csize": np.full(len(df), len(df), dtype=np.int64),
+            }
+        )
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+    return comp.groupby("label").map_groups(size_fold, batch_format="pandas")
+
+
+def _gram_series_bound(sf_dir: str) -> int:
+    """Upper bound for the oracle's gram-position generate_series: token
+    count <= char count + 1 (constant-only series, fingerprint pattern)."""
+    bound = 64
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+        bound = max(bound, (pc.max(pc.utf8_length(t["text"])).as_py() or 0) + 1)
+    except OSError:
+        pass
+    return bound
+
+
+def _repetition_sql(sf_dir: str) -> str:
+    from tapdata_connectors_ray.stages.textqc import (
+        REP_DUP_TRIGRAM_MAX,
+        REP_TOP_BIGRAM_MAX,
+    )
+
+    bound = _gram_series_bound(sf_dir)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), bic AS (
+    SELECT t.doc_id, array_to_string(t.ws[s.i : s.i + 1], ' ') AS g,
+           count(*) AS c
+    FROM toks t JOIN generate_series(1, {bound}) AS s(i) ON s.i <= len(t.ws) - 1
+    GROUP BY 1, 2
+), bstat AS (
+    SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot
+    FROM bic GROUP BY doc_id
+), tric AS (
+    SELECT t.doc_id, array_to_string(t.ws[s.i : s.i + 2], ' ') AS g,
+           count(*) AS c
+    FROM toks t JOIN generate_series(1, {bound}) AS s(i) ON s.i <= len(t.ws) - 2
+    GROUP BY 1, 2
+), tstat AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup,
+           CAST(sum(c) AS BIGINT) AS tot
+    FROM tric GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(b.mx / b.tot, 0.0) AS top_bigram_frac,
+       coalesce(t.dup / t.tot, 0.0) AS dup_trigram_frac,
+       CAST(coalesce(b.mx / b.tot, 0.0) <= {REP_TOP_BIGRAM_MAX}
+            AND coalesce(t.dup / t.tot, 0.0) <= {REP_DUP_TRIGRAM_MAX}
+            AS BIGINT) AS keep
+FROM documents d
+LEFT JOIN bstat b USING (doc_id) LEFT JOIN tstat t USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def _decontaminate_sql(sf_dir: str) -> str:
+    from tapdata_connectors_ray.stages.textqc import EVAL_HOLDOUT_MOD
+
+    bound = _gram_series_bound(sf_dir)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), g AS (
+    SELECT DISTINCT t.doc_id, array_to_string(t.ws[s.i : s.i + 2], ' ') AS gram
+    FROM toks t JOIN generate_series(1, {bound}) AS s(i) ON s.i <= len(t.ws) - 2
+), ev AS (
+    SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_HOLDOUT_MOD} = 0
+), shared AS (
+    SELECT g.doc_id, count(*) AS n_shared
+    FROM g JOIN ev USING (gram)
+    WHERE g.doc_id % {EVAL_HOLDOUT_MOD} <> 0
+    GROUP BY g.doc_id
+)
+SELECT d.doc_id, coalesce(s.n_shared, 0) AS n_shared,
+       CAST(coalesce(s.n_shared, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN shared s USING (doc_id)
+WHERE d.doc_id % {EVAL_HOLDOUT_MOD} <> 0
+ORDER BY d.doc_id
+"""
+
+
+def _connected_components_sql() -> str:
+    """Recursive-CTE twin of min-label propagation: min reachable doc_id over
+    the symmetric closure of the n-gram Jaccard pair graph."""
+    return (
+        _grams_cutoff_cte().replace("WITH aug AS", "WITH RECURSIVE aug AS", 1)
+        + f"""
+, dup AS (
+    SELECT doc_a, doc_b FROM pair_stats
+    WHERE common * 1.0 / union_n >= {JACCARD_THRESHOLD}
+), edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM dup
+    UNION ALL
+    SELECT doc_b, doc_a FROM dup
+), reach(id, lbl) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.lbl FROM edges e JOIN reach r ON r.id = e.a
+), comp AS (
+    SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+), sizes AS (
+    SELECT component, count(*) AS csize FROM comp GROUP BY component
+)
+SELECT c.doc_id, c.component, s.csize
+FROM comp c JOIN sizes s USING (component)
+ORDER BY c.doc_id
+"""
+    )
+
+
 def _packing_sql(sf_dir: str) -> str:
     """Concatenate-then-slice packing twin: window cumulative token offsets
     over doc_id order, then one row per (sequence, doc) overlap."""
@@ -2512,6 +2691,7 @@ SELECT coalesce(min(CASE WHEN ep = 1 THEN doc_id END), min(doc_id)) AS doc_id,
 FROM e GROUP BY text ORDER BY doc_id
 """,
     "dedup_ngram_jaccard": _pairs_sql(JACCARD_THRESHOLD, cutoff=True),
+    "dedup_connected_components": _connected_components_sql(),
     "dedup_minhash_lsh": _pairs_sql(MINHASH_THRESHOLD),
     # union of per-epoch incremental results == the batch answer: banding is
     # per-signature deterministic, so the oracle is the same pair set
@@ -2739,6 +2919,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_incremental": q_dedup_exact_incremental,
         "curation_pipeline": q_curation_pipeline,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_connected_components": q_dedup_connected_components,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_join": q_dedup_minhash_lsh,  # alias (join IS the path)
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
@@ -2759,6 +2940,8 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q_text_fingerprint,
         "text_chunking": q_text_chunking,
         "text_packing": q_text_packing,
+        "text_repetition_scores": q_text_repetition_scores,
+        "text_decontaminate": q_text_decontaminate,
         "multimodal_payload_stats": q_multimodal_payload_stats,
         "multimodal_decode_features": q_multimodal_decode_features,
         "multimodal_resize_pipeline": q_multimodal_resize_pipeline,
@@ -2777,6 +2960,8 @@ def training_oracle_sql() -> dict[str, str]:
     out["text_fingerprint"] = _fingerprint_sql(sf_dir)
     out["text_chunking"] = _chunking_sql(sf_dir)
     out["text_packing"] = _packing_sql(sf_dir)
+    out["text_repetition_scores"] = _repetition_sql(sf_dir)
+    out["text_decontaminate"] = _decontaminate_sql(sf_dir)
     # decode/resize: expected-value side tables materialized at media-fixture
     # generation time FROM THE GENERATOR'S variables (w/h/pixels before
     # packing) — an independent expectation for the binary-parsing stages,

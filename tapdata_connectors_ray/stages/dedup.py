@@ -538,3 +538,124 @@ def ngram_index_rows(ngram: int):
         )
 
     return explode
+
+
+# ---------------------------------------------------------------------------
+# connected components over a duplicate-pair graph
+# ---------------------------------------------------------------------------
+
+
+def symmetrize_pairs(batch: pa.Table) -> pa.Table:
+    """(doc_a, doc_b) pairs -> both edge directions (src, dst)."""
+    a = batch["doc_a"].to_numpy()
+    b = batch["doc_b"].to_numpy()
+    return pa.table(
+        {
+            "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+        }
+    )
+
+
+_CC_MSG_SCHEMA = pa.schema([("id", pa.int64()), ("label", pa.int64())])
+
+
+def _cc_propagate_fold(df: pd.DataFrame) -> pa.Table:
+    """Per-src group of the (edges ∪ labels) union: broadcast the node's
+    current label (the is_edge==0 row) to itself and every neighbor."""
+    lbl_rows = df.loc[df["is_edge"] == 0, "v"]
+    lbl = int(lbl_rows.min()) if len(lbl_rows) else int(df["k"].iloc[0])
+    dsts = df.loc[df["is_edge"] == 1, "v"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame(
+        {
+            "id": np.concatenate([df["k"].to_numpy(dtype=np.int64)[:1], dsts]),
+            "label": np.full(len(dsts) + 1, lbl, dtype=np.int64),
+        }
+    )
+    return pa.Table.from_pandas(out, schema=_CC_MSG_SCHEMA, preserve_index=False)
+
+
+def _cc_min_fold(df: pd.DataFrame) -> pa.Table:
+    out = df.groupby("id", as_index=False)["label"].min()
+    return pa.Table.from_pandas(out, schema=_CC_MSG_SCHEMA, preserve_index=False)
+
+
+def connected_components(pairs, num_partitions: int, max_iters: int = 50):
+    """Distributed min-label propagation (hash-min) over a (doc_a, doc_b)
+    pair Dataset: every node's label converges to the smallest doc_id in its
+    component.
+
+    Each round is two narrow int64-only groupby exchanges — union the edge
+    list with the current labels keyed on the source node, fold each group
+    to broadcast the node's label to its neighbors, then min-reduce the
+    messages per node.  The document payload never moves, so a 100-TB
+    corpus's dup graph (edges ~ near-dup pairs) shuffles only 24-byte rows.
+    Deliberately join-free: every stage is a pinned-schema ``map_groups``
+    fold, the one construct empty sort-splits provably cannot poison
+    (``Dataset.join`` unifies zero-column empty partitions from upstream
+    operators into schema-less tables — SURVEY §8.5).
+
+    Convergence is detected by the label SUM, a scalar aggregate:
+    min-propagation is monotone non-increasing per node, so an unchanged sum
+    IS a fixpoint.  Rounds needed = graph diameter (dup clusters are
+    near-cliques -> a handful); ``max_iters`` bounds pathological chains.
+
+    Returns a Dataset with columns (id, label).
+    """
+    edge_msgs = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "k": pa.array(
+                    np.concatenate([b["doc_a"].to_numpy(), b["doc_b"].to_numpy()]),
+                    type=pa.int64(),
+                ),
+                "v": pa.array(
+                    np.concatenate([b["doc_b"].to_numpy(), b["doc_a"].to_numpy()]),
+                    type=pa.int64(),
+                ),
+                "is_edge": pa.array(
+                    np.ones(2 * b.num_rows, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    labels = (
+        edge_msgs.map_batches(
+            lambda b: pa.table({"id": b["k"], "label": b["k"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("id")
+        .map_groups(_cc_min_fold, batch_format="pandas")
+        .materialize()
+    )
+    prev = labels.sum("label")
+    for _ in range(max_iters):
+        as_msgs = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "k": b["id"],
+                    "v": b["label"],
+                    "is_edge": pa.array(
+                        np.zeros(b.num_rows, dtype=np.int64), type=pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        labels = (
+            edge_msgs.union(as_msgs)
+            .groupby("k")
+            .map_groups(_cc_propagate_fold, batch_format="pandas")
+            .groupby("id")
+            .map_groups(_cc_min_fold, batch_format="pandas")
+            .materialize()
+        )
+        cur = labels.sum("label")
+        if cur == prev:
+            break
+        prev = cur
+    return labels

@@ -148,6 +148,118 @@ class Fingerprint:
         )
 
 
+REP_TOP_BIGRAM_MAX = 0.07  # Gopher-style repetition gates (rule 4/5 analogue)
+REP_DUP_TRIGRAM_MAX = 0.05
+
+
+def _gram_run_stats(
+    texts: list[str], n: int, n_docs: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc (max occurrence count of any single n-gram, total occurrences
+    of n-grams that repeat within the doc, total n-gram count) — one lexsort
+    over the positional gram hashes, run-length reductions per doc."""
+    from tapdata_connectors_ray.functions.texthash import batch_gram_hashes
+
+    did, gh = batch_gram_hashes(texts, n)
+    tot = np.bincount(did, minlength=n_docs).astype(np.int64)
+    mx = np.zeros(n_docs, dtype=np.int64)
+    dup = np.zeros(n_docs, dtype=np.int64)
+    if len(gh):
+        order = np.lexsort((gh, did))
+        d, g = did[order], gh[order]
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+        starts = np.flatnonzero(new)
+        runlen = np.diff(np.append(starts, len(g)))
+        np.maximum.at(mx, d[starts], runlen)
+        rep = runlen >= 2
+        np.add.at(dup, d[starts[rep]], runlen[rep])
+    return mx, dup, tot
+
+
+def repetition_scores_batch(batch: pa.Table) -> pa.Table:
+    """Intra-document repetition metrics (Gopher quality rules, adapted to
+    the single-line fixture texts): fraction of bigram slots taken by the
+    most frequent bigram, and fraction of trigram slots whose trigram occurs
+    more than once in the doc.  ``keep`` applies both gates.  Ratios are raw
+    IEEE divisions of identical integer operands on both engines."""
+    texts = batch["text"].to_pylist()
+    n_docs = len(texts)
+    mx2, _, tot2 = _gram_run_stats(texts, 2, n_docs)
+    _, dup3, tot3 = _gram_run_stats(texts, 3, n_docs)
+    top_bi = np.where(tot2 > 0, mx2 / np.maximum(tot2, 1), 0.0)
+    dup_tri = np.where(tot3 > 0, dup3 / np.maximum(tot3, 1), 0.0)
+    keep = ((top_bi <= REP_TOP_BIGRAM_MAX) & (dup_tri <= REP_DUP_TRIGRAM_MAX)).astype(
+        np.int64
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "top_bigram_frac": pa.array(top_bi, type=pa.float64()),
+            "dup_trigram_frac": pa.array(dup_tri, type=pa.float64()),
+            "keep": pa.array(keep, type=pa.int64()),
+        }
+    )
+
+
+DECONTAM_NGRAM = 3
+EVAL_HOLDOUT_MOD = 97  # doc_id % 97 == 0 plays the benchmark/eval split
+
+
+def eval_gram_partials(batch: pa.Table) -> pa.Table:
+    """Per-block distinct gram hashes of the EVAL holdout docs (narrow,
+    benchmark-suite-scale output — the small side of the broadcast)."""
+    from tapdata_connectors_ray.functions.texthash import batch_distinct_gram_hashes
+
+    ids = batch["doc_id"].to_numpy()
+    mask = ids % EVAL_HOLDOUT_MOD == 0
+    if mask.any():
+        texts = batch.filter(pa.array(mask))["text"].to_pylist()
+        gh, _ = batch_distinct_gram_hashes(texts, DECONTAM_NGRAM)
+        gh = np.unique(gh)
+    else:
+        gh = np.empty(0, dtype=np.uint64)
+    return pa.table({"gh": pa.array(gh, type=pa.uint64())})
+
+
+def make_decontaminate(eval_ref, n: int = DECONTAM_NGRAM):
+    """Corpus-side decontamination kernel: count each non-eval doc's distinct
+    word n-grams that appear anywhere in the broadcast eval gram set (GPT-3 /
+    Pile-style benchmark-overlap filter).  The eval set rides the object
+    store once (``ray.put``); membership is a searchsorted against the
+    sorted hash array — no shuffle touches the corpus."""
+    import ray
+
+    def f(batch: pa.Table) -> pa.Table:
+        from tapdata_connectors_ray.functions.texthash import (
+            batch_distinct_gram_hashes,
+        )
+
+        ev = ray.get(eval_ref)
+        ids = batch["doc_id"].to_numpy()
+        sub = batch.filter(pa.array(ids % EVAL_HOLDOUT_MOD != 0))
+        ids = sub["doc_id"].to_numpy()
+        texts = sub["text"].to_pylist()
+        gh, counts = batch_distinct_gram_hashes(texts, n)
+        n_shared = np.zeros(len(texts), dtype=np.int64)
+        if len(ev) and len(gh):
+            idx = np.minimum(np.searchsorted(ev, gh), len(ev) - 1)
+            member = ev[idx] == gh
+            did = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+            n_shared = np.bincount(
+                did[member], minlength=len(texts)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_shared": pa.array(n_shared, type=pa.int64()),
+                "contaminated": pa.array((n_shared > 0).astype(np.int64)),
+            }
+        )
+
+    return f
+
+
 CHUNK_TOKENS = 64
 
 

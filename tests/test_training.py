@@ -633,3 +633,170 @@ def test_packing_matches_bruteforce(ray_session, tmp_path):
         assert got["seq_id"].tolist() == sorted(exp)
         assert got["n_docs"].tolist() == [exp[s][0] for s in sorted(exp)]
         assert got["n_tokens"].tolist() == [exp[s][1] for s in sorted(exp)]
+
+
+# -- repetition / decontamination / connected components ----------------------
+
+
+def test_repetition_and_decontaminate_match_oracle(ray_session):
+    from tapdata_connectors_ray.pipelines.training import (
+        _decontaminate_sql,
+        _repetition_sql,
+        q_text_decontaminate,
+        q_text_repetition_scores,
+    )
+
+    got = q_text_repetition_scores(SF).to_pandas()
+    assert _frames_equal(got, _oracle(_repetition_sql(SF)))
+    got = q_text_decontaminate(SF).to_pandas()
+    exp = _oracle(_decontaminate_sql(SF))
+    assert _frames_equal(got, exp)
+    assert exp["contaminated"].sum() > 0  # the fixture must exercise both classes
+    assert (exp["contaminated"] == 0).any()
+
+
+def test_connected_components_matches_oracle(ray_session):
+    from tapdata_connectors_ray.pipelines.training import (
+        TRAINING_SQL,
+        q_dedup_connected_components,
+    )
+
+    got = q_dedup_connected_components(SF).to_pandas()
+    exp = _oracle(TRAINING_SQL["dedup_connected_components"])
+    assert _frames_equal(got, exp)
+    assert (exp["csize"] >= 2).all()  # every node in the pair graph has a peer
+
+
+@given(st.data())
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_repetition_kernel_matches_bruteforce(data):
+    import collections
+
+    from tapdata_connectors_ray.stages.textqc import (
+        REP_DUP_TRIGRAM_MAX,
+        REP_TOP_BIGRAM_MAX,
+        repetition_scores_batch,
+    )
+
+    vocab = ["a", "b", "c", "dd"]
+    texts = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=12).map(" ".join),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+    out = repetition_scores_batch(batch).to_pandas()
+    for i, t in enumerate(texts):
+        tk = t.lower().split(" ")
+        bg = collections.Counter(zip(tk, tk[1:]))
+        tg = collections.Counter(zip(tk, tk[1:], tk[2:]))
+        top_bi = max(bg.values()) / (len(tk) - 1) if len(tk) > 1 else 0.0
+        dup_tri = (
+            sum(c for c in tg.values() if c >= 2) / (len(tk) - 2)
+            if len(tk) > 2
+            else 0.0
+        )
+        row = out.iloc[i]
+        assert row["top_bigram_frac"] == top_bi
+        assert row["dup_trigram_frac"] == dup_tri
+        assert row["keep"] == int(
+            top_bi <= REP_TOP_BIGRAM_MAX and dup_tri <= REP_DUP_TRIGRAM_MAX
+        )
+
+
+@given(st.data())
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_decontaminate_kernel_matches_bruteforce(ray_session, data):
+    import ray
+
+    from tapdata_connectors_ray.stages.textqc import (
+        DECONTAM_NGRAM,
+        EVAL_HOLDOUT_MOD,
+        eval_gram_partials,
+        make_decontaminate,
+    )
+
+    vocab = ["a", "b", "c"]
+    n_docs = data.draw(st.integers(min_value=2, max_value=12))
+    texts = [
+        data.draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=9).map(" ".join))
+        for _ in range(n_docs)
+    ]
+    # spread ids so some (multiples of the holdout mod) land in the eval set
+    ids = [i * (EVAL_HOLDOUT_MOD // 2) for i in range(n_docs)]
+    batch = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+
+    def grams(t):
+        tk = t.lower().split(" ")
+        k = DECONTAM_NGRAM
+        return {" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)}
+
+    ev_grams = set().union(
+        *(grams(t) for i, t in zip(ids, texts) if i % EVAL_HOLDOUT_MOD == 0), set()
+    )
+    ev = np.unique(eval_gram_partials(batch)["gh"].to_numpy())
+    out = make_decontaminate(ray.put(ev))(batch).to_pandas().set_index("doc_id")
+    for i, t in zip(ids, texts):
+        if i % EVAL_HOLDOUT_MOD == 0:
+            assert i not in out.index
+        else:
+            assert out.loc[i, "n_shared"] == len(grams(t) & ev_grams)
+
+
+@given(st.data())
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(ray_session, data):
+    import ray.data
+
+    from tapdata_connectors_ray.stages.dedup import connected_components
+
+    n_nodes = data.draw(st.integers(min_value=2, max_value=30))
+    edges = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n_nodes - 1),
+                st.integers(min_value=0, max_value=n_nodes - 1),
+            ).filter(lambda p: p[0] != p[1]),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([min(e) for e in edges], type=pa.int64()),
+            "doc_b": pa.array([max(e) for e in edges], type=pa.int64()),
+        }
+    )
+    got = (
+        connected_components(ray.data.from_arrow(pairs), num_partitions=2)
+        .to_pandas()
+        .set_index("id")["label"]
+        .to_dict()
+    )
+    # brute force union-find
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {}
+    for a, b in edges:
+        exp[a] = find(a)
+        exp[b] = find(b)
+    # normalize union-find roots to min member per component
+    comp_min = {}
+    for node, root in exp.items():
+        comp_min[root] = min(comp_min.get(root, node), node)
+    exp = {node: comp_min[root] for node, root in exp.items()}
+    assert got == exp
