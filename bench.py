@@ -117,6 +117,9 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "kmeans_train",
         "ann_ivf_trained_topk",
         "source_sql_command",
+        "text_decontaminate",
+        "text_repetition_scores",
+        "dedup_connected_components",
     ]
     out: dict[str, float] = {}
     for name in panel:

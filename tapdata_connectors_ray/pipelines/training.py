@@ -2160,22 +2160,33 @@ def q_dedup_connected_components(sf_dir: str) -> Any:
         q_dedup_ngram_jaccard(sf_dir).select_columns(["doc_a", "doc_b"]).materialize()
     )
     comp = connected_components(pairs, num_partitions=join_partitions(pairs.count() * 2))
-    # component sizes in the same pass as the final projection (join-free)
-    schema = pa.schema(
-        [("doc_id", pa.int64()), ("component", pa.int64()), ("csize", pa.int64())]
-    )
 
+    # component sizes in one coarse-bucketed pass (join-free; 256 groups max
+    # — components co-bucket by label so each size is computed exactly)
     def size_fold(df: pd.DataFrame) -> pa.Table:
-        out = pd.DataFrame(
+        csize = df.groupby("label")["label"].transform("size")
+        return pa.table(
             {
-                "doc_id": df["id"].to_numpy(dtype=np.int64),
-                "component": df["label"].to_numpy(dtype=np.int64),
-                "csize": np.full(len(df), len(df), dtype=np.int64),
+                "doc_id": pa.array(df["id"].to_numpy(dtype=np.int64), type=pa.int64()),
+                "component": pa.array(
+                    df["label"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+                "csize": pa.array(csize.to_numpy(dtype=np.int64), type=pa.int64()),
             }
         )
-        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
-    return comp.groupby("label").map_groups(size_fold, batch_format="pandas")
+    return (
+        comp.map_batches(
+            lambda b: b.append_column(
+                "cbucket",
+                pa.array((b["label"].to_numpy() % 256).astype(np.int32)),
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("cbucket")
+        .map_groups(size_fold, batch_format="pandas")
+    )
 
 
 def _gram_series_bound(sf_dir: str) -> int:

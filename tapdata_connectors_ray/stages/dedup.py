@@ -557,100 +557,165 @@ def symmetrize_pairs(batch: pa.Table) -> pa.Table:
     )
 
 
-_CC_MSG_SCHEMA = pa.schema([("id", pa.int64()), ("label", pa.int64())])
+# two-regime threshold (the BROADCAST_FLAG_CAP / LSH_CANDIDATE_CAP pattern):
+# a pair list is candidate-scale (near-dup PAIRS, not documents), so below
+# the cap a driver-local union-find is both exact and ~free; above it the
+# distributed hash-min loop takes over
+CC_PAIR_CAP = 2_000_000
+
+_CC_N_BUCKETS = 256  # coarse int32 bucket: Ray grouped folds pay per GROUP
+
+
+def _cc_msg_table(k: np.ndarray, v: np.ndarray, is_edge: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "bucket": pa.array((k % _CC_N_BUCKETS).astype(np.int32), type=pa.int32()),
+            "k": pa.array(k, type=pa.int64()),
+            "v": pa.array(v, type=pa.int64()),
+            "is_edge": pa.array(is_edge, type=pa.int64()),
+        }
+    )
+
+
+def _cc_label_table(ids: np.ndarray, lbl: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "bucket": pa.array(
+                (ids % _CC_N_BUCKETS).astype(np.int32), type=pa.int32()
+            ),
+            "id": pa.array(ids, type=pa.int64()),
+            "label": pa.array(lbl, type=pa.int64()),
+        }
+    )
 
 
 def _cc_propagate_fold(df: pd.DataFrame) -> pa.Table:
-    """Per-src group of the (edges ∪ labels) union: broadcast the node's
-    current label (the is_edge==0 row) to itself and every neighbor."""
-    lbl_rows = df.loc[df["is_edge"] == 0, "v"]
-    lbl = int(lbl_rows.min()) if len(lbl_rows) else int(df["k"].iloc[0])
-    dsts = df.loc[df["is_edge"] == 1, "v"].to_numpy(dtype=np.int64)
-    out = pd.DataFrame(
-        {
-            "id": np.concatenate([df["k"].to_numpy(dtype=np.int64)[:1], dsts]),
-            "label": np.full(len(dsts) + 1, lbl, dtype=np.int64),
-        }
-    )
-    return pa.Table.from_pandas(out, schema=_CC_MSG_SCHEMA, preserve_index=False)
+    """One bucket of the (edges ∪ labels) union: send every node's current
+    label (its is_edge==0 row; own id when absent, i.e. round 1) to itself
+    and to each edge's destination.  Fully vectorized — one reindex over the
+    bucket's label map."""
+    lab = df[df["is_edge"] == 0]
+    lk = lab["k"].to_numpy(dtype=np.int64)
+    lv = lab["v"].to_numpy(dtype=np.int64)
+    order = np.argsort(lk)
+    lk, lv = lk[order], lv[order]
+    edges = df[df["is_edge"] == 1]
+    ek = edges["k"].to_numpy(dtype=np.int64)
+    # exact int64 lookup (searchsorted — no float round-trip, no pandas
+    # duplicate-index alignment); missing => round 1 => the node's own id
+    if len(lk):
+        pos = np.minimum(np.searchsorted(lk, ek), len(lk) - 1)
+        elbl = np.where(lk[pos] == ek, lv[pos], ek)
+    else:
+        elbl = ek
+    # self-carry: every node that has a label row keeps it; round 1 (no
+    # label rows) carries each edge source's own id instead
+    ids = np.concatenate([edges["v"].to_numpy(dtype=np.int64), lk if len(lk) else ek])
+    lbl = np.concatenate([elbl, lv if len(lk) else ek])
+    return _cc_label_table(ids, lbl)
 
 
 def _cc_min_fold(df: pd.DataFrame) -> pa.Table:
     out = df.groupby("id", as_index=False)["label"].min()
-    return pa.Table.from_pandas(out, schema=_CC_MSG_SCHEMA, preserve_index=False)
+    return _cc_label_table(
+        out["id"].to_numpy(dtype=np.int64), out["label"].to_numpy(dtype=np.int64)
+    )
 
 
-def connected_components(pairs, num_partitions: int, max_iters: int = 50):
-    """Distributed min-label propagation (hash-min) over a (doc_a, doc_b)
-    pair Dataset: every node's label converges to the smallest doc_id in its
-    component.
+def _cc_driver_union_find(pairs) -> "pa.Table":
+    """Exact union-find over a driver-collected pair frame (narrow: two
+    int64 columns).  Path-halving keeps it near-linear."""
+    df = pairs.to_pandas()
+    a = df["doc_a"].to_numpy(dtype=np.int64)
+    b = df["doc_b"].to_numpy(dtype=np.int64)
+    parent: dict[int, int] = {}
 
-    Each round is two narrow int64-only groupby exchanges — union the edge
-    list with the current labels keyed on the source node, fold each group
-    to broadcast the node's label to its neighbors, then min-reduce the
-    messages per node.  The document payload never moves, so a 100-TB
-    corpus's dup graph (edges ~ near-dup pairs) shuffles only 24-byte rows.
-    Deliberately join-free: every stage is a pinned-schema ``map_groups``
-    fold, the one construct empty sort-splits provably cannot poison
-    (``Dataset.join`` unifies zero-column empty partitions from upstream
-    operators into schema-less tables — SURVEY §8.5).
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(a.tolist(), b.tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+    roots = np.fromiter((find(int(x)) for x in nodes), dtype=np.int64, count=len(nodes))
+    # normalize roots to the min member (find already unions toward min)
+    return pa.table(
+        {"id": pa.array(nodes, type=pa.int64()), "label": pa.array(roots, type=pa.int64())}
+    )
+
+
+def connected_components(
+    pairs, num_partitions: int, max_iters: int = 50, pair_cap: int = CC_PAIR_CAP
+):
+    """Connected components of a (doc_a, doc_b) pair Dataset: every node's
+    label converges to the smallest doc_id in its component.
+
+    Two-regime: pair graphs are candidate-scale, so up to ``pair_cap`` pairs
+    a driver-local union-find answers exactly (the BROADCAST_FLAG_CAP
+    pattern); above it a distributed hash-min loop with POINTER JUMPING runs
+    entirely as coarse-bucketed, pinned-schema ``map_groups`` folds.
+
+    The distributed loop: each round unions three message kinds keyed on a
+    256-way node bucket — edge messages (k=src, v=dst), label self-carries
+    (k=node, v=label), and jump messages (k=label, v=node: the node asks its
+    current label's node for THAT node's label — label(label(v)), which
+    collapses chains in O(log diameter) rounds instead of O(diameter)) —
+    then one fold broadcasts each node's label along its messages and a
+    second fold min-reduces per node.  Only 24-byte rows shuffle; the
+    payload never moves.  Deliberately join-free: ``Dataset.join`` unifies
+    zero-column empty partitions from upstream operators into schema-less
+    tables (SURVEY §8.5), while pinned-schema folds cannot be poisoned.
 
     Convergence is detected by the label SUM, a scalar aggregate:
-    min-propagation is monotone non-increasing per node, so an unchanged sum
-    IS a fixpoint.  Rounds needed = graph diameter (dup clusters are
-    near-cliques -> a handful); ``max_iters`` bounds pathological chains.
+    min-propagation is monotone non-increasing per node, so an unchanged
+    sum IS a fixpoint.
 
     Returns a Dataset with columns (id, label).
     """
+    import ray.data
+
+    if pairs.count() <= pair_cap:
+        return ray.data.from_arrow(_cc_driver_union_find(pairs))
+
+    def edge_msg_batch(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy()
+        c = b["doc_b"].to_numpy()
+        k = np.concatenate([a, c])
+        return _cc_msg_table(
+            k, np.concatenate([c, a]), np.ones(len(k), dtype=np.int64)
+        )
+
+    def label_msg_batch(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy()
+        lbl = b["label"].to_numpy()
+        k = np.concatenate([ids, lbl])
+        v = np.concatenate([lbl, ids])
+        is_edge = np.concatenate(
+            [np.zeros(len(ids), dtype=np.int64), np.ones(len(ids), dtype=np.int64)]
+        )
+        return _cc_msg_table(k, v, is_edge)
+
     edge_msgs = pairs.map_batches(
-        lambda b: pa.table(
-            {
-                "k": pa.array(
-                    np.concatenate([b["doc_a"].to_numpy(), b["doc_b"].to_numpy()]),
-                    type=pa.int64(),
-                ),
-                "v": pa.array(
-                    np.concatenate([b["doc_b"].to_numpy(), b["doc_a"].to_numpy()]),
-                    type=pa.int64(),
-                ),
-                "is_edge": pa.array(
-                    np.ones(2 * b.num_rows, dtype=np.int64), type=pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        edge_msg_batch, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    labels = (
-        edge_msgs.map_batches(
-            lambda b: pa.table({"id": b["k"], "label": b["k"]}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .groupby("id")
-        .map_groups(_cc_min_fold, batch_format="pandas")
-        .materialize()
-    )
-    prev = labels.sum("label")
+    labels = None
+    prev = None
     for _ in range(max_iters):
-        as_msgs = labels.map_batches(
-            lambda b: pa.table(
-                {
-                    "k": b["id"],
-                    "v": b["label"],
-                    "is_edge": pa.array(
-                        np.zeros(b.num_rows, dtype=np.int64), type=pa.int64()
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        msgs = edge_msgs
+        if labels is not None:
+            msgs = msgs.union(
+                labels.map_batches(
+                    label_msg_batch, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
         labels = (
-            edge_msgs.union(as_msgs)
-            .groupby("k")
+            msgs.groupby("bucket")
             .map_groups(_cc_propagate_fold, batch_format="pandas")
-            .groupby("id")
+            .groupby("bucket")
             .map_groups(_cc_min_fold, batch_format="pandas")
             .materialize()
         )
@@ -658,4 +723,4 @@ def connected_components(pairs, num_partitions: int, max_iters: int = 50):
         if cur == prev:
             break
         prev = cur
-    return labels
+    return labels.select_columns(["id", "label"])

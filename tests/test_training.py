@@ -771,12 +771,21 @@ def test_connected_components_matches_union_find(ray_session, data):
             "doc_b": pa.array([max(e) for e in edges], type=pa.int64()),
         }
     )
+    # pair_cap=0 forces the distributed hash-min loop; the default regime
+    # (driver union-find) must agree bit-for-bit
     got = (
+        connected_components(ray.data.from_arrow(pairs), num_partitions=2, pair_cap=0)
+        .to_pandas()
+        .set_index("id")["label"]
+        .to_dict()
+    )
+    got_driver = (
         connected_components(ray.data.from_arrow(pairs), num_partitions=2)
         .to_pandas()
         .set_index("id")["label"]
         .to_dict()
     )
+    assert got == got_driver
     # brute force union-find
     parent = {}
 
