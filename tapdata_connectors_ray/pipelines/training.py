@@ -2148,18 +2148,21 @@ def q_text_decontaminate(sf_dir: str) -> Any:
     )
 
 
-def q_dedup_connected_components(sf_dir: str) -> Any:
+def q_dedup_connected_components(sf_dir: str, pair_cap: int | None = None) -> Any:
     """Duplicate-cluster assignment: connected components over the n-gram
-    Jaccard pair graph (min-label propagation, ``stages/dedup.
-    connected_components``) + component sizes.  The reference's dedup story
-    stops at pairwise merges; cluster closure is what a curation pipeline
-    actually drops by."""
-    from tapdata_connectors_ray.stages.dedup import connected_components
+    Jaccard pair graph (two-regime ``stages/dedup.connected_components``) +
+    component sizes.  The reference's dedup story stops at pairwise merges;
+    cluster closure is what a curation pipeline actually drops by."""
+    from tapdata_connectors_ray.stages.dedup import CC_PAIR_CAP, connected_components
 
     pairs = (
         q_dedup_ngram_jaccard(sf_dir).select_columns(["doc_a", "doc_b"]).materialize()
     )
-    comp = connected_components(pairs, num_partitions=join_partitions(pairs.count() * 2))
+    comp = connected_components(
+        pairs,
+        num_partitions=join_partitions(pairs.count() * 2),
+        pair_cap=CC_PAIR_CAP if pair_cap is None else pair_cap,
+    )
 
     # component sizes in one coarse-bucketed pass (join-free; 256 groups max
     # — components co-bucket by label so each size is computed exactly)
@@ -2187,6 +2190,131 @@ def q_dedup_connected_components(sf_dir: str) -> Any:
         .groupby("cbucket")
         .map_groups(size_fold, batch_format="pandas")
     )
+
+
+def q_dedup_connected_components_stress(sf_dir: str) -> Any:
+    """pair_cap=0 forces the distributed pointer-jumping hash-min loop — the
+    100-TB path — through the same oracle as the driver-regime query (the
+    incremental-LSH stress-query pattern)."""
+    return q_dedup_connected_components(sf_dir, pair_cap=0)
+
+
+SHARD_EXPORT_N = 16
+SHARD_CHECKSUM_MOD = 1_000_000_007
+
+
+def q_sink_shard_export(sf_dir: str) -> Any:
+    """Hash-sharded training-data EXPORT with read-back verification: shard =
+    md5(doc_id) % 16, one parquet directory per shard + deterministic
+    per-(task, shard) file names through ``atomic_put_parquet`` — a failed
+    run re-runs idempotently and a resumed run can skip finished shard dirs
+    (the resumable-output layout the lake writers use).  Read-back
+    enumerates explicit FILE paths (hive cols are invisible to Ray's
+    read_parquet filter sampling — the blob-ledger pattern) and aggregates
+    per-shard doc count, char count and an md5 content checksum, proving the
+    export is complete and uncorrupted.  md5-per-row is the oracle-parity
+    hash; production swaps the vectorized SipHash."""
+    import shutil
+    import tempfile
+
+    from tapdata_connectors_ray.functions.texthash import md5_lower64
+    from tapdata_connectors_ray.sources.storage import atomic_put_parquet
+
+    # pid-scoped reusable root: concurrent processes never collide, repeat
+    # runs in one process reclaim their own space (ledger-dir pattern)
+    out_root = os.path.join(tempfile.gettempdir(), f"tcr_shard_export_{os.getpid()}")
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sh = np.fromiter(
+            (md5_lower64(str(i)) % SHARD_EXPORT_N for i in ids),
+            np.int64,
+            count=len(ids),
+        )
+        tagged = batch.append_column("shard", pa.array(sh, type=pa.int64()))
+        out_s, out_n = [], []
+        for s in np.unique(sh):
+            sub = tagged.filter(pa.array(sh == s))
+            # deterministic name: a task retry rewrites the same file
+            name = f"part-{int(sub['doc_id'][0].as_py())}.parquet"
+            atomic_put_parquet(sub, os.path.join(out_root, f"shard={int(s)}", name))
+            out_s.append(int(s))
+            out_n.append(sub.num_rows)
+        return pa.table(
+            {
+                "shard": pa.array(out_s, type=pa.int64()),
+                "rows": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    _docs(sf_dir).map_batches(
+        write_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    paths = [
+        f.path
+        for d in os.scandir(out_root)
+        for f in os.scandir(d.path)
+        if f.name.endswith(".parquet")
+    ]
+
+    def stats_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sh = batch["shard"].to_numpy()
+        chars = pc.utf8_length(batch["text"]).to_numpy().astype(np.int64)
+        cks = np.fromiter(
+            (md5_lower64(t) % SHARD_CHECKSUM_MOD for t in batch["text"].to_pylist()),
+            np.int64,
+            count=batch.num_rows,
+        )
+        shards = np.unique(sh)
+        idx = np.searchsorted(shards, sh)
+        return pa.table(
+            {
+                "shard": pa.array(shards, type=pa.int64()),
+                "n_docs": pa.array(
+                    np.bincount(idx, minlength=len(shards)).astype(np.int64)
+                ),
+                "sum_chars": pa.array(
+                    np.bincount(idx, weights=chars, minlength=len(shards)).astype(
+                        np.int64
+                    )
+                ),
+                "checksum": pa.array(
+                    np.bincount(idx, weights=cks, minlength=len(shards)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(paths)
+        .map_batches(stats_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .sum(["n_docs", "sum_chars", "checksum"])
+        .rename_columns(
+            {
+                "sum(n_docs)": "n_docs",
+                "sum(sum_chars)": "sum_chars",
+                "sum(checksum)": "checksum",
+            }
+        )
+    )
+
+
+def _shard_export_sql() -> str:
+    return f"""
+SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % {SHARD_EXPORT_N} AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(sum(md5_number_lower(text) % {SHARD_CHECKSUM_MOD}) AS BIGINT) AS checksum
+FROM documents
+GROUP BY 1 ORDER BY shard
+"""
 
 
 def _gram_series_bound(sf_dir: str) -> int:
@@ -2703,6 +2831,8 @@ FROM e GROUP BY text ORDER BY doc_id
 """,
     "dedup_ngram_jaccard": _pairs_sql(JACCARD_THRESHOLD, cutoff=True),
     "dedup_connected_components": _connected_components_sql(),
+    "dedup_connected_components_stress": _connected_components_sql(),
+    "sink_shard_export": _shard_export_sql(),
     "dedup_minhash_lsh": _pairs_sql(MINHASH_THRESHOLD),
     # union of per-epoch incremental results == the batch answer: banding is
     # per-signature deterministic, so the oracle is the same pair set
@@ -2931,6 +3061,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_connected_components": q_dedup_connected_components,
+        "dedup_connected_components_stress": q_dedup_connected_components_stress,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_join": q_dedup_minhash_lsh,  # alias (join IS the path)
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
@@ -2953,6 +3084,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "text_packing": q_text_packing,
         "text_repetition_scores": q_text_repetition_scores,
         "text_decontaminate": q_text_decontaminate,
+        "sink_shard_export": q_sink_shard_export,
         "multimodal_payload_stats": q_multimodal_payload_stats,
         "multimodal_decode_features": q_multimodal_decode_features,
         "multimodal_resize_pipeline": q_multimodal_resize_pipeline,

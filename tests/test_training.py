@@ -809,3 +809,22 @@ def test_connected_components_matches_union_find(ray_session, data):
         comp_min[root] = min(comp_min.get(root, node), node)
     exp = {node: comp_min[root] for node, root in exp.items()}
     assert got == exp
+
+
+def test_shard_export_matches_oracle_and_layout(ray_session):
+    import os
+    import tempfile
+
+    from tapdata_connectors_ray.pipelines.training import (
+        SHARD_EXPORT_N,
+        TRAINING_SQL,
+        q_sink_shard_export,
+    )
+
+    got = q_sink_shard_export(SF).to_pandas()
+    exp = _oracle(TRAINING_SQL["sink_shard_export"])
+    assert _frames_equal(got, exp)
+    root = os.path.join(tempfile.gettempdir(), f"tcr_shard_export_{os.getpid()}")
+    dirs = sorted(os.listdir(root))
+    assert all(d.startswith("shard=") for d in dirs)
+    assert len(dirs) == len(exp) <= SHARD_EXPORT_N
