@@ -25,16 +25,20 @@ def entry() -> Any:
 
 # Queries that run before everything else (dict order = run order; the
 # driver caps a sweep at 50 queries, so the set whose newest green row is
-# OLDEST goes first).  Round 4: the 15 new queries, then 35 of the 36 whose
-# last driver row is CORRECTNESS_r02 (round 3's driver run spent its 50
-# slots on the then-new queries) — 50 total, so one capped sweep refreshes
-# every query that isn't already green in CORRECTNESS_r03 (the minhash-lsh
-# alias rides its twin's slot).
+# OLDEST goes first).  Round 4: the 17 queries with NO driver row yet, then
+# 33 of the 36 whose last driver row is CORRECTNESS_r02 (round 3's driver
+# run spent its 50 slots on the then-new queries) — 50 total.  The three
+# r2-only queries left past the cap (`batch_count_orders`,
+# `min_max_lineitem`, and the `dedup_minhash_lsh_join` alias) keep their
+# green r02 rows (trivial count/min-max; code unchanged) and rotate to the
+# front in round 5.
 _RUN_FIRST = (
-    # new in round 4
+    # new in round 4 — no driver row yet
     "text_decontaminate",
     "text_repetition_scores",
     "dedup_connected_components",
+    "dedup_connected_components_stress",
+    "sink_shard_export",
     "dedup_minhash_incremental_stress",
     "dedup_embedding_incremental_stress",
     "pk_range_boundaries_strings",
@@ -52,7 +56,6 @@ _RUN_FIRST = (
     "af_lineitem_filter_sort_limit",
     "ann_cosine_topk",
     "ann_ivf_topk",
-    "batch_count_orders",
     "cdc_double_active_filter",
     "cdc_replay_nopk",
     "cdc_replay_second_table",
@@ -72,7 +75,6 @@ _RUN_FIRST = (
     "events_tumbling_window",
     "hash_split_shard",
     "master_subdoc_merge",
-    "min_max_lineitem",
     "multimodal_decode_features",
     "multimodal_payload_stats",
     "multimodal_resize_pipeline",
