@@ -2587,6 +2587,20 @@ def q_multimodal_frame_sample(sf_dir: str) -> Any:
     )
 
 
+def quality_gate_batch(batch: pa.Table) -> pa.Table:
+    """Curation quality gate (n_words >= 20 AND alpha_ratio >= 0.5) —
+    ONE definition shared by the batch and incremental curation
+    compositions so neither can silently diverge from the oracle's
+    ``gate`` CTE."""
+    texts = pd.Series(batch["text"].to_pylist(), dtype=object)
+    low = texts.str.lower()
+    n_words = low.str.split(" ").map(len).to_numpy()
+    n_chars = texts.str.len().to_numpy()
+    alpha = low.str.count("[a-z]").to_numpy()
+    keep = (n_words >= 20) & (alpha / np.maximum(n_chars, 1) >= 0.5)
+    return batch.take(np.nonzero(keep)[0])
+
+
 def q_curation_pipeline(sf_dir: str) -> Any:
     """End-to-end corpus curation — the composition a real training-data
     pipeline runs, chained as one lazy Dataset flow:
@@ -2604,17 +2618,8 @@ def q_curation_pipeline(sf_dir: str) -> Any:
     from tapdata_connectors_ray.stages.textqc import token_count_batch
 
     # stage 1: quality gate (vectorized in-batch)
-    def quality_gate(batch: pa.Table) -> pa.Table:
-        texts = pd.Series(batch["text"].to_pylist(), dtype=object)
-        low = texts.str.lower()
-        n_words = low.str.split(" ").map(len).to_numpy()
-        n_chars = texts.str.len().to_numpy()
-        alpha = low.str.count("[a-z]").to_numpy()
-        keep = (n_words >= 20) & (alpha / np.maximum(n_chars, 1) >= 0.5)
-        return batch.take(np.nonzero(keep)[0])
-
     gated = _aug_docs(sf_dir).map_batches(
-        quality_gate, batch_format="pyarrow", zero_copy_batch=True
+        quality_gate_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
     # stage 2: exact dedup — keep min doc_id per content hash.  The kept set
@@ -2662,6 +2667,70 @@ def q_curation_pipeline(sf_dir: str) -> Any:
         .map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
     )
     return out
+
+
+def q_curation_incremental(sf_dir: str) -> Any:
+    """End-to-end curation run the way a CDC-fed corpus actually arrives —
+    in epochs, against accumulated ledgers, never re-scanning prior data:
+
+        epoch e (deterministic ``doc_id % 3`` arrival split)
+          -> quality gate   (same vectorized predicate as the batch chain)
+          -> incremental exact-dedup ledger   (first-seen-wins winners)
+          -> incremental MinHash-LSH ledger   (the epoch's NEW near-dup
+             pairs against everything already ingested)
+        final (one lazy flow over the ledgers):
+          winners  minus  {larger side of near-dup pairs whose BOTH sides
+          won exact dedup}  ->  per-doc token counts
+
+    This is the engine's two halves composed: the CDC ingest cadence
+    (epoch ledgers, re-execution-safe folds) feeding the training-data
+    curation operators.  The survivor set equals the batch composition
+    because each ledger's epoch-union provably equals its batch answer
+    (property-tested for both ledgers), with one semantic difference the
+    oracle encodes: exact-dedup winners are FIRST-SEEN (epoch-1 doc wins
+    over a smaller epoch-2 doc_id), not global-min.
+
+    Scale shape: per epoch the ledgers shuffle only epoch-sized narrow
+    rows and touch only their hash buckets; the final assembly is three
+    sized hash joins over (id, id) pairs — no corpus-scale driver frame."""
+    from tapdata_connectors_ray.stages.textqc import token_count_batch
+
+    exact_ledger = _inc_ledger_dir(sf_dir, "cur_exact")
+    lsh_ledger = _inc_ledger_dir(sf_dir, "cur_lsh")
+    aug = _aug_docs(sf_dir)
+
+    for ep in (1, 2):
+        gated = aug.map_batches(
+            _epoch_keep("doc_id", ep), batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(quality_gate_batch, batch_format="pyarrow", zero_copy_batch=True)
+        ingest_dedup_epoch(gated, exact_ledger, epoch=ep)
+        ingest_lsh_epoch(gated, lsh_ledger, epoch=ep)
+
+    kept = ray.data.read_parquet(exact_ledger).select_columns(["doc_id"])
+    pairs = ray.data.read_parquet(
+        os.path.join(lsh_ledger, "pairs"), override_num_blocks=8
+    ).select_columns(["doc_a", "doc_b"])
+
+    # near-dup drop among winners: pairs with BOTH sides alive -> drop doc_b
+    # (the ledger emits doc_a < doc_b, matching the batch chain's rule)
+    n_join = join_partitions(_aug_rows_est(sf_dir))
+    both_alive = pairs.join(
+        kept, join_type="left_semi", num_partitions=n_join, on=("doc_a",), right_on=("doc_id",)
+    ).join(
+        kept, join_type="left_semi", num_partitions=n_join, on=("doc_b",), right_on=("doc_id",)
+    )
+    survivors = kept.join(
+        both_alive.select_columns(["doc_b"]),
+        join_type="left_anti",
+        num_partitions=n_join,
+        on=("doc_id",),
+        right_on=("doc_b",),
+    )
+
+    return (
+        aug.join(survivors, join_type="left_semi", num_partitions=n_join, on=("doc_id",))
+        .map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2800,6 +2869,43 @@ TRAINING_SQL: dict[str, str] = {
 ), near_pairs AS (
     SELECT doc_a, doc_b FROM pair_stats
     WHERE common * 1.0 / union_n >= 0.6
+      AND doc_a IN (SELECT doc_id FROM exact_kept)
+      AND doc_b IN (SELECT doc_id FROM exact_kept)
+), survivors AS (
+    SELECT doc_id FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_b FROM near_pairs)
+)
+SELECT a.doc_id,
+       len(string_split(lower(a.text), ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(a.text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+FROM aug a JOIN survivors s ON s.doc_id = a.doc_id
+ORDER BY a.doc_id
+""",
+    # the incremental chain: gate -> first-seen-wins exact winners across
+    # the doc_id % 3 epoch split -> near-dup drop (full-gram Jaccard >= the
+    # MinHash threshold, both sides winners) -> token counts.  pair_stats is
+    # computed over ALL aug docs but filtered to winners (subset of gated),
+    # which equals the ledger's gated-corpus pair set restricted the same way.
+    "curation_incremental": _GRAMS_CTE
+    + f"""
+, gate AS (
+    SELECT doc_id, text,
+           len(string_split(lower(text), ' ')) AS n_words,
+           len(regexp_extract_all(lower(text), '[a-z]')) AS n_alpha,
+           length(text) AS n_chars
+    FROM aug
+), gated AS (
+    SELECT doc_id, text FROM gate
+    WHERE n_words >= 20 AND n_alpha * 1.0 / greatest(n_chars, 1) >= 0.5
+), e AS (
+    SELECT doc_id, text, CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ep
+    FROM gated
+), exact_kept AS (
+    SELECT coalesce(min(CASE WHEN ep = 1 THEN doc_id END), min(doc_id)) AS doc_id
+    FROM e GROUP BY text
+), near_pairs AS (
+    SELECT doc_a, doc_b FROM pair_stats
+    WHERE common * 1.0 / union_n >= {MINHASH_THRESHOLD}
       AND doc_a IN (SELECT doc_id FROM exact_kept)
       AND doc_b IN (SELECT doc_id FROM exact_kept)
 ), survivors AS (
@@ -3059,6 +3165,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_incremental": q_dedup_exact_incremental,
         "curation_pipeline": q_curation_pipeline,
+        "curation_incremental": q_curation_incremental,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_connected_components_stress": q_dedup_connected_components_stress,

@@ -828,3 +828,22 @@ def test_shard_export_matches_oracle_and_layout(ray_session):
     dirs = sorted(os.listdir(root))
     assert all(d.startswith("shard=") for d in dirs)
     assert len(dirs) == len(exp) <= SHARD_EXPORT_N
+
+
+def test_curation_incremental_matches_oracle_and_batch_winner_rule(ray_session):
+    """The epoch-ledgered curation chain must match its composed SQL twin,
+    and must differ from the batch chain exactly where the semantics say:
+    first-seen-wins winners (not global-min) and the MinHash threshold
+    (0.8 full-gram, not the 0.6 cutoff-gram batch rule)."""
+    from tapdata_connectors_ray.pipelines.training import (
+        TRAINING_SQL,
+        q_curation_incremental,
+        q_curation_pipeline,
+    )
+
+    got = q_curation_incremental(SF).to_pandas()
+    exp = _oracle(TRAINING_SQL["curation_incremental"])
+    assert _frames_equal(got, exp)
+    batch = q_curation_pipeline(SF).to_pandas()
+    # the higher near-dup threshold can only drop FEWER docs
+    assert len(got) >= len(batch)
