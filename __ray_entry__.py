@@ -25,16 +25,18 @@ def entry() -> Any:
 
 # Queries that run before everything else (dict order = run order; the
 # driver caps a sweep at 50 queries, so the set whose newest green row is
-# OLDEST goes first).  Round 4: the 18 queries with NO driver row yet, then
-# 32 of the 36 whose last driver row is CORRECTNESS_r02 (round 3's driver
-# run spent its 50 slots on the then-new queries) — 50 total.  The four
+# OLDEST goes first).  Round 4: the 19 queries with NO driver row yet, then
+# 31 of the 36 whose last driver row is CORRECTNESS_r02 (round 3's driver
+# run spent its 50 slots on the then-new queries) — 50 total.  The five
 # r2-only queries left past the cap (`batch_count_orders`,
-# `min_max_lineitem`, `table_stats_orders`, and the `dedup_minhash_lsh_join`
-# alias) keep their green r02 rows (trivial count/min-max/metadata; code
-# unchanged) and rotate to the front in round 5.
+# `min_max_lineitem`, `table_stats_orders`, `point_lookup_customer`, and
+# the `dedup_minhash_lsh_join` alias) keep their green r02 rows (trivial
+# count/min-max/metadata/point-lookup; code unchanged) and rotate to the
+# front in round 5.
 _RUN_FIRST = (
     # new in round 4 — no driver row yet
     "curation_incremental",
+    "sink_bulk_ndjson_payload",
     "text_decontaminate",
     "text_repetition_scores",
     "dedup_connected_components",
@@ -80,7 +82,8 @@ _RUN_FIRST = (
     "multimodal_payload_stats",
     "multimodal_resize_pipeline",
     "pk_range_boundaries_orders",
-    "point_lookup_customer",
+    # point_lookup_customer rotates past the cap with the other trivial
+    # r2-only queries to make room for sink_bulk_ndjson_payload
     "table_hash_customer",
     # table_stats_orders rotates past the cap with the other trivial
     # metadata/count queries (green r02 row, code unchanged) to make room

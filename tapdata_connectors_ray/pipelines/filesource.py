@@ -248,6 +248,46 @@ def q_sink_bulk_ndjson(sf_dir: str) -> Any:
     return counts
 
 
+def q_sink_bulk_ndjson_payload(sf_dir: str) -> Any:
+    """Payload-content half of the bulk-sink round-trip: the written source
+    documents are parsed back and their per-op aggregates (count, LSN sum,
+    key sum, text length sum) must equal the change log's — so a writer
+    that float-widens ints, reformats timestamps into a different escape,
+    or misaligns the action/source interleave fails the VALUE gate, not
+    just the count gate."""
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from tapdata_connectors_ray.pipelines.replay import normalized_events
+    from tapdata_connectors_ray.sources.files import (
+        read_bulk_payload_stats,
+        write_bulk_ndjson_batch,
+    )
+
+    ev, _ = _fixture_paths(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="bulk_sink_", dir="/tmp")
+    feed = normalized_events(ev, None, prereduce=False)
+    manifest = feed.map_batches(
+        write_bulk_ndjson_batch(out_dir, "lake", ["conv_id", "turn_idx"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()  # one row per segment file — metadata scale
+    return (
+        read_bulk_payload_stats(manifest["file"].tolist())
+        .groupby("op")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_lsn", alias_name="sum_lsn"),
+            Sum("sum_turn_idx", alias_name="sum_turn_idx"),
+            Sum("sum_text_chars", alias_name="sum_text_chars"),
+        )
+        .to_pandas()
+        .sort_values("op")
+        .reset_index(drop=True)
+    )
+
+
 def q_sink_partitioned_log(sf_dir: str) -> Any:
     """MQ producer sink round-trip (the replicate-OUT direction the
     reference ships as ``AbstractMqService``/``BatchPusher``): the
@@ -361,6 +401,7 @@ def filesource_queries() -> dict[str, Callable[[str], Any]]:
         "source_storage_mock_backend": q_source_storage_mock_backend,
         "source_partitioned_log": q_source_partitioned_log,
         "sink_bulk_ndjson": q_sink_bulk_ndjson,
+        "sink_bulk_ndjson_payload": q_sink_bulk_ndjson_payload,
         "sink_partitioned_log": q_sink_partitioned_log,
     }
 
@@ -382,6 +423,24 @@ WITH ev AS (
 SELECT CASE WHEN op = 'D' THEN 'delete' ELSE 'index' END AS action,
        count(*) AS n
 FROM allv GROUP BY 1 ORDER BY 1
+"""
+
+
+def _bulk_payload_sql() -> str:
+    from tapdata_connectors_ray.pipelines.entrypoints import _oracle_events_path
+
+    ev = _oracle_events_path()
+    # index-action source documents = every non-DDL, non-delete event with
+    # its own payload (key-move expansion only ADDS delete actions, which
+    # carry no source line)
+    return f"""
+SELECT op, count(*) AS n,
+       CAST(sum(lsn) AS BIGINT) AS sum_lsn,
+       CAST(sum(turn_idx) AS BIGINT) AS sum_turn_idx,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
+FROM read_parquet('{ev}')
+WHERE op NOT IN ('DDL', 'D')
+GROUP BY op ORDER BY op
 """
 
 
@@ -426,6 +485,7 @@ def filesource_oracle_sql(oracle_sf_dir: str | None = None) -> dict[str, str]:
         # backend must be invisible in the values
         "source_storage_mock_backend": events_agg_sql,
         "sink_bulk_ndjson": _bulk_counts_sql(),
+        "sink_bulk_ndjson_payload": _bulk_payload_sql(),
         "sink_partitioned_log": _sink_topic_sql(),
         "source_partitioned_log": _final_state_sql(),
         "source_jsonl_resume": f"""

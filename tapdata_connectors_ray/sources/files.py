@@ -737,3 +737,68 @@ def read_bulk_action_counts(files: list[str]) -> ray.data.Dataset:
     return ray.data.read_binary_files(files).map_batches(
         parse, batch_format="pyarrow", batch_size=8
     )
+
+
+def read_bulk_payload_stats(files: list[str]) -> ray.data.Dataset:
+    """Parse bulk NDJSON segments back and aggregate the SOURCE DOCUMENT
+    payloads per op: (op, n, sum_lsn, sum_turn_idx, sum_text_chars)
+    partials per file batch — the payload-content half of the sink
+    round-trip check (the action-count half alone cannot catch a writer
+    that corrupts document bodies)."""
+    schema = pa.schema(
+        [
+            ("op", pa.string()),
+            ("n", pa.int64()),
+            ("sum_lsn", pa.int64()),
+            ("sum_turn_idx", pa.int64()),
+            ("sum_text_chars", pa.int64()),
+        ]
+    )
+    if not files:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import io
+
+        import pandas as pd
+
+        src_lines: list[str] = []
+        for blob in batch["bytes"].to_pylist():
+            expect_doc = False
+            for line in blob.decode().splitlines():
+                if not line:
+                    continue
+                if expect_doc:
+                    src_lines.append(line)
+                    expect_doc = False
+                    continue
+                action = next(iter(json.loads(line)))
+                expect_doc = action == "index"
+        if not src_lines:
+            return schema.empty_table()
+        df = pd.read_json(io.StringIO("\n".join(src_lines)), lines=True)
+        # astype("string") keeps the .str accessor valid for all-null batches
+        df["text_chars"] = df["text"].astype("string").str.len()
+        g = (
+            df.groupby("op", sort=True)
+            .agg(
+                n=("op", "size"),
+                sum_lsn=("lsn", "sum"),
+                sum_turn_idx=("turn_idx", "sum"),
+                sum_text_chars=("text_chars", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "op": pa.array(g["op"], pa.string()),
+                "n": pa.array(g["n"], pa.int64()),
+                "sum_lsn": pa.array(g["sum_lsn"], pa.int64()),
+                "sum_turn_idx": pa.array(g["sum_turn_idx"], pa.int64()),
+                "sum_text_chars": pa.array(g["sum_text_chars"], pa.int64()),
+            }
+        )
+
+    return ray.data.read_binary_files(files).map_batches(
+        parse, batch_format="pyarrow", batch_size=8
+    )
