@@ -35,6 +35,7 @@ def entry() -> Any:
 # front in round 5.
 _RUN_FIRST = (
     # new in round 4 — no driver row yet
+    "transcript_render",
     "curation_incremental",
     "sink_bulk_ndjson_payload",
     "text_decontaminate",
@@ -54,8 +55,10 @@ _RUN_FIRST = (
     "text_chunking",
     "text_packing",
     "sample_stratified_documents",
-    # green in r02 but not re-run since (driver 50-query cap)
-    "af_customer_match",
+    # green in r02 but not re-run since (driver 50-query cap).
+    # af_customer_match rotates past the cap with the other trivial r2-only
+    # queries (simple match filter, green r02, code unchanged) to make room
+    # for transcript_render
     "af_lineitem_filter_sort_limit",
     "ann_cosine_topk",
     "ann_ivf_topk",

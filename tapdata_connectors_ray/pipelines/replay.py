@@ -21,6 +21,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import pyarrow as pa
 import pyarrow.dataset as pads
 import ray
 import ray.data
@@ -363,6 +364,72 @@ def replay_final_state(
 
     return replay_merged(events_path, base_path, plan=plan, **kwargs).map_batches(
         merged_to_final, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def render_transcripts(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    plan: EvolutionPlan | None = None,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Per-conversation ordered transcript assembly over the replayed final
+    state — the north rule's acceptance property ("per-turn text equality
+    under stable (conv_id, turn_idx) ordering") made a first-class output:
+    each live conversation becomes ONE row (conv_id, n_turns, transcript)
+    with turns joined in turn_idx order as ``role: text`` lines.
+
+    Scale shape: rendering is FUSED into the LWW merge's ``map_groups`` —
+    the partition groups of the one keyed shuffle already hold every turn
+    of a conversation (partition_id = hash(conv_id)), and the merge output
+    is key-sorted (``make_lww_merge`` ends in ``sort_by(keys)``), so the
+    text payload shuffles exactly once and assembly is a sorted-run
+    segment aggregation, never a second all-to-all.  Reference analogue:
+    the document-mode target assembly of Tapdata's master/sub-doc merges
+    (``MergeTableProcessor``), here applied to whole conversations."""
+    import pandas as pd
+
+    plan = plan or scan_evolution_plan_distributed(events_path, spec)
+    merge_fn = make_lww_merge(plan.schema_at(), plan.keys())
+    ev = normalized_events(
+        events_path,
+        base_path,
+        plan=plan,
+        num_partitions=num_partitions,
+        **kwargs,
+    )
+
+    out_schema = pa.schema(
+        [("conv_id", pa.string()), ("n_turns", pa.int64()), ("transcript", pa.string())]
+    )
+
+    def merge_then_render(t: pa.Table) -> pa.Table:
+        merged = merge_fn(t)  # key-sorted: (conv_id asc, turn_idx asc)
+        if len(merged) == 0:
+            return out_schema.empty_table()
+        conv = merged["conv_id"].to_pandas()
+        line = (
+            merged["role"].to_pandas().fillna("")
+            + ": "
+            + merged["text"].to_pandas().fillna("")
+        )
+        g = line.groupby(conv.to_numpy(), sort=True)
+        agg = g.agg("\n".join)
+        n = g.size()
+        return pa.table(
+            {
+                "conv_id": pa.array(agg.index.to_numpy(), pa.string()),
+                "n_turns": pa.array(n.to_numpy(), pa.int64()),
+                "transcript": pa.array(agg.to_numpy(), pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return ev.groupby("partition_id").map_groups(
+        merge_then_render, batch_format="pyarrow"
     )
 
 

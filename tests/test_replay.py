@@ -185,3 +185,26 @@ def test_malformed_reasons_classifier():
     )
     r = malformed_reasons(batch, TRANSCRIPTS_SPEC)
     assert r.to_pylist() == [None, "bad_op", "null_key", "null_key"]
+
+
+def test_render_transcripts_matches_oracle(paths, expected):
+    """Per-conversation render == pandas assembly of the oracle final state
+    (north-rule acceptance: per-turn text equality under turn_idx order)."""
+    from tapdata_connectors_ray.pipelines.replay import render_transcripts
+
+    ev, base = paths
+    exp_df = expected.to_pandas().sort_values(["conv_id", "turn_idx"])
+    line = exp_df["role"].fillna("") + ": " + exp_df["text"].fillna("")
+    g = line.groupby(exp_df["conv_id"].to_numpy(), sort=True)
+    exp = pd.DataFrame(
+        {"conv_id": g.agg("size").index, "n_turns": g.size().to_numpy(),
+         "transcript": g.agg("\n".join).to_numpy()}
+    ).reset_index(drop=True)
+
+    got = (
+        render_transcripts(ev, base, num_partitions=16)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
