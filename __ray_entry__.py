@@ -36,6 +36,7 @@ def entry() -> Any:
 _RUN_FIRST = (
     # new in round 4 — no driver row yet
     "transcript_render",
+    "events_window_incremental",
     "curation_incremental",
     "sink_bulk_ndjson_payload",
     "text_decontaminate",
@@ -66,7 +67,9 @@ _RUN_FIRST = (
     "cdc_replay_nopk",
     "cdc_replay_second_table",
     "cdc_write_policies",
-    "count_by_filter_events",
+    # count_by_filter_events rotates past the cap with the other trivial
+    # r2-only count queries (green r02, code unchanged) to make room for
+    # events_window_incremental
     "curation_pipeline",
     "dedup_embedding_cosine",
     "dedup_exact",

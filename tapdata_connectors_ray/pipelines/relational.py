@@ -532,6 +532,114 @@ def q_events_tumbling_window(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_events_window_incremental(sf_dir: str):
+    """Epoch-ledgered INCREMENTAL tumbling-window aggregate: the window
+    family joined to the incremental-ingest machinery the dedup ledgers
+    use (``training.ingest_dedup_epoch``).  Events arrive in three
+    deterministic epochs (``event_id % 3`` — a fixed arrival order, so the
+    batch oracle still applies); each epoch folds its per-(user, win_hour)
+    partials into a user-bucket-partitioned ledger, merging counts/sums
+    with the buckets' existing partials.  The union of epochs provably
+    equals the one-shot batch answer (same oracle SQL as
+    ``events_tumbling_window``).
+
+    Scale shape: an epoch shuffles ONLY its own partials (pre-aggregated
+    inside ``map_batches``-sized pandas folds, narrow columns), and each
+    touched bucket task reads/rewrites one ledger file — cost
+    O(epoch + touched buckets), never a corpus re-scan.  Buckets are
+    ``last_epoch``-stamped so a Ray task re-execution skips the re-merge
+    and sums never double-apply (same guard as the dedup ledgers)."""
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.pipelines.training import _inc_ledger_dir
+    from tapdata_connectors_ray.sources.storage import atomic_put_parquet
+
+    N_BUCKETS = 64
+    ledger = _inc_ledger_dir(sf_dir, "window")
+
+    def make_prepare(ep: int):
+        def prepare(batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy()
+            batch = batch.filter(pa.array(eid % 3 == ep - 1))
+            us = batch["ts"].cast(pa.int64())
+            win = pc.divide(us, 3_600_000_000)
+            ub = (batch["user_id"].to_numpy() % N_BUCKETS).astype(np.int32)
+            return pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "win_hour": win,
+                    "value": batch["value"],
+                    "ubucket": pa.array(ub),
+                }
+            )
+
+        return prepare
+
+    def make_fold(ep: int):
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            b = int(df["ubucket"].iloc[0])
+            g = df.groupby(["user_id", "win_hour"], sort=False)["value"].agg(
+                ["size", "sum"]
+            )
+            inc = pd.DataFrame(
+                {
+                    "user_id": g.index.get_level_values(0).to_numpy(),
+                    "win_hour": g.index.get_level_values(1).to_numpy(),
+                    "n_events": g["size"].to_numpy(),
+                    "sum_value": g["sum"].to_numpy(),
+                }
+            )
+            path = os.path.join(ledger, f"bucket-{b:04d}.parquet")
+            if os.path.exists(path):
+                old_t = pq.read_table(path)
+                meta = old_t.schema.metadata or {}
+                if meta.get(b"last_epoch") == str(ep).encode():
+                    # task re-execution: bucket already absorbed this epoch
+                    return pd.DataFrame({"bucket": [b], "rows": [len(old_t)]})
+                m = old_t.to_pandas().merge(
+                    inc, on=["user_id", "win_hour"], how="outer", suffixes=("_o", "_n")
+                )
+                out = pd.DataFrame(
+                    {
+                        "user_id": m["user_id"],
+                        "win_hour": m["win_hour"],
+                        "n_events": (
+                            m["n_events_o"].fillna(0) + m["n_events_n"].fillna(0)
+                        ).astype("int64"),
+                        "sum_value": m["sum_value_o"].fillna(0.0)
+                        + m["sum_value_n"].fillna(0.0),
+                    }
+                )
+            else:
+                out = inc
+            out_t = pa.Table.from_pandas(out, preserve_index=False)
+            atomic_put_parquet(
+                out_t.replace_schema_metadata({"last_epoch": str(ep)}), path
+            )
+            return pd.DataFrame({"bucket": [b], "rows": [len(out)]})
+
+        return fold
+
+    for ep in (1, 2, 3):
+        (
+            ray.data.read_parquet(
+                _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+            )
+            .map_batches(make_prepare(ep), batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("ubucket")
+            .map_groups(make_fold(ep), batch_format="pandas")
+            .materialize()  # drive the epoch; output is bucket summaries
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("sum_value")
+        return batch.set_column(idx, "sum_value", pc.round(batch["sum_value"], 6))
+
+    return ray.data.read_parquet(ledger).map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_events_session_windows(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user session count +
     max session length.  Streaming-only semantics the reference lacks
@@ -959,6 +1067,16 @@ RELATIONAL_SQL: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    # incremental == batch: the three-epoch ledger union must equal the
+    # one-shot window aggregate
+    "events_window_incremental": """
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win_hour,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
     "events_asof_join": """
         WITH r AS (
             SELECT user_id, ts, event_id, value,
@@ -1071,6 +1189,7 @@ def relational_queries():
         "sample_hash_documents": q_sample_hash_documents,
         "events_hopping_window": q_events_hopping_window,
         "events_tumbling_window": q_events_tumbling_window,
+        "events_window_incremental": q_events_window_incremental,
         "events_session_windows": q_events_session_windows,
         "events_asof_join": q_events_asof_join,
         "events_follow_within": q_events_follow_within,

@@ -188,3 +188,25 @@ def test_profile_counts(ray_session):
     assert got.loc["c_mktsegment", "n_distinct"] == exp[0]
     assert got.loc["c_nationkey", "n_distinct"] == exp[1]
     assert got.loc["c_acctbal", "null_count"] == exp[2]
+
+
+def test_events_window_incremental_equals_batch():
+    """The three-epoch window ledger union equals the one-shot tumbling
+    aggregate (incremental == batch, the dedup-ledger invariant extended to
+    windowed aggregates)."""
+    from tapdata_connectors_ray.pipelines.relational import (
+        q_events_tumbling_window,
+        q_events_window_incremental,
+    )
+
+    keys = ["user_id", "win_hour"]
+    batch = (
+        q_events_tumbling_window(SF).to_pandas().sort_values(keys).reset_index(drop=True)
+    )
+    inc = (
+        q_events_window_incremental(SF)
+        .to_pandas()
+        .sort_values(keys)
+        .reset_index(drop=True)[batch.columns]
+    )
+    pd.testing.assert_frame_equal(inc, batch)
