@@ -120,6 +120,8 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "text_decontaminate",
         "text_repetition_scores",
         "dedup_connected_components",
+        "transcript_render",
+        "events_window_incremental",
     ]
     out: dict[str, float] = {}
     for name in panel:
