@@ -25,14 +25,17 @@ def entry() -> Any:
 
 # Queries that run before everything else (dict order = run order; the
 # driver caps a sweep at 50 queries, so the set whose newest green row is
-# OLDEST goes first).  Round 4: the 19 queries with NO driver row yet, then
-# 31 of the 36 whose last driver row is CORRECTNESS_r02 (round 3's driver
-# run spent its 50 slots on the then-new queries) — 50 total.  The five
-# r2-only queries left past the cap (`batch_count_orders`,
-# `min_max_lineitem`, `table_stats_orders`, `point_lookup_customer`, and
-# the `dedup_minhash_lsh_join` alias) keep their green r02 rows (trivial
-# count/min-max/metadata/point-lookup; code unchanged) and rotate to the
-# front in round 5.
+# OLDEST goes first).  Round 4: the 21 queries with NO driver row yet, then
+# 29 of the 36 whose last driver row is CORRECTNESS_r02 (round 3's driver
+# run spent its 50 slots on the then-new queries) — 50 total.
+#
+# ROUND 5 ROTATION (do this first next round): front-load the SEVEN
+# r2-only queries left past this round's cap — `batch_count_orders`,
+# `min_max_lineitem`, `table_stats_orders`, `point_lookup_customer`,
+# `af_customer_match`, `count_by_filter_events`, and the
+# `dedup_minhash_lsh_join` alias.  All are trivial count/min-max/metadata/
+# point-lookup/filter queries (code unchanged since r02, green r02 rows);
+# after that, every registry entry has a ≤2-round-old driver row.
 _RUN_FIRST = (
     # new in round 4 — no driver row yet
     "transcript_render",
