@@ -229,23 +229,29 @@ def q_sink_bulk_ndjson(sf_dir: str) -> Any:
 
     ev, _ = _fixture_paths(sf_dir)
     out_dir = tempfile.mkdtemp(prefix="bulk_sink_", dir="/tmp")
-    feed = normalized_events(ev, None, prereduce=False)
-    manifest = feed.map_batches(
-        write_bulk_ndjson_batch(out_dir, "lake", ["conv_id", "turn_idx"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()  # one row per segment file — metadata scale
-    counts = (
-        read_bulk_action_counts(manifest["file"].tolist())
-        .groupby("action")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-        .sort_values("action")
-        .reset_index(drop=True)
-    )
-    # the writer-side manifest totals equal the read-back counts by
-    # construction; the oracle's op-count compare is the value gate
-    return counts
+    try:
+        feed = normalized_events(ev, None, prereduce=False)
+        manifest = feed.map_batches(
+            write_bulk_ndjson_batch(out_dir, "lake", ["conv_id", "turn_idx"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()  # one row per segment file — metadata scale
+        counts = (
+            read_bulk_action_counts(manifest["file"].tolist())
+            .groupby("action")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+            .sort_values("action")
+            .reset_index(drop=True)
+        )
+        # the writer-side manifest totals equal the read-back counts by
+        # construction; the oracle's op-count compare is the value gate
+        return counts
+    finally:
+        # the dump is corpus-scale — never leave it behind under /tmp
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def q_sink_bulk_ndjson_payload(sf_dir: str) -> Any:
@@ -267,25 +273,31 @@ def q_sink_bulk_ndjson_payload(sf_dir: str) -> Any:
 
     ev, _ = _fixture_paths(sf_dir)
     out_dir = tempfile.mkdtemp(prefix="bulk_sink_", dir="/tmp")
-    feed = normalized_events(ev, None, prereduce=False)
-    manifest = feed.map_batches(
-        write_bulk_ndjson_batch(out_dir, "lake", ["conv_id", "turn_idx"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()  # one row per segment file — metadata scale
-    return (
-        read_bulk_payload_stats(manifest["file"].tolist())
-        .groupby("op")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sum_lsn", alias_name="sum_lsn"),
-            Sum("sum_turn_idx", alias_name="sum_turn_idx"),
-            Sum("sum_text_chars", alias_name="sum_text_chars"),
+    try:
+        feed = normalized_events(ev, None, prereduce=False)
+        manifest = feed.map_batches(
+            write_bulk_ndjson_batch(out_dir, "lake", ["conv_id", "turn_idx"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()  # one row per segment file — metadata scale
+        return (
+            read_bulk_payload_stats(manifest["file"].tolist())
+            .groupby("op")
+            .aggregate(
+                Sum("n", alias_name="n"),
+                Sum("sum_lsn", alias_name="sum_lsn"),
+                Sum("sum_turn_idx", alias_name="sum_turn_idx"),
+                Sum("sum_text_chars", alias_name="sum_text_chars"),
+            )
+            .to_pandas()  # materialized HERE so the dump can be removed
+            .sort_values("op")
+            .reset_index(drop=True)
         )
-        .to_pandas()
-        .sort_values("op")
-        .reset_index(drop=True)
-    )
+    finally:
+        # the dump is corpus-scale — never leave it behind under /tmp
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def q_sink_partitioned_log(sf_dir: str) -> Any:

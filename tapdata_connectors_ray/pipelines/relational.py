@@ -593,7 +593,10 @@ def q_events_window_incremental(sf_dir: str):
             if os.path.exists(path):
                 old_t = pq.read_table(path)
                 meta = old_t.schema.metadata or {}
-                if meta.get(b"last_epoch") == str(ep).encode():
+                # epochs apply strictly in order, so a stale epoch-e task
+                # re-executed after epoch e+1 already merged the bucket
+                # (last_epoch > ep) must also skip, not just the == case
+                if int(meta.get(b"last_epoch", b"-1")) >= ep:
                     # task re-execution: bucket already absorbed this epoch
                     return pd.DataFrame({"bucket": [b], "rows": [len(old_t)]})
                 m = old_t.to_pandas().merge(

@@ -21,6 +21,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pads
 import ray
@@ -389,8 +390,14 @@ def render_transcripts(
     text payload shuffles exactly once and assembly is a sorted-run
     segment aggregation, never a second all-to-all.  Reference analogue:
     the document-mode target assembly of Tapdata's master/sub-doc merges
-    (``MergeTableProcessor``), here applied to whole conversations."""
-    import pandas as pd
+    (``MergeTableProcessor``), here applied to whole conversations.
+
+    The assembly itself is Arrow-native end to end: per-turn lines via
+    ``pc.binary_join_element_wise``, conversation boundaries from the
+    key-sorted run starts, and the transcript join via ``pc.binary_join``
+    over a ListArray view — the wide text column never round-trips through
+    pandas object strings (it IS the payload at 10^10-event scale)."""
+    import pyarrow.compute as pc
 
     plan = plan or scan_evolution_plan_distributed(events_path, spec)
     merge_fn = make_lww_merge(plan.schema_at(), plan.keys())
@@ -408,22 +415,32 @@ def render_transcripts(
 
     def merge_then_render(t: pa.Table) -> pa.Table:
         merged = merge_fn(t)  # key-sorted: (conv_id asc, turn_idx asc)
-        if len(merged) == 0:
+        n_rows = len(merged)
+        if n_rows == 0:
             return out_schema.empty_table()
-        conv = merged["conv_id"].to_pandas()
-        line = (
-            merged["role"].to_pandas().fillna("")
-            + ": "
-            + merged["text"].to_pandas().fillna("")
+        conv = merged["conv_id"].combine_chunks().cast(pa.string())
+        line = pc.binary_join_element_wise(
+            pc.fill_null(merged["role"].combine_chunks().cast(pa.string()), ""),
+            pc.fill_null(merged["text"].combine_chunks().cast(pa.string()), ""),
+            ": ",
         )
-        g = line.groupby(conv.to_numpy(), sort=True)
-        agg = g.agg("\n".join)
-        n = g.size()
+        # run starts of the key-sorted conv_id column = conversation bounds
+        if n_rows == 1:
+            starts = np.array([0], dtype=np.int64)
+        else:
+            neq = pc.not_equal(conv.slice(1), conv.slice(0, n_rows - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.concatenate(
+                ([0], np.flatnonzero(neq).astype(np.int64) + 1)
+            )
+        offsets = np.concatenate((starts, [n_rows])).astype(np.int32)
+        per_conv = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), line)
         return pa.table(
             {
-                "conv_id": pa.array(agg.index.to_numpy(), pa.string()),
-                "n_turns": pa.array(n.to_numpy(), pa.int64()),
-                "transcript": pa.array(agg.to_numpy(), pa.string()),
+                "conv_id": conv.take(starts),
+                "n_turns": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+                "transcript": pc.binary_join(per_conv, "\n"),
             },
             schema=out_schema,
         )

@@ -243,10 +243,10 @@ def ingest_dedup_epoch(
         if os.path.exists(path):
             old_t = pq.read_table(path)
             meta = old_t.schema.metadata or {}
-            if (
-                epoch is not None
-                and meta.get(b"last_epoch") == str(epoch).encode()
-            ):
+            # >= because epochs apply strictly in order: a stale epoch-e
+            # task re-executed after epoch e+1 merged (last_epoch=e+1)
+            # must skip too, or it would double-count epoch e's partials
+            if epoch is not None and int(meta.get(b"last_epoch", b"-1")) >= epoch:
                 # task re-execution: this bucket already absorbed this epoch
                 return pd.DataFrame({"bucket": [b], "ledger_rows": [len(old_t)]})
             old = old_t.to_pandas()
@@ -452,8 +452,9 @@ def make_band_ledger_fold(bands_dir: str, epoch: int):
         sb = int(df["sbucket"].iloc[0])
         path = os.path.join(bands_dir, f"bucket-{sb:04d}.parquet")
         old_t = pq.read_table(path) if os.path.exists(path) else None
+        # >= : a stale epoch-e retry after e+1 merged must not re-append
         stamped = old_t is not None and (
-            (old_t.schema.metadata or {}).get(b"last_epoch") == str(epoch).encode()
+            int((old_t.schema.metadata or {}).get(b"last_epoch", b"-1")) >= epoch
         )
         old = (
             old_t.to_pandas()
@@ -693,8 +694,9 @@ def ingest_lsh_epoch(
         b = int(df["hbucket"].iloc[0])
         path = os.path.join(members_dir, f"bucket-{b:04d}.parquet")
         old_t = pq.read_table(path) if os.path.exists(path) else None
+        # >= : a stale epoch-e retry after e+1 merged must not re-append
         stamped = old_t is not None and (
-            (old_t.schema.metadata or {}).get(b"last_epoch") == str(epoch).encode()
+            int((old_t.schema.metadata or {}).get(b"last_epoch", b"-1")) >= epoch
         )
         old = (
             old_t.to_pandas()
@@ -1313,8 +1315,9 @@ def ingest_simhash_epoch(
         b = int(df["cbucket"].iloc[0])
         path = os.path.join(chunks_dir, f"bucket-{b:04d}.parquet")
         old_t = pq.read_table(path) if os.path.exists(path) else None
+        # >= : a stale epoch-e retry after e+1 merged must not re-append
         stamped = old_t is not None and (
-            (old_t.schema.metadata or {}).get(b"last_epoch") == str(epoch).encode()
+            int((old_t.schema.metadata or {}).get(b"last_epoch", b"-1")) >= epoch
         )
         old = (
             old_t.to_pandas()

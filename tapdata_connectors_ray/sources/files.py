@@ -779,13 +779,15 @@ def read_bulk_payload_stats(files: list[str]) -> ray.data.Dataset:
         df = pd.read_json(io.StringIO("\n".join(src_lines)), lines=True)
         # astype("string") keeps the .str accessor valid for all-null batches
         df["text_chars"] = df["text"].astype("string").str.len()
+        # min_count=1: an all-null group sums to NA (SQL SUM semantics) —
+        # pandas' default 0 would hash-mismatch the oracle's NULL
         g = (
             df.groupby("op", sort=True)
             .agg(
                 n=("op", "size"),
-                sum_lsn=("lsn", "sum"),
-                sum_turn_idx=("turn_idx", "sum"),
-                sum_text_chars=("text_chars", "sum"),
+                sum_lsn=("lsn", lambda s: s.sum(min_count=1)),
+                sum_turn_idx=("turn_idx", lambda s: s.sum(min_count=1)),
+                sum_text_chars=("text_chars", lambda s: s.sum(min_count=1)),
             )
             .reset_index()
         )
@@ -793,9 +795,13 @@ def read_bulk_payload_stats(files: list[str]) -> ray.data.Dataset:
             {
                 "op": pa.array(g["op"], pa.string()),
                 "n": pa.array(g["n"], pa.int64()),
-                "sum_lsn": pa.array(g["sum_lsn"], pa.int64()),
-                "sum_turn_idx": pa.array(g["sum_turn_idx"], pa.int64()),
-                "sum_text_chars": pa.array(g["sum_text_chars"], pa.int64()),
+                "sum_lsn": pa.array(g["sum_lsn"], pa.int64(), from_pandas=True),
+                "sum_turn_idx": pa.array(
+                    g["sum_turn_idx"], pa.int64(), from_pandas=True
+                ),
+                "sum_text_chars": pa.array(
+                    g["sum_text_chars"], pa.int64(), from_pandas=True
+                ),
             }
         )
 

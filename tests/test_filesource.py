@@ -563,3 +563,30 @@ def test_topic_consumer_offset_resume_across_waves(ray_session, tmp_path):
     assert len(got2) == 50 and got2["lsn"].min() == 100
     files3, _ = poll_topic(topic, off2)
     assert files3 == []
+
+
+def test_bulk_payload_roundtrip_matches_oracle_and_cleans_up(
+    ray_session, monkeypatch, smoke_fixture_dir
+):
+    """Payload half of the bulk-sink round-trip at the smoke tier: per-op
+    aggregates of the parsed-back source documents equal the change log's
+    (the oracle SQL), and the corpus-scale NDJSON dump is removed — both
+    bulk-sink queries must leave nothing under /tmp (advisor finding r4)."""
+    import glob
+
+    from tapdata_connectors_ray.pipelines.filesource import (
+        filesource_oracle_sql,
+        q_sink_bulk_ndjson_payload,
+    )
+
+    monkeypatch.setenv("TCR_ORACLE_SF_DIR", SF)
+    before = set(glob.glob("/tmp/bulk_sink_*"))
+    sql = filesource_oracle_sql(SF)["sink_bulk_ndjson_payload"]
+    got = (
+        q_sink_bulk_ndjson_payload(SF).sort_values("op").reset_index(drop=True)
+    )
+    exp = duckdb.sql(sql).df().sort_values("op").reset_index(drop=True)
+    assert got["op"].tolist() == exp["op"].tolist()
+    for c in ("n", "sum_lsn", "sum_turn_idx", "sum_text_chars"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    assert set(glob.glob("/tmp/bulk_sink_*")) == before
