@@ -53,6 +53,61 @@ def tokens(text: str) -> list[str]:
     return text.lower().split(" ")
 
 
+# ---------------------------------------------------------------------------
+# Pluggable engine/oracle hash seam
+#
+# The reference treats the cross-system fingerprint as a pluggable function
+# (``MysqlConnector.java:782-827`` buildHashSql swaps per-DB hash SQL); we do
+# the same: "engine" mode is the production default — one vectorized
+# deterministic SipHash call (``pd.util.hash_array``, fixed key, stable
+# across processes/machines/versions-we-pin) over the whole token buffer, no
+# per-token Python — and "oracle" mode is the DuckDB-bit-parity md5 used by
+# the driver-checked queries so the SQL oracle can reproduce values exactly.
+# Mode contract (tests/test_hash_seam.py pins it): operators whose final
+# predicate is EXACT (exact dedup, MinHash's exact-verify, n-gram Jaccard)
+# produce identical outputs in both modes — the hash only routes work.
+# Sketch-decided operators (SimHash hamming, fingerprints, hash-sampling
+# membership) are deterministic and statistically equivalent per mode, but
+# boundary cases may differ across modes: exact-copy pairs always agree,
+# far non-pairs always agree, and a ledger or split must never mix modes.
+# ---------------------------------------------------------------------------
+
+HASH_MODES = ("engine", "oracle")
+
+
+def engine_hash64(values: "list[str] | np.ndarray") -> np.ndarray:
+    """Vectorized 64-bit deterministic string hash (the production path)."""
+    if len(values) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(values, dtype=object))
+
+
+def row_hash64(values: "list[str] | np.ndarray", mode: str = "engine") -> np.ndarray:
+    """Per-row 64-bit hash under the engine/oracle seam."""
+    if mode == "oracle":
+        return np.fromiter(
+            (md5_lower64(s) for s in values), dtype=np.uint64, count=len(values)
+        )
+    return engine_hash64(values)
+
+
+class TokenHasher:
+    """Token/gram hasher behind the seam: ``many()`` is ONE vectorized call
+    in engine mode; oracle mode keeps the per-actor md5 cache
+    (vocabulary-bounded, so repeated tokens hash once)."""
+
+    def __init__(self, mode: str = "engine") -> None:
+        if mode not in HASH_MODES:
+            raise ValueError(f"unknown hash mode {mode!r}")
+        self.mode = mode
+        self._md5 = CachedMd5() if mode == "oracle" else None
+
+    def many(self, toks: "list[str] | np.ndarray") -> np.ndarray:
+        if self._md5 is not None:
+            return self._md5.many(list(toks))
+        return engine_hash64(toks)
+
+
 def word_ngrams(toks: list[str], n: int) -> list[str]:
     """Space-joined word n-grams ([] when the doc is shorter than n)."""
     if len(toks) < n:

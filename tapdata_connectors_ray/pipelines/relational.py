@@ -364,12 +364,16 @@ def q_text_mask_documents(sf_dir: str):
     return ds.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_sample_hash_documents(sf_dir: str):
+def q_sample_hash_documents(sf_dir: str, hash_mode: str = "oracle"):
     """Deterministic hash sampling (mod-shard on a stable key digest): the
     repeatable train/eval split and down-sampling primitive — every worker
     agrees on membership with no coordination, and re-runs are stable.
-    Same md5 parity as the table checksum (``md5_number_lower``)."""
-    from tapdata_connectors_ray.functions.hashing import md5_number_lower
+    The digest is behind the engine/oracle seam (``row_hash64``): the
+    driver-checked query pins "oracle" (md5 parity with the SQL's
+    ``md5_number_lower``, which decides MEMBERSHIP, so values must match);
+    production passes "engine" for the vectorized SipHash digest — an
+    equally uniform, equally stable split, one vectorized call per batch."""
+    from tapdata_connectors_ray.functions.texthash import row_hash64
 
     ds = ray.data.read_parquet(
         _t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
@@ -377,7 +381,7 @@ def q_sample_hash_documents(sf_dir: str):
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].cast(pa.string()).to_pylist()  # == CAST(.. AS VARCHAR)
-        h = md5_number_lower(ids) % np.uint64(20)
+        h = row_hash64(ids, hash_mode) % np.uint64(20)
         return batch.filter(pa.array(h == np.uint64(3)))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
@@ -386,14 +390,15 @@ def q_sample_hash_documents(sf_dir: str):
 _STRATIFIED_K = 20
 
 
-def q_sample_stratified_documents(sf_dir: str):
+def q_sample_stratified_documents(sf_dir: str, hash_mode: str = "oracle"):
     """Deterministic STRATIFIED sampling: the K lowest-digest docs per
     stratum (language) — the balanced-eval-set primitive (uniform hash
     sampling under-represents small strata).  Distributed top-k: each batch
     keeps only its own K best per stratum, so the driver merge sees
     ≤ strata x K x blocks rows (metadata scale) — the same lossless
-    per-block-truncation argument as the ANN top-k."""
-    from tapdata_connectors_ray.functions.hashing import md5_number_lower
+    per-block-truncation argument as the ANN top-k.  Digest behind the
+    engine/oracle seam, same contract as ``q_sample_hash_documents``."""
+    from tapdata_connectors_ray.functions.texthash import row_hash64
 
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
 
@@ -403,7 +408,7 @@ def q_sample_stratified_documents(sf_dir: str):
             {
                 "lang": batch["lang"].to_pandas(),
                 "doc_id": batch["doc_id"].to_numpy(),
-                "h": md5_number_lower(ids),
+                "h": row_hash64(ids, hash_mode),
             }
         )
         top = (

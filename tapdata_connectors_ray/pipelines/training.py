@@ -1275,7 +1275,8 @@ def q_dedup_simhash(sf_dir: str) -> Any:
         simhash_pairs_bucket,
     )
 
-    sigs = _aug_docs(sf_dir).map_batches(SimHash(), batch_format="pyarrow")
+    # oracle mode: the SQL gate recomputes md5-based signatures bit-for-bit
+    sigs = _aug_docs(sf_dir).map_batches(SimHash(hash_mode="oracle"), batch_format="pyarrow")
     chunks = sigs.map_batches(simhash_chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
     pairs = chunks.groupby("cbucket").map_groups(simhash_pairs_bucket, batch_format="pandas")
     survivors = pairs.map_batches(
@@ -1293,12 +1294,17 @@ def ingest_simhash_epoch(
     ledger_dir: str,
     epoch: int,
     max_hamming: int = SIMHASH_MAX_HAMMING,
+    hash_mode: str = "engine",
 ) -> None:
     """One incremental SimHash epoch: 16-bit pigeonhole chunk rows of the
     NEW docs probe the stored chunk ledger (touched buckets only); the
     signature rides every chunk row, so candidate pairs verify hamming
     inline — no second ledger.  Pigeonhole banding is deterministic, so the
-    union of per-epoch outputs equals the batch answer."""
+    union of per-epoch outputs equals the batch answer.
+
+    ``hash_mode`` is part of the ledger's signature spec — every epoch of
+    one ledger must use the same mode (the oracle-checked query pins
+    "oracle"; the production default is the vectorized engine hash)."""
     import pyarrow.parquet as pq
 
     from tapdata_connectors_ray.stages.dedup import (
@@ -1355,7 +1361,7 @@ def ingest_simhash_epoch(
         return out
 
     cand = (
-        docs.map_batches(SimHash(), batch_format="pyarrow")
+        docs.map_batches(SimHash(hash_mode=hash_mode), batch_format="pyarrow")
         .map_batches(simhash_chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(_coarsen_bucket("cbucket"), batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cbucket")
@@ -1395,6 +1401,7 @@ def q_dedup_simhash_incremental(sf_dir: str) -> Any:
             ),
             ledger,
             epoch=ep,
+            hash_mode="oracle",
         )
     return ray.data.read_parquet(os.path.join(ledger, "pairs"), override_num_blocks=8)
 
@@ -2056,7 +2063,12 @@ def q_text_language_id(sf_dir: str) -> Any:
 def q_text_fingerprint(sf_dir: str) -> Any:
     from tapdata_connectors_ray.stages.textqc import Fingerprint
 
-    return _docs(sf_dir).map_batches(Fingerprint, batch_format="pyarrow", concurrency=actor_pool())
+    return _docs(sf_dir).map_batches(
+        Fingerprint,
+        fn_constructor_kwargs={"hash_mode": "oracle"},
+        batch_format="pyarrow",
+        concurrency=actor_pool(),
+    )
 
 
 def q_text_chunking(sf_dir: str) -> Any:
@@ -2206,7 +2218,7 @@ SHARD_EXPORT_N = 16
 SHARD_CHECKSUM_MOD = 1_000_000_007
 
 
-def q_sink_shard_export(sf_dir: str) -> Any:
+def q_sink_shard_export(sf_dir: str, hash_mode: str = "oracle") -> Any:
     """Hash-sharded training-data EXPORT with read-back verification: shard =
     md5(doc_id) % 16, one parquet directory per shard + deterministic
     per-(task, shard) file names through ``atomic_put_parquet`` — a failed
@@ -2214,13 +2226,16 @@ def q_sink_shard_export(sf_dir: str) -> Any:
     (the resumable-output layout the lake writers use).  Read-back
     enumerates explicit FILE paths (hive cols are invisible to Ray's
     read_parquet filter sampling — the blob-ledger pattern) and aggregates
-    per-shard doc count, char count and an md5 content checksum, proving the
-    export is complete and uncorrupted.  md5-per-row is the oracle-parity
-    hash; production swaps the vectorized SipHash."""
+    per-shard doc count, char count and a content checksum, proving the
+    export is complete and uncorrupted.  Routing digest + checksum sit
+    behind the engine/oracle seam (``row_hash64``): the driver-checked
+    query pins "oracle" (checksum VALUES surface in the output and the SQL
+    recomputes them via ``md5_number_lower``); production passes "engine"
+    for one vectorized SipHash call per batch."""
     import shutil
     import tempfile
 
-    from tapdata_connectors_ray.functions.texthash import md5_lower64
+    from tapdata_connectors_ray.functions.texthash import row_hash64
     from tapdata_connectors_ray.sources.storage import atomic_put_parquet
 
     # pid-scoped reusable root: concurrent processes never collide, repeat
@@ -2231,10 +2246,9 @@ def q_sink_shard_export(sf_dir: str) -> Any:
 
     def write_batch(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
-        sh = np.fromiter(
-            (md5_lower64(str(i)) % SHARD_EXPORT_N for i in ids),
-            np.int64,
-            count=len(ids),
+        id_strs = batch["doc_id"].cast(pa.string()).to_pylist()
+        sh = (row_hash64(id_strs, hash_mode) % np.uint64(SHARD_EXPORT_N)).astype(
+            np.int64
         )
         tagged = batch.append_column("shard", pa.array(sh, type=pa.int64()))
         out_s, out_n = [], []
@@ -2268,11 +2282,10 @@ def q_sink_shard_export(sf_dir: str) -> Any:
 
         sh = batch["shard"].to_numpy()
         chars = pc.utf8_length(batch["text"]).to_numpy().astype(np.int64)
-        cks = np.fromiter(
-            (md5_lower64(t) % SHARD_CHECKSUM_MOD for t in batch["text"].to_pylist()),
-            np.int64,
-            count=batch.num_rows,
-        )
+        cks = (
+            row_hash64(batch["text"].to_pylist(), hash_mode)
+            % np.uint64(SHARD_CHECKSUM_MOD)
+        ).astype(np.int64)
         shards = np.unique(sh)
         idx = np.searchsorted(shards, sh)
         return pa.table(

@@ -33,7 +33,7 @@ import pyarrow as pa
 
 from tapdata_connectors_ray.functions.texthash import (
     MERSENNE_31,
-    CachedMd5,
+    TokenHasher,
     batch_distinct_gram_hashes,
     tokens,
 )
@@ -382,22 +382,27 @@ SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks: pigeonhole-exact for hamming <= 3
 class SimHash:
     """map_batches stage: doc -> (doc_id, simhash).
 
-    Token hash = md5_number_lower (oracle parity, per-actor cached — the
-    vocabulary is bounded so the cache amortizes to O(1) per token).
+    Token hash is behind the engine/oracle seam (``TokenHasher``): the
+    default "engine" mode is ONE vectorized SipHash call over the whole
+    token buffer (the production path — no per-token Python); "oracle" mode
+    is md5_number_lower (DuckDB bit-parity, per-actor cached) so the
+    driver-checked queries can reproduce signature values in SQL.  A ledger
+    (incremental simhash) must never mix modes across epochs — the mode is
+    part of the signature spec.
     Signatures are computed for the WHOLE batch in one pass: all docs'
     token hashes concatenate into one matrix, the per-doc bit-score sums
     are segment reductions (``np.add.reduceat``) — the same trick the
     MinHash stage uses; no per-document Python loop.
     """
 
-    def __init__(self) -> None:
-        self.md5 = CachedMd5()
+    def __init__(self, hash_mode: str = "engine") -> None:
+        self.hasher = TokenHasher(hash_mode)
 
     def signatures(self, texts: list[str]) -> np.ndarray:
         tok_lists = [tokens(t) for t in texts]
         lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
         flat = [t for toks_ in tok_lists for t in toks_]
-        h = self.md5.many(flat)
+        h = self.hasher.many(flat)
         # (total_tokens, 64) ±1 contributions, segment-summed per doc
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
         contrib = (2 * bits.astype(np.int32) - 1)

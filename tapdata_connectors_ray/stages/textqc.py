@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from tapdata_connectors_ray.functions.texthash import CachedMd5
+from tapdata_connectors_ray.functions.texthash import TokenHasher
 
 # BPE-ish token regex: letter runs, digit runs, single other non-space chars
 BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -120,26 +120,43 @@ def language_id_batch(batch: pa.Table) -> pa.Table:
 
 
 class Fingerprint:
-    """Document fingerprint: min md5 over strided character 8-grams of
+    """Document fingerprint: min hash over strided character 8-grams of
     ``lower(text)`` (k-min sketch of size 1 — a content-addressed doc key
-    stable under trailing-whitespace/window shifts by stride granularity)."""
+    stable under trailing-whitespace/window shifts by stride granularity).
+
+    The gram hash is behind the engine/oracle seam: "engine" (default) is
+    ONE vectorized SipHash call over the whole batch's gram buffer;
+    "oracle" is md5_number_lower so the SQL oracle reproduces values.
+    Either way the per-doc min is a single ``np.minimum.reduceat`` segment
+    reduction — no per-document Python loop."""
 
     GRAM = 8
     STRIDE = 4
 
-    def __init__(self) -> None:
-        self.md5 = CachedMd5()
+    def __init__(self, hash_mode: str = "engine") -> None:
+        self.hasher = TokenHasher(hash_mode)
+
+    def batch_fingerprints(self, texts: list[str]) -> np.ndarray:
+        grams: list[str] = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for j, text in enumerate(texts):
+            t = text.lower()
+            stop = max(len(t) - self.GRAM + 1, 1)
+            doc_grams = [t[i : i + self.GRAM] for i in range(0, stop, self.STRIDE)]
+            lens[j] = len(doc_grams)
+            grams.extend(doc_grams)
+        h = self.hasher.many(grams)
+        if not len(texts):
+            return np.empty(0, dtype=np.uint64)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        return np.minimum.reduceat(h, starts)
 
     def fingerprint(self, text: str) -> int:
-        t = text.lower()
-        stop = max(len(t) - self.GRAM + 1, 1)
-        grams = [t[i : i + self.GRAM] for i in range(0, stop, self.STRIDE)]
-        return int(min(self.md5(g) for g in grams))
+        return int(self.batch_fingerprints([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = np.array(
-            [self.fingerprint(t) for t in batch["text"].to_pylist()], dtype=np.uint64
-        )
+        fps = self.batch_fingerprints(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
