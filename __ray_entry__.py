@@ -48,6 +48,8 @@ _RUN_FIRST = (
     "point_lookup_customer",
     "table_stats_orders",
     # new in round 5 — no driver row yet (inserted as they land)
+    "cdc_multi_table_atomic_commit",
+    "cdc_partitioned_table_expansion",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -738,6 +738,44 @@ def ensure_second_fixtures(root: str = DEFAULT_FIXTURE_ROOT) -> str:
     return out
 
 
+PARTITIONED_FIXTURE_VERSION = 1
+PARTITIONED_CHILDREN = ("orders_p0", "orders_p1", "orders_p2")
+
+
+def ensure_partitioned_fixture(root: str = DEFAULT_FIXTURE_ROOT) -> str:
+    """Partitioned-SOURCE table fixture: the orders change log re-tagged so
+    every event carries one of three CHILD partition names
+    (``orders_p{order_id % 3}`` — hash routing, the Postgres partitioned-
+    table shape where the binlog/WAL reports sub-partition relations while
+    the sync task declares only the parent,
+    ``PostgresCdcRunner.java:316-366``).  The parent's base snapshot rides
+    along; a replay must fold the children back into ONE parent table."""
+    out = os.path.join(root, "partitioned")
+    meta_path = os.path.join(out, "meta.json")
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                if json.load(f).get("version") == PARTITIONED_FIXTURE_VERSION:
+                    return out
+        except (json.JSONDecodeError, OSError):
+            pass
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    base, events = generate_orders_tables()
+    child = np.asarray(PARTITIONED_CHILDREN, object)[
+        (events["order_id"].to_numpy() % len(PARTITIONED_CHILDREN)).astype(np.int64)
+    ]
+    events = events.append_column("table_name", pa.array(child, pa.string()))
+    _write_sharded(base, os.path.join(tmp, "orders_base.parquet"))
+    _write_sharded(events, os.path.join(tmp, "partlog.parquet"))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"version": PARTITIONED_FIXTURE_VERSION}, f)
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Patch-update log: field-level partial updates (the MongoDB $set/$unset
 # surface, MongodbWriter.java:380-432) over the transcripts base.

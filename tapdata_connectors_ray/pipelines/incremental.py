@@ -236,6 +236,8 @@ class CheckpointedIngest:
         use_watermarks: bool = True,
         mode: str = "rewrite",
         fault_injector=None,
+        plan: EvolutionPlan | None = None,
+        read_filter=None,
     ) -> Manifest:
         """Apply all events with ``watermark < lsn [<= end_lsn]``; optionally
         commit the manifest (``commit=False`` models a crash after data files
@@ -245,14 +247,20 @@ class CheckpointedIngest:
         tail): the watermark drop is only valid under strictly LSN-ordered
         delivery; with unordered segment waves, cross-epoch correctness comes
         from the merge's LWW over the lake rows' persisted ``lsn`` instead,
-        and re-delivery dedup from the file offset."""
+        and re-delivery dedup from the file offset.
+
+        ``plan`` / ``read_filter`` serve a shared multi-table log (one binlog,
+        many tables in the task): the caller pre-scans THIS table's DDL and
+        pushes a ``table_name == ...`` predicate into the read, so the lake
+        never sees — or pays for — other tables' rows."""
         from tapdata_connectors_ray.pipelines.replay import (
             normalized_events,
             scan_evolution_plan_distributed,
         )
         from tapdata_connectors_ray.stages.merge import make_lww_premerge
 
-        plan = scan_evolution_plan_distributed(events_path, self.spec)
+        if plan is None:
+            plan = scan_evolution_plan_distributed(events_path, self.spec)
         if self.manifest.ddl_history:
             # live tail: the wave's segments carry only their own DDL rows;
             # fold in the committed history so old-version rows still rewrite
@@ -285,6 +293,7 @@ class CheckpointedIngest:
             base_watermarks=base_wm_ref,
             batch_size=self.batch_size,
             max_lsn=end_lsn,
+            read_filter=read_filter,
         )
         if self.salt_buckets:
             ev = ev.groupby(["partition_id", "salt"]).map_groups(

@@ -76,20 +76,40 @@ def _widen(t: pa.Table, name: str, tindex: int, num_partitions: int, schema: pa.
 class MultiTableNormalize:
     """map_batches UDF: one shared-log batch -> union-schema merge-ready rows
     for EVERY table (vectorized split by ``table_name``, then each table's
-    own normalize — schema rewrite, key-move expansion, pre-reduce)."""
+    own normalize — schema rewrite, key-move expansion, pre-reduce).
 
-    def __init__(self, plans: dict[str, EvolutionPlan], num_partitions: int):
+    ``parent_of`` folds a partitioned SOURCE table's children back into the
+    parent TableSpec before normalize (child -> parent, the Postgres shape
+    where WAL events report sub-partition relations while the task declares
+    only the parent, ``PostgresCdcRunner.java:316-366``): a table's rows are
+    selected by ``table_name IN {parent} ∪ children(parent)`` and replay
+    into the parent's single lake."""
+
+    def __init__(
+        self,
+        plans: dict[str, EvolutionPlan],
+        num_partitions: int,
+        parent_of: dict[str, str] | None = None,
+    ):
         self.num_partitions = num_partitions
         self.order = sorted(plans)
         self.normalizers = {
             name: NormalizeEvents(plans[name], num_partitions) for name in self.order
         }
         self.schema = _union_schema(plans)
+        aliases: dict[str, list[str]] = {name: [name] for name in self.order}
+        for child, parent in (parent_of or {}).items():
+            if parent not in aliases:
+                raise ValueError(f"parent_of maps {child!r} to unknown table {parent!r}")
+            aliases[parent].append(child)
+        self.name_sets = {n: pa.array(v, pa.string()) for n, v in aliases.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = []
         for ti, name in enumerate(self.order):
-            sub = batch.filter(pc.equal(batch["table_name"], name))
+            sub = batch.filter(
+                pc.is_in(batch["table_name"], value_set=self.name_sets[name])
+            )
             if len(sub) == 0:
                 continue
             norm = self.normalizers[name](sub)
@@ -146,14 +166,17 @@ def multi_table_single_pass_summary(
     *,
     num_partitions: int = 32,
     cut_lsn: int | None = None,
+    parent_of: dict[str, str] | None = None,
 ) -> pd.DataFrame:
     """One shared-log scan -> per-table (rows, state checksum) at a
-    consistent cut.  ``tables``: name -> (plan, base_path|None)."""
+    consistent cut.  ``tables``: name -> (plan, base_path|None);
+    ``parent_of`` folds partitioned-source children into their parent
+    (see :class:`MultiTableNormalize`)."""
     from ray.data.aggregate import Sum
 
     plans = {name: plan for name, (plan, _) in tables.items()}
     order = sorted(plans)
-    mt = MultiTableNormalize(plans, num_partitions)
+    mt = MultiTableNormalize(plans, num_partitions, parent_of=parent_of)
 
     read_kwargs = {}
     if cut_lsn is not None:

@@ -300,3 +300,56 @@ def test_multi_table_strategies_agree(ray_session):
     b = b.sort_values("table_name", ignore_index=True)
     assert a["rows"].tolist() == b["rows"].tolist()
     assert a["state_hash"].tolist() == b["state_hash"].tolist()
+
+
+def test_partitioned_expansion_folds_children(ray_session):
+    """parent_of alias fold: a log whose events carry CHILD sub-partition
+    names replays into ONE parent lake, equal (rows + state hash) to a
+    single-table replay that ignores table_name entirely — the independent
+    engine path (PostgresCdcRunner.java:316-366 child->parent mapping)."""
+    import pyarrow as pa
+
+    from tapdata_connectors_ray.fixtures import (
+        ORDERS_SPEC,
+        PARTITIONED_CHILDREN,
+        ensure_partitioned_fixture,
+    )
+    from tapdata_connectors_ray.functions.aggregates import table_summary
+    from tapdata_connectors_ray.pipelines.multitable import (
+        multi_table_single_pass_summary,
+    )
+    from tapdata_connectors_ray.pipelines.replay import replay_final_state
+    from tapdata_connectors_ray.state.registry import EvolutionPlan
+
+    d = ensure_partitioned_fixture()
+    log, base = d + "/partlog.parquet", d + "/orders_base.parquet"
+
+    summary = multi_table_single_pass_summary(
+        log,
+        {"orders": (EvolutionPlan(spec=ORDERS_SPEC), base)},
+        num_partitions=8,
+        parent_of={c: "orders" for c in PARTITIONED_CHILDREN},
+    )
+    assert summary["table_name"].tolist() == ["orders"]
+
+    def ts_to_us(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["ts"]).append_column(
+            "ts_us", batch["ts"].cast(pa.int64())
+        )
+
+    final = replay_final_state(
+        log, base, plan=EvolutionPlan(spec=ORDERS_SPEC), num_partitions=8
+    ).map_batches(ts_to_us, batch_format="pyarrow", zero_copy_batch=True)
+    rows, state_hash = table_summary(
+        final, ["order_id", "status", "amount_cents", "region", "ts_us"]
+    )
+    assert int(summary.loc[0, "rows"]) == rows
+    assert int(summary.loc[0, "state_hash"]) == state_hash
+
+    # without the fold, no event matches any declared table: base-only state
+    nofold = multi_table_single_pass_summary(
+        log,
+        {"orders": (EvolutionPlan(spec=ORDERS_SPEC), base)},
+        num_partitions=8,
+    )
+    assert int(nofold.loc[0, "rows"]) != rows
