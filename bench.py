@@ -122,6 +122,15 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "dedup_connected_components",
         "transcript_render",
         "events_window_incremental",
+        # round-4 training additions not yet tracked + round-5 scope closers
+        "text_chunking",
+        "text_packing",
+        "sample_stratified_documents",
+        "sink_shard_export",
+        "cdc_multi_table_atomic_commit",
+        "cdc_partitioned_table_expansion",
+        "cdc_live_tail_push",
+        "cdc_write_policies",
     ]
     out: dict[str, float] = {}
     for name in panel:

@@ -946,20 +946,29 @@ class RateControlledProducer:
     def __init__(
         self,
         events: pa.Table,
-        out_dir: str,
+        out_dir: str | None,
         events_per_sec: float,
         clock=None,
+        sink=None,
     ):
+        """``sink`` switches the producer from segment-FILE emission to PUSH
+        mode: each due wave is handed to ``sink(chunk)`` (e.g. a receiver
+        actor's enqueue) instead of landing on disk — the generator side of
+        the push-based live tail (``livetail.PushProducer``)."""
         import time
 
         self.events = events.sort_by("lsn")
         self.out_dir = out_dir
         self.rate = float(events_per_sec)
         self.clock = clock if clock is not None else time.monotonic
+        self.sink = sink
         self.t0 = self.clock()
         self.emitted = 0
         self.segments = 0
-        os.makedirs(out_dir, exist_ok=True)
+        if sink is None:
+            if out_dir is None:
+                raise ValueError("file mode needs out_dir; push mode needs sink")
+            os.makedirs(out_dir, exist_ok=True)
 
     def due(self) -> int:
         """Events the rate budget allows right now (the Rate.java token)."""
@@ -973,8 +982,11 @@ class RateControlledProducer:
         if n == 0:
             return 0
         chunk = self.events.slice(self.emitted, n)
-        path = os.path.join(self.out_dir, f"seg-{self.segments:06d}.parquet")
-        pq.write_table(chunk, path)
+        if self.sink is not None:
+            self.sink(chunk)
+        else:
+            path = os.path.join(self.out_dir, f"seg-{self.segments:06d}.parquet")
+            pq.write_table(chunk, path)
         self.segments += 1
         self.emitted += n
         return n

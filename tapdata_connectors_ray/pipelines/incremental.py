@@ -33,7 +33,6 @@ import uuid
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -373,16 +372,12 @@ class CheckpointedIngest:
         mode: str = "rewrite",
     ) -> Manifest:
         """Split the log's LSN range into ``n_epochs`` checkpointed applies —
-        the replay analogue of the reference's periodic offset commit."""
-        ds = pads.dataset(events_path, format="parquet")
-        lsn_idx = ds.schema.names.index("lsn")
-        max_lsn = 0
-        for frag in ds.get_fragments():
-            md = frag.metadata  # parquet footer stats only — no data read
-            for i in range(md.num_row_groups):
-                st = md.row_group(i).column(lsn_idx).statistics
-                if st is not None and st.has_min_max:
-                    max_lsn = max(max_lsn, st.max)
+        the replay analogue of the reference's periodic offset commit.
+        Footer-stats only (no data read), distributed past the segment-count
+        threshold (``replay.footer_stats``)."""
+        from tapdata_connectors_ray.pipelines.replay import lsn_bounds
+
+        _, max_lsn = lsn_bounds(events_path)
         bounds = np.linspace(0, max_lsn, n_epochs + 1).astype(np.int64)[1:]
         m = self.manifest
         for b in bounds:

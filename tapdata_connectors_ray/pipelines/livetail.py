@@ -81,3 +81,196 @@ class LogTailer:
 
     def final_dataset(self) -> ray.data.Dataset:
         return self.ingest.final_dataset()
+
+
+# ---------------------------------------------------------------------------
+# Push-based live tail: the source PUSHES change batches into a receiver
+# actor; no directory polling anywhere on the hot path.
+#
+# This is the in-sandbox analogue of the reference's push shapes — the HTTP
+# receiver connector's supplier-driven stream (``HttpReceiverConnector.
+# java:75``: events arrive on the server's thread, not a poll loop) and
+# Debezium's own engine-thread push into the consumer callback
+# (``MysqlReader.java:501-531``).  The receiver actor IS the listen socket:
+# a bounded in-memory wave queue whose fullness is the backpressure signal
+# (a full queue rejects the push; the producer retries — the TCP-window
+# analogue).  The tailer drains waves, spools them to a durable inbox
+# (receive buffer), and applies each drain as ONE checkpointed ingest epoch;
+# the applied-wave offset advances only AFTER the manifest commit, so the
+# crash matrix is the polling tailer's: re-delivered / re-spooled waves
+# dedup via wave id + the merge's LSN LWW.
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+class PushReceiver:
+    """Bounded wave queue between a pushing source and the tailer."""
+
+    def __init__(self, max_waves: int = 64):
+        from collections import deque
+
+        self.q = deque()
+        self.max_waves = max_waves
+        self.next_wave = 0
+
+    def push(self, table) -> int:
+        """Enqueue one wave; returns its wave id, or -1 when the queue is
+        full (backpressure — the caller must retry, nothing is dropped)."""
+        if len(self.q) >= self.max_waves:
+            return -1
+        wid = self.next_wave
+        self.next_wave += 1
+        self.q.append((wid, table))
+        return wid
+
+    def drain(self, max_waves: int = 16) -> list:
+        out = []
+        while self.q and len(out) < max_waves:
+            out.append(self.q.popleft())
+        return out
+
+    def pending(self) -> int:
+        return len(self.q)
+
+
+@ray.remote
+class PushProducer:
+    """Generator actor: a rate-controlled synthetic change stream PUSHED
+    into the receiver (the dummy connector's Rate.java generator running on
+    its own engine thread).  ``step(dt)`` advances the injected clock and
+    emits the due wave — deterministic for soak tests; a live deployment
+    would loop ``step(poll_interval)`` on wall time."""
+
+    def __init__(self, events, receiver, events_per_sec: float,
+                 max_push_retries: int = 500):
+        import time
+
+        from tapdata_connectors_ray.fixtures import RateControlledProducer
+
+        self._now = 0.0
+
+        def push_with_backpressure(chunk) -> None:
+            for _ in range(max_push_retries):
+                if ray.get(receiver.push.remote(chunk)) >= 0:
+                    return
+                time.sleep(0.01)  # full queue: wait for the tailer to drain
+            raise RuntimeError("receiver backpressure timeout — tailer stalled")
+
+        self.inner = RateControlledProducer(
+            events, None, events_per_sec,
+            clock=lambda: self._now, sink=push_with_backpressure,
+        )
+
+    def step(self, dt: float) -> int:
+        self._now += dt
+        return self.inner.produce_wave()
+
+    def emitted_head_lsn(self) -> int:
+        if self.inner.emitted == 0:
+            return -1
+        import pyarrow.compute as pc
+
+        return pc.max(self.inner.events.slice(0, self.inner.emitted)["lsn"]).as_py()
+
+    def exhausted(self) -> bool:
+        return self.inner.exhausted
+
+
+class PushTailer:
+    """Push-driven incremental ingest: drains the receiver's wave queue —
+    never lists a directory on the hot path."""
+
+    def __init__(self, receiver, lake_dir: str, num_partitions: int = 64):
+        self.receiver = receiver
+        self.lake_dir = lake_dir
+        self.ingest = CheckpointedIngest(lake_dir, num_partitions=num_partitions)
+        self.inbox = os.path.join(lake_dir, "inbox")
+        os.makedirs(self.inbox, exist_ok=True)
+        self.applied_wave = self._load_offset()
+        self._recover()
+
+    # -- offset + durable inbox --------------------------------------------
+
+    def _offset_path(self) -> str:
+        return os.path.join(self.lake_dir, "push_offset.json")
+
+    def _load_offset(self) -> int:
+        try:
+            with open(self._offset_path()) as f:
+                return int(json.load(f)["applied_wave"])
+        except (OSError, json.JSONDecodeError, KeyError, ValueError):
+            return -1
+
+    def _save_offset(self, wave_id: int) -> None:
+        tmp = self._offset_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"applied_wave": wave_id}, f)
+        os.replace(tmp, self._offset_path())
+
+    def _wave_path(self, wave_id: int) -> str:
+        return os.path.join(self.inbox, f"wave-{wave_id:06d}.parquet")
+
+    def _spool(self, waves: list) -> list[tuple[int, str]]:
+        """Land drained waves in the durable inbox (receive buffer) BEFORE
+        applying — a crash after spool re-applies from here (``_recover``);
+        waves at or below the applied offset are re-deliveries and drop."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for wid, table in waves:
+            if wid <= self.applied_wave:
+                continue
+            path = self._wave_path(wid)
+            tmp = path + ".tmp"
+            pq.write_table(table, tmp)
+            os.replace(tmp, path)
+            out.append((wid, path))
+        return out
+
+    def _apply(self, spooled: list[tuple[int, str]],
+               base_path: str | list[str] | None = None) -> int:
+        if not spooled:
+            return 0
+        self.ingest.ingest(
+            [p for _, p in spooled], base_path, use_watermarks=False
+        )
+        # offset advances only after the manifest commit (crash between the
+        # two re-applies the waves; LSN LWW makes that a no-op)
+        self.applied_wave = max(wid for wid, _ in spooled)
+        self._save_offset(self.applied_wave)
+        for _, p in spooled:  # the inbox holds only not-yet-committed waves
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return len(spooled)
+
+    def _recover(self) -> None:
+        """Crash recovery (NOT polling): re-apply inbox waves the offset says
+        never committed.  One directory scan at open, never on the hot path."""
+        stale = sorted(
+            (int(f[5:-8]), os.path.join(self.inbox, f))
+            for f in os.listdir(self.inbox)
+            if f.startswith("wave-") and f.endswith(".parquet")
+        )
+        pending = [(wid, p) for wid, p in stale if wid > self.applied_wave]
+        if pending:
+            self._apply(pending)
+
+    # -- the push hot path ---------------------------------------------------
+
+    def consume_once(self, base_path: str | list[str] | None = None,
+                     max_waves: int = 16) -> int:
+        """Drain + spool + apply one batch of pushed waves as ONE epoch.
+        Returns the number of fresh waves applied (0 = nothing pending)."""
+        waves = ray.get(self.receiver.drain.remote(max_waves))
+        if not waves:
+            return 0
+        return self._apply(self._spool(waves), base_path)
+
+    def lag_waves(self) -> int:
+        """Waves sitting in the receiver queue — the bounded-lag signal."""
+        return ray.get(self.receiver.pending.remote())
+
+    def final_dataset(self) -> ray.data.Dataset:
+        return self.ingest.final_dataset()

@@ -46,15 +46,61 @@ DEFAULT_BATCH_SIZE = 256 * 1024
 MIN_BATCH_SIZE = 64 * 1024
 
 
-def _auto_batch_size(paths: list[str]) -> int:
+# above this many segments the footer probe (row counts + LSN bounds) fans
+# out as capped Ray tasks — at 10^6-segment scale a serial driver loop of
+# footer reads is minutes of dead time before the job starts; below it the
+# driver loop skips a whole Ray-job launch of fixed overhead (same policy
+# split as the DDL probe, DDL_SCAN_DRIVER_MAX_FILES)
+FOOTER_PROBE_DRIVER_MAX_FILES = 1024
+FOOTER_PROBE_TASKS = 32
+_LAST_FOOTER_PROBE_MODE = "driver"  # test observability only
+
+
+def _probe_footers(paths: list[str]) -> tuple[int, int | None, int | None]:
+    """(rows, lsn_min, lsn_max) from parquet FOOTERS only — no data read."""
     import pyarrow.parquet as pq
 
-    rows = 0
+    rows, lo, hi = 0, None, None
     for p in paths:
+        md = pq.read_metadata(p)
+        rows += md.num_rows
         try:
-            rows += pq.read_metadata(p).num_rows
-        except OSError:
-            return DEFAULT_BATCH_SIZE
+            idx = md.schema.to_arrow_schema().names.index("lsn")
+        except ValueError:
+            continue
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(idx).statistics
+            if st is not None and st.has_min_max:
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    return rows, lo, hi
+
+
+def footer_stats(paths: list[str]) -> tuple[int, int | None, int | None]:
+    """(rows, lsn_min, lsn_max) over a segment list; driver-side threaded
+    below FOOTER_PROBE_DRIVER_MAX_FILES, a capped Ray fan-out above it."""
+    global _LAST_FOOTER_PROBE_MODE
+    if len(paths) <= FOOTER_PROBE_DRIVER_MAX_FILES:
+        _LAST_FOOTER_PROBE_MODE = "driver"
+        return _probe_footers(paths)
+    _LAST_FOOTER_PROBE_MODE = "distributed"
+    probe = ray.remote(num_cpus=0.5)(_probe_footers)
+    chunks = np.array_split(np.asarray(paths, dtype=object), FOOTER_PROBE_TASKS)
+    parts = ray.get([probe.remote(list(c)) for c in chunks if len(c)])
+    los = [lo for _, lo, _ in parts if lo is not None]
+    his = [hi for _, _, hi in parts if hi is not None]
+    return (
+        sum(r for r, _, _ in parts),
+        min(los) if los else None,
+        max(his) if his else None,
+    )
+
+
+def _auto_batch_size(paths: list[str]) -> int:
+    try:
+        rows, _, _ = footer_stats(paths)
+    except Exception:  # unreadable footer (incl. inside a probe task)
+        return DEFAULT_BATCH_SIZE
     return int(min(max(rows // 10, MIN_BATCH_SIZE), DEFAULT_BATCH_SIZE))
 
 
@@ -478,18 +524,9 @@ def replay_from_normalized(
 
 def lsn_bounds(events_path: str | list[str]) -> tuple[int, int]:
     """(min, max) LSN of the log from parquet footer statistics — no data
-    read (same footer-only probe the epoch splitter uses,
-    ``incremental.py:360``)."""
-    ds = pads.dataset(_expand_paths(events_path), format="parquet")
-    lsn_idx = ds.schema.names.index("lsn")
-    lo, hi = None, None
-    for frag in ds.get_fragments():
-        md = frag.metadata
-        for i in range(md.num_row_groups):
-            st = md.row_group(i).column(lsn_idx).statistics
-            if st is not None and st.has_min_max:
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+    read; past FOOTER_PROBE_DRIVER_MAX_FILES segments the probe fans out as
+    capped Ray tasks instead of a serial driver loop."""
+    _, lo, hi = footer_stats(_expand_paths(events_path))
     if lo is None:
         return 0, 0
     return int(lo), int(hi)
@@ -584,14 +621,19 @@ def replay_policy_final_state(
     (an ignored insert depends on what preceded it), so every effective event
     must reach the partition merge.  The default pair degenerates to LWW and
     keeps the combiner-enabled :func:`replay_final_state` as its fast path.
+
+    Order-sensitivity justifies disabling the combiner, NOT a pandas
+    round-trip of the wide columns: winners are computed on narrow
+    key/lsn/op frames (``policy_keep_indices``, the ``lww_keep_indices``
+    pattern) and the payload attached with Arrow ``take``.
     """
-    from tapdata_connectors_ray.stages.merge import _to_table, merged_schema, policy_collapse
+    from tapdata_connectors_ray.stages.merge import policy_keep_indices
 
     plan = scan_evolution_plan_distributed(events_path, spec)
     keys = plan.keys()
     payload_schema = plan.schema_at()
     payload_names = payload_schema.names
-    out_schema = merged_schema(payload_schema)
+    sort_keys = [(k, "ascending") for k in keys]
 
     ev = normalized_events(
         events_path,
@@ -603,13 +645,18 @@ def replay_policy_final_state(
         batch_size=batch_size,
     )
 
-    def policy_merge(df):
-        out = policy_collapse(
-            df, keys, insert_policy=insert_policy, update_policy=update_policy
+    def policy_merge(t: pa.Table) -> pa.Table:
+        idx = policy_keep_indices(
+            t, keys, insert_policy=insert_policy, update_policy=update_policy
         )
-        return _to_table(out, out_schema, keys).select(payload_names)
+        out = t.take(np.sort(idx)).select(payload_names)
+        for f in payload_schema:
+            if not out.schema.field(f.name).type.equals(f.type):
+                i = out.schema.get_field_index(f.name)
+                out = out.set_column(i, f.name, out[f.name].cast(f.type, safe=True))
+        return out.sort_by(sort_keys)
 
-    return ev.groupby("partition_id").map_groups(policy_merge, batch_format="pandas")
+    return ev.groupby("partition_id").map_groups(policy_merge, batch_format="pyarrow")
 
 
 def replay_write_counters(

@@ -262,8 +262,24 @@ def policy_collapse(
         raise ValueError(f"unknown update policy {update_policy}")
     if insert_policy != "ignore_on_exists" and update_policy == "insert_on_nonexists":
         return lww_collapse(df, drop_tombstones=drop_tombstones, keys=keys)
+    narrow = df[[*keys, "lsn", "op"]].reset_index(drop=True)
+    pos = _policy_keep_positions(
+        narrow, keys, insert_policy, update_policy, drop_tombstones
+    )
+    return df.iloc[pos]
 
-    d = _dedup_replays(df, keys).sort_values([*keys, "lsn"], kind="stable")
+
+def _policy_keep_positions(
+    d: pd.DataFrame,
+    keys: list[str],
+    insert_policy: str,
+    update_policy: str,
+    drop_tombstones: bool,
+) -> np.ndarray:
+    """Core of :func:`policy_collapse` over a NARROW (keys, lsn, op) frame
+    with a positional RangeIndex; returns the surviving row positions so the
+    caller attaches the wide payload with ``iloc`` / Arrow ``take``."""
+    d = _dedup_replays(d, keys).sort_values([*keys, "lsn"], kind="stable")
     op = d["op"].to_numpy()
     is_i, is_u, is_d = op == "I", op == "U", op == "D"
     u_creates = update_policy == "insert_on_nonexists"
@@ -286,9 +302,39 @@ def policy_collapse(
 
     keep = d[writes & key_alive]
     out = keep.sort_values("lsn", kind="stable").drop_duplicates(keys, keep="last")
+    idx = out.index.to_numpy()
     if not drop_tombstones:
         # also surface a tombstone row for keys that end dead (delta mode)
         dead = d[is_d & ~key_alive].sort_values("lsn", kind="stable")
         dead = dead.drop_duplicates(keys, keep="last")
-        out = pd.concat([out, dead], ignore_index=False)
-    return out
+        idx = np.concatenate([idx, dead.index.to_numpy()])
+    return idx
+
+
+def policy_keep_indices(
+    t: pa.Table,
+    keys: list[str],
+    insert_policy: str = "update_on_exists",
+    update_policy: str = "insert_on_nonexists",
+    drop_tombstones: bool = True,
+) -> np.ndarray:
+    """Policy-matrix winners computed over the NARROW key/lsn/op columns
+    only — :func:`lww_keep_indices` extended to the full write-policy
+    dispatch, so the policy replay's wide payload rides an Arrow ``take``
+    instead of a pandas object round-trip."""
+    if insert_policy not in INSERT_POLICIES:
+        raise ValueError(f"unknown insert policy {insert_policy}")
+    if update_policy not in UPDATE_POLICIES:
+        raise ValueError(f"unknown update policy {update_policy}")
+    if insert_policy != "ignore_on_exists" and update_policy == "insert_on_nonexists":
+        return lww_keep_indices(t, keys, drop_tombstones=drop_tombstones)
+    narrow = pd.DataFrame(
+        {
+            **{k: t[k].to_numpy(zero_copy_only=False) for k in keys},
+            "lsn": t["lsn"].to_numpy(),
+            "op": t["op"].to_numpy(zero_copy_only=False),
+        }
+    )
+    return _policy_keep_positions(
+        narrow, keys, insert_policy, update_policy, drop_tombstones
+    )

@@ -637,3 +637,107 @@ def test_mv_declarative_spec_matches_pandas(paths, lake_dir):
         ing.define_mv("bad", [{"op": "median", "col": "turn_score", "alias": "x"}])
     with pytest.raises(ValueError):
         ing.define_mv("bad2", [{"op": "sum", "col": None, "alias": "x"}])
+
+
+def test_push_tail_soak_bounded_lag(paths, expected, tmp_path):
+    """PUSH-based live tail (no directory polling): a generator ACTOR
+    rate-pushes the log into the receiver's bounded queue; after every
+    consume the tailer is fully caught up (applied-LSN == pushed head AND
+    zero waves queued — bounded lag), and the final lake equals both the
+    one-shot replay and the POLLING tailer over the same event stream."""
+    import ray as _ray
+
+    from tapdata_connectors_ray.fixtures import RateControlledProducer
+    from tapdata_connectors_ray.pipelines.livetail import (
+        LogTailer,
+        PushProducer,
+        PushReceiver,
+        PushTailer,
+    )
+
+    ev, base = paths
+    events = pq.read_table(ev)
+    n = events.num_rows
+
+    receiver = PushReceiver.remote(max_waves=8)
+    producer = PushProducer.remote(events, receiver, events_per_sec=n / 4.0)
+    tailer = PushTailer(receiver, str(tmp_path / "lake_push"), num_partitions=16)
+
+    waves = 0
+    while not _ray.get(producer.exhausted.remote()):
+        assert _ray.get(producer.step.remote(1.0)) > 0
+        assert tailer.consume_once(base if waves == 0 else None) >= 1
+        waves += 1
+        head = _ray.get(producer.emitted_head_lsn.remote())
+        m = tailer.ingest.metrics()
+        assert m["applied_lsn_max"] == head, "push tailer lagging behind producer"
+        assert tailer.lag_waves() == 0, "waves stuck in the receiver queue"
+    assert waves >= 3
+    assert tailer.consume_once() == 0  # idle consume is a no-op
+    assert_lake_matches(tailer.ingest, expected)
+
+    # polling path over the SAME stream must land the identical final state
+    clock_now = [0.0]
+    prod = RateControlledProducer(
+        events, str(tmp_path / "log"), events_per_sec=n / 4.0,
+        clock=lambda: clock_now[0],
+    )
+    poll_tailer = LogTailer(str(tmp_path / "log"), str(tmp_path / "lake_poll"),
+                            num_partitions=16)
+    first = True
+    while not prod.exhausted:
+        clock_now[0] += 1.0
+        prod.produce_wave()
+        poll_tailer.poll_once(base if first else None)
+        first = False
+    pd.testing.assert_frame_equal(
+        _as_sorted_df(tailer.final_dataset()),
+        _as_sorted_df(poll_tailer.final_dataset()),
+    )
+
+
+def test_push_tail_backpressure_and_crash_recovery(paths, expected, tmp_path):
+    """A full receiver queue REJECTS the push (bounded memory — backpressure,
+    nothing dropped); a crash after spool-to-inbox but before the manifest
+    commit re-applies the wave on reopen (the applied-wave offset advances
+    only after the epoch commit, the polling tailer\'s exact contract)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from tapdata_connectors_ray.pipelines.livetail import PushReceiver, PushTailer
+
+    ev, base = paths
+    # pushed waves arrive in stream (LSN) order — the producer's contract;
+    # a row's interpreting DDL always lands in or before the row's own wave
+    events = pq.read_table(ev).sort_by("lsn")
+    half = events.num_rows // 2
+
+    # backpressure: a max_waves=2 queue takes two pushes, rejects the third
+    bp = PushReceiver.remote(max_waves=2)
+    tiny = pa.table({"x": [1]})
+    assert _ray.get(bp.push.remote(tiny)) == 0
+    assert _ray.get(bp.push.remote(tiny)) == 1
+    assert _ray.get(bp.push.remote(tiny)) == -1  # full: rejected, not dropped
+    assert _ray.get(bp.pending.remote()) == 2
+
+    # crash drill on the real stream: wave 0 applies; wave 1 is drained and
+    # SPOOLED to the durable inbox, then the tailer dies before the commit
+    receiver = PushReceiver.remote(max_waves=4)
+    lake = str(tmp_path / "lake")
+    assert _ray.get(receiver.push.remote(events.slice(0, half))) == 0
+    tailer = PushTailer(receiver, lake, num_partitions=16)
+    assert tailer.consume_once(base) == 1
+    applied = tailer.applied_wave
+
+    wid1 = _ray.get(receiver.push.remote(events.slice(half)))
+    spooled = tailer._spool(_ray.get(receiver.drain.remote()))
+    assert [w for w, _ in spooled] == [wid1]
+    del tailer  # crash: wave 1 spooled but never applied
+
+    tailer2 = PushTailer(receiver, lake, num_partitions=16)  # recovery opens
+    assert tailer2.applied_wave == wid1  # _recover re-applied the inbox wave
+    assert tailer2.applied_wave > applied
+    assert_lake_matches(tailer2.ingest, expected)
+
+    # a RE-DRAIN of an already-applied wave id is dropped at the spool gate
+    assert tailer2._spool([(wid1, events.slice(half))]) == []

@@ -2,6 +2,7 @@
 correctness cases: read-back equality, write counters, exactly-once replay,
 salted-shuffle equivalence)."""
 
+import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 import pytest
@@ -208,3 +209,43 @@ def test_render_transcripts_matches_oracle(paths, expected):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_footer_probe_distributed_past_threshold(ray_session, tmp_path):
+    """At 5k segments the footer probe (row counts + LSN bounds) must fan
+    out as Ray tasks, not a serial driver loop, and agree exactly with the
+    driver-side probe on rows, bounds and the derived batch size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tapdata_connectors_ray.pipelines import replay
+
+    d = tmp_path / "segs"
+    d.mkdir()
+    n_files = 5_000
+    rng = np.random.default_rng(9)
+    starts = rng.integers(1, 10_000_000, n_files)
+    for i in range(n_files):
+        pq.write_table(
+            pa.table({"lsn": pa.array([int(starts[i]), int(starts[i]) + 3],
+                                      pa.int64())}),
+            str(d / f"seg-{i:05d}.parquet"),
+        )
+    paths = replay._expand_paths(str(d))
+    assert len(paths) == n_files > replay.FOOTER_PROBE_DRIVER_MAX_FILES
+
+    got = replay.footer_stats(paths)
+    assert replay._LAST_FOOTER_PROBE_MODE == "distributed"
+    want = replay._probe_footers(paths)  # serial driver probe, same fold
+    assert got == want
+    assert got[0] == 2 * n_files
+    assert (got[1], got[2]) == (int(starts.min()), int(starts.max()) + 3)
+
+    lo, hi = replay.lsn_bounds(str(d))
+    assert (lo, hi) == (got[1], got[2])
+    assert replay._LAST_FOOTER_PROBE_MODE == "distributed"
+
+    # below the threshold the driver loop is used (no Ray-job fixed cost)
+    small = paths[: replay.FOOTER_PROBE_DRIVER_MAX_FILES]
+    assert replay.footer_stats(small) == replay._probe_footers(small)
+    assert replay._LAST_FOOTER_PROBE_MODE == "driver"

@@ -353,3 +353,48 @@ def test_partitioned_expansion_folds_children(ray_session):
         num_partitions=8,
     )
     assert int(nofold.loc[0, "rows"]) != rows
+
+
+@pytest.mark.parametrize("insert_policy", ["update_on_exists", "ignore_on_exists"])
+@pytest.mark.parametrize("update_policy", ["insert_on_nonexists", "ignore_on_nonexists"])
+@pytest.mark.parametrize("drop_tombstones", [True, False])
+def test_policy_keep_indices_equals_collapse(insert_policy, update_policy,
+                                             drop_tombstones):
+    """The Arrow narrow-index policy path (winners on key/lsn/op, payload
+    via take) must select the exact row set of the pandas policy_collapse —
+    the payload never influences the dispatch."""
+    import pyarrow as pa
+
+    from tapdata_connectors_ray.stages.merge import (
+        policy_collapse,
+        policy_keep_indices,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 3_000
+    df = pd.DataFrame(
+        {
+            "lsn": np.arange(1, n + 1),
+            "op": np.array(["I", "U", "D"])[rng.integers(0, 3, n)],
+            "k": rng.integers(0, 50, n),
+            "payload": np.char.add("v", rng.integers(0, 9999, n).astype(str)),
+        }
+    )
+    dup = df.sample(150, random_state=5)
+    df = pd.concat([df, dup], ignore_index=True).sample(frac=1, random_state=6)
+    df = df.reset_index(drop=True)
+
+    want = policy_collapse(
+        df, ["k"], insert_policy=insert_policy, update_policy=update_policy,
+        drop_tombstones=drop_tombstones,
+    )
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    idx = policy_keep_indices(
+        t, ["k"], insert_policy=insert_policy, update_policy=update_policy,
+        drop_tombstones=drop_tombstones,
+    )
+    got = t.take(np.sort(idx)).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["k", "lsn"], ignore_index=True),
+        want.sort_values(["k", "lsn"], ignore_index=True),
+    )
