@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIXTURE_ROOT = "/tmp/tcr_fixtures"
-TRAINING_FIXTURE_VERSION = 1
+TRAINING_FIXTURE_VERSION = 2
 
 # the driver documents vocabulary (observed closed set, sf0.1)
 VOCAB = np.array(
@@ -91,10 +91,15 @@ def _gen_documents(n_docs: int, rng: np.random.Generator) -> pa.Table:
 
 
 def _gen_embeddings(n_vecs: int, rng: np.random.Generator, dim: int = 64) -> pa.Table:
+    # WEAK cluster structure (centers small vs noise): the driver's own
+    # embeddings table is near-orthogonal — a 3000-row sample has ZERO pairs
+    # above 0.8 cosine — so the only near-dups must be the planted ones.
+    # Tight clusters (v1 of this fixture) made every same-cluster pair a
+    # "near-dup" and the pair set quadratic: pathological, not representative.
     k = 10
-    centers = rng.normal(0, 1, size=(k, dim)).astype(np.float32)
+    centers = rng.normal(0, 0.3, size=(k, dim)).astype(np.float32)
     label = rng.integers(0, k, size=n_vecs).astype(np.int32)
-    vecs = centers[label] + rng.normal(0, 0.25, size=(n_vecs, dim)).astype(np.float32)
+    vecs = centers[label] + rng.normal(0, 1.0, size=(n_vecs, dim)).astype(np.float32)
     # near-dup structure mirroring the docs: 1% exact + 2% epsilon copies
     n_exact, n_near = n_vecs // 100, n_vecs // 50
     pos = rng.choice(np.arange(n_vecs // 10, n_vecs), size=n_exact + n_near, replace=False)

@@ -1439,6 +1439,7 @@ def q_dedup_embedding_cosine(sf_dir: str) -> Any:
     from tapdata_connectors_ray.stages.dedup import band_pairs_bucket
     from tapdata_connectors_ray.stages.similarity import (
         HyperplaneLSH,
+        adaptive_hyperplane_params,
         embedding_blob_batch,
         verify_cosine_pairs,
     )
@@ -1452,8 +1453,15 @@ def q_dedup_embedding_cosine(sf_dir: str) -> Any:
     # plain task stage (NOT an actor pool): the two verify joins below spawn
     # their own aggregator actors, and an actor pool here can starve them of
     # CPUs at small session sizes (deadlock); plane generation is cheap
-    # enough to redo per task
-    bands = aug.map_batches(HyperplaneLSH(EMB_DIM), batch_format="pyarrow")
+    # enough to redo per task.  Band geometry is sized to the corpus so the
+    # false-candidate volume stays O(n) — see adaptive_hyperplane_params.
+    n_bands, rows_per_band = adaptive_hyperplane_params(
+        _emb_rows_est(sf_dir), threshold=COSINE_DUP_THRESHOLD
+    )
+    bands = aug.map_batches(
+        HyperplaneLSH(EMB_DIM, num_bands=n_bands, rows_per_band=rows_per_band),
+        batch_format="pyarrow",
+    )
     pairs = _pair_dedupe(
         bands.groupby("sbucket").map_groups(band_pairs_bucket, batch_format="pandas")
     )

@@ -99,6 +99,56 @@ def final_topk(candidates: pd.DataFrame, k: int) -> pd.DataFrame:
     return df[["query_id", "neighbor_id", "sim"]]
 
 
+def adaptive_hyperplane_params(
+    n_rows: int,
+    threshold: float = 0.9,
+    max_miss: float = 1e-7,
+    false_per_vec: float = 64.0,
+    min_bands: int = 48,
+    min_rows: int = 8,
+    max_rows: int = 32,
+) -> tuple[int, int]:
+    """(num_bands, rows_per_band) sized to the corpus so candidate volume
+    stays O(n), not O(n²).
+
+    Fixed ``rows_per_band`` is a quadratic time bomb: a random
+    (near-orthogonal) pair collides in one band with p = 0.5**r, so expected
+    FALSE candidates are C(n,2)·B·0.5**r — with the old constant (48, 8)
+    that is ~54 M pairs at n=24k and grows with n², which is exactly the
+    "works at sf0.1, dies at 1000x" failure mode this engine is designed
+    against.  This helper solves the fixed point of
+
+        r = ceil(log2(n · B / false_per_vec))   # false candidates ≈ n·false_per_vec
+        B = ceil(ln(max_miss) / ln(1 - p_bit**r))  # recall at `threshold`
+
+    where p_bit = 1 - acos(threshold)/pi (sign-random-projection collision
+    probability).  Every candidate is exactly verified downstream, so the
+    output still equals brute force up to the per-true-pair miss bound
+    ``max_miss`` (1e-7: ~0.0002 expected misses even if 2k true pairs sat
+    EXACTLY at the threshold; real near-dups sit far above it and miss with
+    p < 1e-12).  The incremental ledger path keeps its pinned (48, 8) —
+    band params there are part of the on-disk ledger contract and must not
+    drift with corpus size between epochs.
+    """
+    import math
+
+    p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    r, bands = min_rows, min_bands
+    for _ in range(8):
+        r_new = int(
+            min(
+                max(min_rows, math.ceil(math.log2(max(n_rows, 2) * bands / false_per_vec))),
+                max_rows,
+            )
+        )
+        p_band = p_bit**r_new
+        bands_new = max(min_bands, math.ceil(math.log(max_miss) / math.log1p(-p_band)))
+        if (r_new, bands_new) == (r, bands):
+            break
+        r, bands = r_new, bands_new
+    return bands, r
+
+
 class HyperplaneLSH:
     """map_batches stage: embedding rows -> random-hyperplane LSH band rows
     (same (band, bucket, sbucket, doc_id) layout as the MinHash banding, so
@@ -110,7 +160,8 @@ class HyperplaneLSH:
     — recall is effectively total, and every candidate is exactly verified,
     so output equals brute force (deterministic hyperplanes, seed-fixed).
     Scale knobs: more rows_per_band shrinks buckets (O(n/2^r) per band);
-    more bands restores recall.
+    more bands restores recall — batch callers size both to the corpus via
+    ``adaptive_hyperplane_params`` so candidates stay O(n).
     """
 
     def __init__(self, dim: int, num_bands: int = 48, rows_per_band: int = 8,

@@ -847,3 +847,33 @@ def test_curation_incremental_matches_oracle_and_batch_winner_rule(ray_session):
     batch = q_curation_pipeline(SF).to_pandas()
     # the higher near-dup threshold can only drop FEWER docs
     assert len(got) >= len(batch)
+
+
+def test_adaptive_hyperplane_params_scale_and_recall():
+    """Band geometry must (a) keep the DRIVER tiers at the historical
+    (48, 8) so oracle behavior is bit-stable where it was already verified,
+    (b) grow rows_per_band ~log2(n) so expected false candidates stay O(n)
+    rather than O(n^2), and (c) always honor the recall bound that makes
+    LSH+exact-verify equal brute force."""
+    import math
+
+    from tapdata_connectors_ray.stages.similarity import adaptive_hyperplane_params
+
+    p_bit = 1.0 - math.acos(0.9) / math.pi
+
+    # (a) driver tiers (augmented corpus 240 / 2400 rows): unchanged knobs
+    assert adaptive_hyperplane_params(240) == (48, 8)
+
+    prev_rate = None
+    for n in (240, 2_400, 24_000, 240_000, 2_400_000, 24_000_000):
+        bands, r = adaptive_hyperplane_params(n)
+        # (c) recall: miss probability for a pair AT the threshold
+        miss = (1.0 - p_bit**r) ** bands
+        assert miss <= 1e-7 * (1 + 1e-9), (n, bands, r, miss)
+        # (b) false-candidate volume stays O(n): pairs/vector bounded
+        false_per_vec = (n / 2) * bands * 0.5**r
+        assert false_per_vec <= 129.0, (n, bands, r, false_per_vec)
+        rate = false_per_vec / n
+        if prev_rate is not None:
+            assert rate <= prev_rate * 1.05  # no quadratic creep
+        prev_rate = rate
