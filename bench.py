@@ -148,6 +148,24 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_probe() -> dict | None:
+    """Host-quietness stamp (single-threaded matmul floor, see
+    scripts/quiet_probe.py).  Embedded in every emitted JSON line so the
+    BENCH artifact of record is interpretable without forensics: quiet
+    windows on this box read ~0.35-0.45 s/multiply; the documented degraded
+    windows read ~0.9-1.1 s.  Runs in a subprocess so the BLAS thread caps
+    never leak into the benchmark process itself."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "quiet_probe.py")
+    try:
+        proc = subprocess.run(
+            [sys.executable, script], capture_output=True, text=True, timeout=60
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
 def _headline_subprocess(num_cpus: int, sf_label: str, runs: str | None = None) -> dict:
     """Fresh-process headline run (clean ray session at the given CPU count)."""
     env = dict(os.environ)
@@ -242,9 +260,17 @@ def main() -> None:
         ray.shutdown()
         return
 
+    # probe BEFORE the measured work (round-4 verdict ask: the window stamp
+    # must live in the artifact itself); --headline-only skips it because the
+    # scaling harness calls that mode in a timed subprocess
+    probe = run_probe()
+
     if args.scaling:
         result = run_scaling(sf_label)
         result.update({"metric": METRIC + " [scaling N->4N]", "unit": "sec"})
+        # a multi-minute interleaved run can straddle a window change; stamp
+        # both edges
+        result.update({"probe": probe, "probe_after": run_probe()})
         print(json.dumps(result))
         return
 
@@ -261,6 +287,8 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "events": h["events"],
                 "events_per_sec": round(h["events_per_sec"], 1),
+                "probe": probe,
+                "probe_after": run_probe(),
             }
         )
     )
