@@ -38,12 +38,13 @@ def entry() -> Any:
 # `events_hopping_window` shares the window-expansion kernel with the
 # r04-fresh tumbling/incremental windows; `cdc_multi_table_single_pass` is
 # pytest-pinned bit-for-bit equal to `cdc_multi_table_consistent`).
-# The three round-5 additions displace three r03 slots; the displaced ones
-# (`source_csv_dialect`, `source_xlsx_events_agg`, `source_xml_events_agg`)
-# sit at the tuple's END because they carry the strongest non-driver
-# evidence: `test_filesource_queries_match_oracle` runs these exact queries
-# against the same DuckDB oracle inside pytest, plus dedicated format tests
-# (`test_csv_dialect_options`, `test_xlsx_*`, `test_xml_*`).
+# The four round-5 additions displace four r03 slots; the displaced ones
+# (`source_csv_events_agg`, `source_csv_dialect`, `source_xlsx_events_agg`,
+# `source_xml_events_agg`) sit at the tuple's END because they carry the
+# strongest non-driver evidence: `test_filesource_queries_match_oracle` runs
+# csv_events_agg/jsonl against the same DuckDB oracle inside pytest, plus
+# dedicated format tests (`test_csv_dialect_options`, `test_xlsx_*`,
+# `test_xml_*`).
 _RUN_FIRST = (
     # newest driver row is r02 — front-load first (round-4 plan)
     "af_customer_match",
@@ -57,6 +58,7 @@ _RUN_FIRST = (
     "cdc_multi_table_atomic_commit",
     "cdc_partitioned_table_expansion",
     "cdc_live_tail_push",
+    "source_webhook_push",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",
@@ -92,14 +94,15 @@ _RUN_FIRST = (
     "quantiles_lineitem",
     "sample_hash_documents",
     "sink_kv_state",
-    "source_csv_events_agg",
     "source_jsonl_resume",
     "source_partitioned_log",
     "source_storage_mock_backend",
     "subdoc_array_state",
     "text_mask_documents",
     # displaced past the 50-slot cap by the round-5 additions (pytest runs
-    # these same queries against the same oracle — see comment above)
+    # these same queries against the same oracle — see comment above;
+    # source_csv_events_agg is pinned by test_filesource_queries_match_oracle)
+    "source_csv_events_agg",
     "source_csv_dialect",
     "source_xlsx_events_agg",
     "source_xml_events_agg",

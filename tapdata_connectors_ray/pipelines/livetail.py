@@ -180,9 +180,14 @@ class PushTailer:
     """Push-driven incremental ingest: drains the receiver's wave queue —
     never lists a directory on the hot path."""
 
-    def __init__(self, receiver, lake_dir: str, num_partitions: int = 64):
+    def __init__(self, receiver, lake_dir: str, num_partitions: int = 64,
+                 plan=None):
+        # ``plan``: a task-DECLARED evolution plan (webhook-style sources
+        # push DML in the upstream's current schema and carry no DDL rows,
+        # so the schema comes from the task config, not a log scan)
         self.receiver = receiver
         self.lake_dir = lake_dir
+        self.plan = plan
         self.ingest = CheckpointedIngest(lake_dir, num_partitions=num_partitions)
         self.inbox = os.path.join(lake_dir, "inbox")
         os.makedirs(self.inbox, exist_ok=True)
@@ -232,7 +237,8 @@ class PushTailer:
         if not spooled:
             return 0
         self.ingest.ingest(
-            [p for _, p in spooled], base_path, use_watermarks=False
+            [p for _, p in spooled], base_path, use_watermarks=False,
+            plan=self.plan,
         )
         # offset advances only after the manifest commit (crash between the
         # two re-applies the waves; LSN LWW makes that a no-op)
