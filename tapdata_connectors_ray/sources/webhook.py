@@ -176,6 +176,11 @@ def decode_webhook_payload(
     envelopes and decoded records (the WriteListResult-style accounting)."""
     if isinstance(ndjson, str):
         ndjson = ndjson.encode()
+    if not ndjson.strip():
+        # an empty push wave (heartbeat) decodes to zero events, not an error
+        empty = wire_schema.empty_table()
+        return empty, {"received_envelopes": 0, "dropped_no_supplier": 0,
+                       "records": 0}
     env = pa_json.read_json(
         io.BytesIO(ndjson),
         parse_options=pa_json.ParseOptions(
