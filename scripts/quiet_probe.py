@@ -15,9 +15,12 @@ import json
 import os
 import time
 
-os.environ.setdefault("OMP_NUM_THREADS", "1")
-os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
-os.environ.setdefault("MKL_NUM_THREADS", "1")
+# hard-assign (not setdefault): an inherited OPENBLAS_NUM_THREADS=8 from the
+# invoking shell would run the matmul multithreaded and stamp a degraded
+# window as "quiet" — the calibration above only holds single-threaded
+os.environ["OMP_NUM_THREADS"] = "1"
+os.environ["OPENBLAS_NUM_THREADS"] = "1"
+os.environ["MKL_NUM_THREADS"] = "1"
 
 import numpy as np  # noqa: E402  (thread caps must precede the import)
 

@@ -94,11 +94,13 @@ class LogTailer:
 # (``MysqlReader.java:501-531``).  The receiver actor IS the listen socket:
 # a bounded in-memory wave queue whose fullness is the backpressure signal
 # (a full queue rejects the push; the producer retries — the TCP-window
-# analogue).  The tailer drains waves, spools them to a durable inbox
-# (receive buffer), and applies each drain as ONE checkpointed ingest epoch;
-# the applied-wave offset advances only AFTER the manifest commit, so the
-# crash matrix is the polling tailer's: re-delivered / re-spooled waves
-# dedup via wave id + the merge's LSN LWW.
+# analogue).  The tailer PEEKS waves, spools them to a durable inbox
+# (receive buffer), ACKS the receiver only after the spool lands, and
+# applies each batch as ONE checkpointed ingest epoch; the applied-wave
+# offset advances only AFTER the manifest commit.  Crash matrix: before ack
+# → re-delivered from the queue; after ack, before commit → re-applied from
+# the inbox (waves spooled before the FIRST commit defer so they apply with
+# the base snapshot); duplicates dedup via wave id + the merge's LSN LWW.
 # ---------------------------------------------------------------------------
 
 
@@ -128,6 +130,20 @@ class PushReceiver:
         while self.q and len(out) < max_waves:
             out.append(self.q.popleft())
         return out
+
+    def peek(self, max_waves: int = 16) -> list:
+        """Read up to ``max_waves`` WITHOUT removing them — the tailer acks
+        after its durable spool, so a crash between peek and ack re-delivers
+        from the queue (at-least-once; wave ids dedup downstream)."""
+        return [self.q[i] for i in range(min(len(self.q), max_waves))]
+
+    def ack(self, up_to: int) -> int:
+        """Release waves with id <= ``up_to`` (they are durably spooled)."""
+        n = 0
+        while self.q and self.q[0][0] <= up_to:
+            self.q.popleft()
+            n += 1
+        return n
 
     def pending(self) -> int:
         return len(self.q)
@@ -192,6 +208,10 @@ class PushTailer:
         self.inbox = os.path.join(lake_dir, "inbox")
         os.makedirs(self.inbox, exist_ok=True)
         self.applied_wave = self._load_offset()
+        # waves spooled pre-crash before the FIRST epoch ever committed: they
+        # must apply together with the caller's base snapshot, so recovery
+        # defers them to the first consume_once (see _recover)
+        self._deferred: list[tuple[int, str]] = []
         self._recover()
 
     # -- offset + durable inbox --------------------------------------------
@@ -260,19 +280,44 @@ class PushTailer:
             if f.startswith("wave-") and f.endswith(".parquet")
         )
         pending = [(wid, p) for wid, p in stale if wid > self.applied_wave]
-        if pending:
+        if not pending:
+            return
+        if self.applied_wave >= 0:
+            # epoch 0 committed, so the base snapshot is already folded into
+            # the lake — pending waves are safe to re-apply standalone
             self._apply(pending)
+        else:
+            # NO epoch ever committed: applying now (base_path unknown here)
+            # would advance the offset past wave 0 and the base snapshot
+            # could never join it — defer to the first consume_once, which
+            # carries the caller's base_path
+            self._deferred = pending
 
     # -- the push hot path ---------------------------------------------------
 
     def consume_once(self, base_path: str | list[str] | None = None,
                      max_waves: int = 16) -> int:
-        """Drain + spool + apply one batch of pushed waves as ONE epoch.
-        Returns the number of fresh waves applied (0 = nothing pending)."""
-        waves = ray.get(self.receiver.drain.remote(max_waves))
-        if not waves:
+        """Peek + spool + ack + apply one batch of pushed waves as ONE epoch.
+        Returns the number of fresh waves applied (0 = nothing pending).
+
+        The receiver is acked only AFTER the durable spool: a crash between
+        peek and ack leaves the waves in the queue for re-delivery (the
+        re-peeked wave overwrites the same inbox file — idempotent), so no
+        acknowledged wave can be lost in the drain-to-spool window."""
+        waves = ray.get(self.receiver.peek.remote(max_waves))
+        spooled = self._spool(waves)
+        if waves:
+            ray.get(self.receiver.ack.remote(max(wid for wid, _ in waves)))
+        if self._deferred:
+            # recovery waves spooled before the first-ever commit join this
+            # epoch (dedup by wave id: a re-pushed wave may appear in both)
+            merged = dict(self._deferred)
+            merged.update(dict(spooled))
+            spooled = sorted(merged.items())
+            self._deferred = []
+        if not spooled:
             return 0
-        return self._apply(self._spool(waves), base_path)
+        return self._apply(spooled, base_path)
 
     def lag_waves(self) -> int:
         """Waves sitting in the receiver queue — the bounded-lag signal."""

@@ -143,6 +143,13 @@ def _records_in_arrival_order(env: pa.Table, rec_type: pa.StructType) -> pa.Arra
     arr_col = _as_array(env["array"].filter(arr_mask))
     arr_recs = _as_array(pc.list_flatten(arr_col))
     parents = pc.list_parent_indices(arr_col).to_numpy(zero_copy_only=False)
+    # a null element INSIDE an array body (partial serialization, trailing
+    # comma artifacts) is not a record — EventHandle has no null-record
+    # path; without this it would decode to a phantom all-null-key INSERT
+    rec_valid = pc.is_valid(arr_recs)
+    if not pc.all(rec_valid).as_py():
+        parents = parents[rec_valid.to_numpy(zero_copy_only=False)]
+        arr_recs = arr_recs.filter(rec_valid)
     arr_env_idx = env_idx[arr_mask.to_numpy(zero_copy_only=False)]
     if len(parents):
         # position within each list: arange minus each run's start offset

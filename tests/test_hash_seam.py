@@ -56,6 +56,29 @@ def test_engine_mode_is_vectorized_siphash_and_pinned():
     ]
 
 
+def test_engine_hash_nulls_batch_independent():
+    """A null must hash to pd.util.hash_array's null value in BOTH branches
+    (low-cardinality factorize AND near-unique passthrough) — never to the
+    hash of a neighbouring real value, and never differently depending on
+    the cardinality of the batch it rides in."""
+    from tapdata_connectors_ray.functions.texthash import NULL_HASH64
+
+    # library pin: hash_array's null hash is what NULL_HASH64 claims
+    lib_null = pd.util.hash_array(np.asarray(["x", None, "y"], dtype=object))[1]
+    assert lib_null == NULL_HASH64
+
+    low_card = engine_hash64(np.array(["x", None, "y", "x"] * 2000, dtype=object))
+    near_uniq = engine_hash64(np.array(["x", None, "y"], dtype=object))
+    assert low_card[1] == near_uniq[1] == NULL_HASH64
+    # null never collides with the batch's real values
+    assert NULL_HASH64 not in {low_card[0], low_card[2]}
+    # all-null input survives the factorize branch (empty uniq)
+    assert np.array_equal(
+        engine_hash64(np.array([None] * 5000, dtype=object)),
+        np.full(5000, NULL_HASH64, dtype=np.uint64),
+    )
+
+
 def test_oracle_mode_matches_duckdb_md5():
     toks = ["a", "bb", "ccc", "a"]
     got = TokenHasher("oracle").many(toks)

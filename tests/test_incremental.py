@@ -741,3 +741,47 @@ def test_push_tail_backpressure_and_crash_recovery(paths, expected, tmp_path):
 
     # a RE-DRAIN of an already-applied wave id is dropped at the spool gate
     assert tailer2._spool([(wid1, events.slice(half))]) == []
+
+
+def test_push_tail_crash_windows_lose_nothing(paths, expected, tmp_path):
+    """The two narrow crash windows around the spool must lose nothing:
+    (a) between peek and ack the wave is still in the receiver queue (peek
+    is non-destructive), and (b) after spool+ack but before the FIRST epoch
+    commit, recovery DEFERS the inbox wave so it applies together with the
+    caller's base snapshot instead of orphaning the base forever."""
+    import ray as _ray
+
+    from tapdata_connectors_ray.pipelines.livetail import PushReceiver, PushTailer
+
+    ev, base = paths
+    events = pq.read_table(ev).sort_by("lsn")
+    half = events.num_rows // 2
+
+    # (a) crash between peek and spool: wave stays queued, fresh consume wins
+    receiver = PushReceiver.remote(max_waves=4)
+    lake = str(tmp_path / "lake_a")
+    assert _ray.get(receiver.push.remote(events.slice(0, half))) == 0
+    t = PushTailer(receiver, lake, num_partitions=16)
+    assert len(_ray.get(receiver.peek.remote(16))) == 1  # "crashed" mid-consume
+    assert _ray.get(receiver.pending.remote()) == 1  # still queued — not lost
+    assert t.consume_once(base) == 1
+    _ray.get(receiver.push.remote(events.slice(half)))
+    assert t.consume_once() == 1
+    assert_lake_matches(t.ingest, expected)
+
+    # (b) crash after spool+ack, BEFORE the first-ever commit (offset = -1)
+    receiver2 = PushReceiver.remote(max_waves=4)
+    lake2 = str(tmp_path / "lake_b")
+    assert _ray.get(receiver2.push.remote(events.slice(0, half))) == 0
+    t1 = PushTailer(receiver2, lake2, num_partitions=16)
+    waves = _ray.get(receiver2.peek.remote(16))
+    assert [w for w, _ in t1._spool(waves)] == [0]
+    _ray.get(receiver2.ack.remote(0))
+    del t1  # crash: wave 0 durably spooled + acked, never applied
+
+    t2 = PushTailer(receiver2, lake2, num_partitions=16)
+    assert t2.applied_wave == -1  # recovery deferred rather than committing
+    assert t2.consume_once(base) == 1  # wave 0 applies WITH the base snapshot
+    _ray.get(receiver2.push.remote(events.slice(half)))
+    assert t2.consume_once() == 1
+    assert_lake_matches(t2.ingest, expected)

@@ -72,7 +72,9 @@ def test_decode_branch_semantics(plan_and_events):
     ]
     nd = "\n".join(
         [
-            _env(recs=recs[0:2]),                     # array body, 2 records
+            # array body, 2 records; the null element (partial serialization)
+            # is NOT a record and must not become a phantom all-null insert
+            _env(recs=[recs[0], None, recs[1]]),
             _env(rec=recs[2]),                        # map body
             _env(rec={"opType": "i", "after": {"conv_id": "zz", "turn_idx": 9}},
                  supplier=None),                      # no supplier -> dropped
