@@ -176,3 +176,126 @@ def test_webhook_push_replay_final_state(ray_session, plan_and_events,
         assert (a.isna() == b.isna()).all(), c
         mask = ~a.isna()
         assert (np.asarray(a[mask]) == np.asarray(b[mask])).all(), c
+
+
+# ---------------------------------------------------------------------------
+# Property: the Arrow-vectorized decoder == a per-record reference
+# interpreter of the documented semantics (Tags.filterCallbackEvent /
+# Tags.getOp / EventHandle.java:22-52) on arbitrary envelope waves.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_TEXT = st.one_of(st.none(), st.text(max_size=8))
+_AFTER = st.fixed_dictionaries(
+    {},
+    optional={
+        "conv_id": _TEXT,
+        "turn_idx": st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+        "role": _TEXT,
+        "text": _TEXT,
+        "tool_name": _TEXT,
+        "turn_score": st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+    },
+)
+_BEFORE = st.fixed_dictionaries(
+    {},
+    optional={
+        "conv_id": _TEXT,
+        "turn_idx": st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+    },
+)
+_RECORD = st.fixed_dictionaries(
+    {},
+    optional={
+        "opType": st.one_of(
+            st.none(), st.sampled_from(["i", "u", "d", "create", "X", ""])
+        ),
+        "time": st.one_of(st.none(), st.integers(0, 4_000_000_000_000_000)),
+        "after": _AFTER,
+        "before": _BEFORE,
+    },
+)
+_ENVELOPE = st.fixed_dictionaries(
+    {},
+    optional={
+        "proxy_callback_supplier_id": st.one_of(st.none(), st.just("s1")),
+        "proxy_callback_array_content": st.booleans(),
+        "map": st.one_of(st.none(), _RECORD),
+        "array": st.lists(st.one_of(st.none(), _RECORD), max_size=4),
+    },
+)
+
+
+def _reference_decode(envelopes, plan, base_lsn, receipt_time_us):
+    """Row-at-a-time interpreter of the documented envelope semantics —
+    deliberately the OPPOSITE shape of the vectorized decoder."""
+    payload = plan.schema_at()
+    keys = plan.keys()
+    rows, dropped = [], 0
+    for env in envelopes:
+        if env.get("proxy_callback_supplier_id") is None:
+            dropped += 1
+            continue
+        if env.get("proxy_callback_array_content"):
+            body = env.get("array")
+            if body is None:
+                continue
+            recs = [r for r in body if r is not None]
+        else:
+            rec = env.get("map")
+            if rec is None:
+                continue
+            recs = [rec]
+        for rec in recs:
+            op_raw = rec.get("opType")
+            op = op_raw.upper() if op_raw in ("i", "u", "d") else "I"
+            t = rec.get("time")
+            after = rec.get("after") or {}
+            before = rec.get("before") or {}
+            row = {"op": op, "ts": t if t is not None else receipt_time_us}
+            for f in payload:
+                if f.name == "ts":
+                    continue
+                v = after.get(f.name)
+                if f.name in keys and op == "D" and before.get(f.name) is not None:
+                    v = before.get(f.name)
+                row[f.name] = v
+            for k in keys:
+                row[f"before_{k}"] = before.get(k) if op == "U" else None
+            rows.append(row)
+    for i, row in enumerate(rows):
+        row["lsn"] = base_lsn + i
+    return rows, {
+        "received_envelopes": len(envelopes),
+        "dropped_no_supplier": dropped,
+        "records": len(rows),
+    }
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    envs=st.lists(_ENVELOPE, max_size=12),
+    base_lsn=st.integers(0, 1_000),
+    receipt=st.integers(0, 10**9),
+)
+def test_decode_matches_reference_interpreter(plan_and_events, envs, base_lsn,
+                                              receipt):
+    plan, _ = plan_and_events
+    nd = "\n".join(json.dumps(e) for e in envs)
+    out, stats = decode_webhook_payload(
+        nd, plan, base_lsn=base_lsn, receipt_time_us=receipt
+    )
+    rows, ref_stats = _reference_decode(envs, plan, base_lsn, receipt)
+    assert stats == ref_stats
+    assert len(out) == len(rows)
+    assert out["lsn"].to_pylist() == [r["lsn"] for r in rows]
+    assert out["op"].to_pylist() == [r["op"] for r in rows]
+    assert out["ts"].cast(pa.int64()).to_pylist() == [r["ts"] for r in rows]
+    assert out["schema_ver"].to_pylist() == [plan.latest_version] * len(rows)
+    payload = plan.schema_at()
+    cols = [f.name for f in payload if f.name != "ts"]
+    cols += [f"before_{k}" for k in plan.keys()]
+    for c in cols:
+        assert out[c].to_pylist() == [r[c] for r in rows], c
