@@ -59,6 +59,7 @@ _RUN_FIRST = (
     "cdc_partitioned_table_expansion",
     "cdc_live_tail_push",
     "source_webhook_push",
+    "shuffle_epoch_order",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

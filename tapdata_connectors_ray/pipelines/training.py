@@ -2133,6 +2133,109 @@ def q_text_packing(sf_dir: str) -> Any:
     return pairs.groupby("sbucket").map_groups(pack_fold, batch_format="pandas")
 
 
+SHUFFLE_SEED = "ep1"
+SHUFFLE_SHARDS = 8
+
+
+def q_shuffle_epoch_order(sf_dir: str, hash_mode: str = "oracle",
+                          seed: str = SHUFFLE_SEED) -> Any:
+    """Deterministic EPOCH RESHUFFLE (training-data ordering): re-order the
+    corpus by a seeded digest of the stable key, so the order is (a)
+    reproducible and resumable — any worker recomputes any shard's slice
+    with no coordination and no stored permutation — and (b) independent
+    across epochs (change the seed).  This replaces ``random_shuffle`` for
+    training pipelines: a random shuffle is neither resumable nor
+    verifiable, a seeded digest sort is both.
+
+    One all-to-all: the digest sort itself.  The global rank (and the
+    contiguous shard each doc lands in) is assigned WITHOUT a second
+    shuffle via the distributed prefix-sum shape of ``q_text_packing``:
+    per-block (first key, row count) meta — block-count scale — is
+    prefix-summed on the driver and broadcast back; each block then ranks
+    its rows locally.  Digest behind the engine/oracle seam
+    (``row_hash64``): the driver-checked query pins "oracle" (md5 parity
+    with the SQL's ``md5_number_lower``, which decides the ORDER itself);
+    production passes "engine" for the vectorized SipHash digest.  The
+    digest rides Ray's sort as an ORDER-PRESERVING signed view (top bit
+    flipped) because int64 sort keys are ~100x faster than uint64 here."""
+    from tapdata_connectors_ray.functions.texthash import row_hash64
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(
+        path, columns=["doc_id"], override_num_blocks=_blocks_for(path)
+    )
+
+    def digest(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        h = row_hash64([f"{i}:{seed}" for i in ids], hash_mode)
+        hs = (h ^ np.uint64(1 << 63)).view(np.int64)  # unsigned order kept
+        return pa.table(
+            {"hs": pa.array(hs, pa.int64()), "doc_id": pa.array(ids, pa.int64())}
+        )
+
+    # the one shuffle; materialize pins block boundaries so the meta pass
+    # and the rank pass below see the SAME blocks
+    ordered = (
+        ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["hs", "doc_id"])
+        .materialize()
+    )
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        one = min(len(batch), 1)
+        return pa.table(
+            {
+                "first_hs": batch["hs"][:one].cast(pa.int64()),
+                "first_doc": batch["doc_id"][:one].cast(pa.int64()),
+                "n": pa.array([len(batch)][:one] if one else [], pa.int64()),
+            }
+        )
+
+    meta = (
+        ordered.map_batches(
+            block_meta, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,  # one batch per block: offsets key on block heads
+        )
+        .to_pandas()  # block-count scale
+        .sort_values(["first_hs", "first_doc"])
+    )
+    total = int(meta["n"].sum())
+    offs = meta["n"].cumsum().shift(fill_value=0).astype(int)
+    offsets_ref = ray.put(
+        {
+            (int(h), int(d)): int(o)
+            for h, d, o in zip(meta["first_hs"], meta["first_doc"], offs)
+        }
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "epoch_rank": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                }
+            )
+        offsets = ray.get(offsets_ref)
+        ids = batch["doc_id"].to_numpy()
+        off = offsets[(int(batch["hs"][0].as_py()), int(ids[0]))]
+        rank = off + np.arange(len(ids), dtype=np.int64) + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "epoch_rank": pa.array(rank, pa.int64()),
+                # contiguous range sharding: shard boundaries in rank space,
+                # so each output shard is one sequential slice of the order
+                "shard": pa.array((rank - 1) * SHUFFLE_SHARDS // total, pa.int64()),
+            }
+        )
+
+    return ordered.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def q_text_repetition_scores(sf_dir: str) -> Any:
     """Intra-document repetition quality gates (Gopher rules 4/5 analogue):
     top-bigram occupancy + duplicated-trigram coverage per doc, thresholded."""
@@ -3146,6 +3249,25 @@ FROM hits ORDER BY doc_id
 TRAINING_SQL["ann_ivf_incremental_topk"] = TRAINING_SQL["ann_ivf_trained_topk"]
 
 
+# deterministic epoch reshuffle: the oracle recomputes the ORDER itself
+# (md5 digest of key:seed, doc_id tie-break) so the value hash pins the
+# engine's global rank and contiguous-shard assignment, not just membership
+TRAINING_SQL["shuffle_epoch_order"] = f"""
+WITH ranked AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}'),
+                        doc_id
+           ) AS epoch_rank
+    FROM documents
+)
+SELECT doc_id, epoch_rank,
+       ((epoch_rank - 1) * {SHUFFLE_SHARDS})
+           // (SELECT count(*) FROM documents) AS shard
+FROM ranked
+"""
+
+
 def _fingerprint_sql(sf_dir: str) -> str:
     """generate_series takes constants only in DuckDB 1.0 -> render the
     stride series bound from the table's ACTUAL max doc length (the Ray
@@ -3213,6 +3335,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q_text_fingerprint,
         "text_chunking": q_text_chunking,
         "text_packing": q_text_packing,
+        "shuffle_epoch_order": q_shuffle_epoch_order,
         "text_repetition_scores": q_text_repetition_scores,
         "text_decontaminate": q_text_decontaminate,
         "sink_shard_export": q_sink_shard_export,

@@ -877,3 +877,45 @@ def test_adaptive_hyperplane_params_scale_and_recall():
         if prev_rate is not None:
             assert rate <= prev_rate * 1.05  # no quadratic creep
         prev_rate = rate
+
+
+def test_shuffle_epoch_order_engine_mode_and_seed_independence(ray_session):
+    """The epoch reshuffle must be a valid deterministic order in BOTH hash
+    modes: epoch_rank a permutation of 1..n, shard a contiguous range split
+    in rank space, and a different seed gives a different (but equally
+    valid) order.  Oracle-mode value equality is the driver gate's job."""
+    import numpy as np
+
+    from tapdata_connectors_ray.pipelines.training import (
+        SHUFFLE_SHARDS,
+        q_shuffle_epoch_order,
+    )
+
+    frames = {
+        mode_seed: q_shuffle_epoch_order(SF, hash_mode=mode_seed[0],
+                                         seed=mode_seed[1]).to_pandas()
+        for mode_seed in (("engine", "ep1"), ("engine", "ep2"), ("oracle", "ep1"))
+    }
+    orders = {}
+    for (mode, seed), df in frames.items():
+        n = len(df)
+        assert sorted(df["epoch_rank"]) == list(range(1, n + 1)), (mode, seed)
+        assert df["doc_id"].is_unique
+        srt = df.sort_values("epoch_rank")
+        # contiguous range sharding: shard is non-decreasing in rank order,
+        # hits every shard, and sizes differ by at most 1
+        shard = srt["shard"].to_numpy()
+        assert (np.diff(shard) >= 0).all()
+        sizes = srt.groupby("shard").size()
+        assert list(sizes.index) == list(range(SHUFFLE_SHARDS))
+        assert sizes.max() - sizes.min() <= 1
+        orders[(mode, seed)] = srt["doc_id"].tolist()
+
+    # determinism: engine/ep1 re-run reproduces itself
+    again = q_shuffle_epoch_order(SF, hash_mode="engine", seed="ep1").to_pandas()
+    assert again.sort_values("epoch_rank")["doc_id"].tolist() == orders[("engine", "ep1")]
+    # seed independence: ep2 is a different permutation of the same docs
+    assert orders[("engine", "ep1")] != orders[("engine", "ep2")]
+    assert sorted(orders[("engine", "ep1")]) == sorted(orders[("engine", "ep2")])
+    # the two hash modes are different functions, same contract
+    assert orders[("oracle", "ep1")] != orders[("engine", "ep1")]
