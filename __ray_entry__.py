@@ -60,6 +60,7 @@ _RUN_FIRST = (
     "cdc_live_tail_push",
     "source_webhook_push",
     "shuffle_epoch_order",
+    "sample_mixture_documents",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -388,6 +388,57 @@ def q_sample_hash_documents(sf_dir: str, hash_mode: str = "oracle"):
 
 
 _STRATIFIED_K = 20
+_MIX_SEED = "mix"
+_MIX_DENOM = 1000
+
+
+def q_sample_mixture_documents(sf_dir: str, hash_mode: str = "oracle"):
+    """Deterministic MIXTURE sampling (domain/language reweighting): each
+    stratum is down-sampled to the SMALLEST stratum's size in expectation —
+    the balanced-mixture primitive for training-corpus composition (the
+    per-stratum acceptance-rate generalization of ``q_sample_hash_documents``;
+    arbitrary target weights are the same mechanism with a different rate
+    table).  Two phases, no shuffle of the corpus: (1) a narrow pass
+    pre-aggregates per-block (lang, count) partials — strata x blocks rows,
+    metadata scale — which the driver folds into per-stratum acceptance
+    rates; (2) the corpus pass accepts a doc iff
+    ``(digest % DENOM) * n_lang < min_n * DENOM`` — EXACT integer math, so
+    membership is identical under any arithmetic (the SQL oracle mirrors it
+    literally), stable across runs, and needs no coordination.  Digest
+    behind the engine/oracle seam, same contract as the other samplers."""
+    from tapdata_connectors_ray.functions.texthash import row_hash64
+
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        vc = batch["lang"].to_pandas().value_counts()
+        return pa.table(
+            {
+                "lang": pa.array(vc.index.astype(str), pa.string()),
+                "n": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(lang_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # strata x blocks — metadata scale
+        .groupby("lang")["n"]
+        .sum()
+    )
+    min_n = int(counts.min())
+    n_by_lang = ray.put(counts.astype(int).to_dict())
+
+    def accept(batch: pa.Table) -> pa.Table:
+        n_lang = ray.get(n_by_lang)
+        # a null stratum has no rate — dropped, like the oracle's inner join
+        batch = batch.filter(pc.is_valid(batch["lang"]))
+        ids = batch["doc_id"].cast(pa.string()).to_pylist()
+        bucket = (row_hash64([s + ":" + _MIX_SEED for s in ids], hash_mode)
+                  % np.uint64(_MIX_DENOM)).astype(np.int64)
+        n = batch["lang"].to_pandas().map(n_lang).to_numpy(dtype=np.int64)
+        return batch.filter(pa.array(bucket * n < min_n * _MIX_DENOM))
+
+    return ds.map_batches(accept, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_sample_stratified_documents(sf_dir: str, hash_mode: str = "oracle"):
@@ -952,6 +1003,14 @@ RELATIONAL_SQL: dict[str, str] = {
         ) WHERE rn <= 20
         ORDER BY lang, rank
     """,
+    "sample_mixture_documents": """
+        WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             m AS (SELECT min(n) AS min_n FROM counts)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN counts c USING (lang) CROSS JOIN m
+        WHERE (md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':mix') % 1000) * c.n
+              < m.min_n * 1000
+    """,
     "source_sql_command": """
         WITH s AS (
             SELECT o_custkey, count(*) AS n_orders,
@@ -1189,6 +1248,7 @@ def relational_queries():
         "pk_range_boundaries_strings": q_pk_range_boundaries_strings,
         "source_sql_command": q_source_sql_command,
         "sample_stratified_documents": q_sample_stratified_documents,
+        "sample_mixture_documents": q_sample_mixture_documents,
         "distinct_segments": q_distinct_segments,
         "quantiles_lineitem": q_quantiles_lineitem,
         "profile_customer": q_profile_customer,

@@ -919,3 +919,29 @@ def test_shuffle_epoch_order_engine_mode_and_seed_independence(ray_session):
     assert sorted(orders[("engine", "ep1")]) == sorted(orders[("engine", "ep2")])
     # the two hash modes are different functions, same contract
     assert orders[("oracle", "ep1")] != orders[("engine", "ep1")]
+
+
+def test_sample_mixture_balances_strata_in_engine_mode(ray_session):
+    """Mixture sampling must down-sample every language toward the smallest
+    stratum's size in BOTH hash modes (oracle-mode membership parity is the
+    driver gate's job): every stratum survives, expected size == min_n for
+    each, and membership is deterministic across runs."""
+    import pyarrow.parquet as _pq
+
+    from tapdata_connectors_ray.pipelines.relational import (
+        q_sample_mixture_documents,
+    )
+
+    full = _pq.read_table(SF + "/documents.parquet", columns=["lang"])
+    counts = full["lang"].to_pandas().value_counts()
+    min_n = int(counts.min())
+
+    got = q_sample_mixture_documents(SF, hash_mode="engine").to_pandas()
+    sizes = got["lang"].value_counts()
+    assert set(sizes.index) == set(counts.index)  # every stratum survives
+    for lang, n in sizes.items():
+        # binomial(n_lang, min_n/n_lang): allow 4 sigma around min_n
+        sigma = (min_n * (1 - min_n / counts[lang])) ** 0.5
+        assert abs(n - min_n) <= max(4 * sigma, 3), (lang, n, min_n)
+    again = q_sample_mixture_documents(SF, hash_mode="engine").to_pandas()
+    assert sorted(again["doc_id"]) == sorted(got["doc_id"])
