@@ -61,6 +61,7 @@ _RUN_FIRST = (
     "source_webhook_push",
     "shuffle_epoch_order",
     "sample_mixture_documents",
+    "quality_classifier_scores",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -2079,6 +2079,22 @@ def q_text_fingerprint(sf_dir: str) -> Any:
     )
 
 
+def q_quality_classifier_scores(sf_dir: str, hash_mode: str = "oracle") -> Any:
+    """Model-based quality filtering (the fasttext/CCNet-style classifier
+    gate): hashed bag-of-words dot product against a per-actor weight table
+    — exact-integer scores so the oracle pins VALUES, not just shape.  See
+    ``stages/textqc.py`` (``QualityClassifier``) for the trained-model
+    swap-in path (broadcast weight vector resolved once per actor)."""
+    from tapdata_connectors_ray.stages.textqc import QualityClassifier
+
+    return _docs(sf_dir).map_batches(
+        QualityClassifier,
+        fn_constructor_kwargs={"hash_mode": hash_mode},
+        batch_format="pyarrow",
+        concurrency=actor_pool(),
+    )
+
+
 def q_text_chunking(sf_dir: str) -> Any:
     """Fixed-window document chunking (LLM sequence prep): one row per
     64-token chunk, document boundaries never crossed — flattened token
@@ -3249,6 +3265,25 @@ FROM hits ORDER BY doc_id
 TRAINING_SQL["ann_ivf_incremental_topk"] = TRAINING_SQL["ann_ivf_trained_topk"]
 
 
+# hashed-feature linear classifier: weight table derives from the bucket
+# index so the oracle reproduces exact integer scores (see QualityClassifier)
+TRAINING_SQL["quality_classifier_scores"] = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+), feats AS (
+    SELECT doc_id,
+           CAST(((md5_number_lower(tok) % 4096) * 2654435761) % 1000 AS BIGINT)
+               - 500 AS w
+    FROM toks WHERE tok <> ''
+)
+SELECT doc_id, count(*) AS n_feats,
+       CAST(sum(w) AS BIGINT) AS score_milli,
+       CAST(sum(w) > 0 AS BIGINT) AS keep_flag
+FROM feats GROUP BY doc_id
+"""
+
+
 # deterministic epoch reshuffle: the oracle recomputes the ORDER itself
 # (md5 digest of key:seed, doc_id tie-break) so the value hash pins the
 # engine's global rank and contiguous-shard assignment, not just membership
@@ -3336,6 +3371,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "text_chunking": q_text_chunking,
         "text_packing": q_text_packing,
         "shuffle_epoch_order": q_shuffle_epoch_order,
+        "quality_classifier_scores": q_quality_classifier_scores,
         "text_repetition_scores": q_text_repetition_scores,
         "text_decontaminate": q_text_decontaminate,
         "sink_shard_export": q_sink_shard_export,

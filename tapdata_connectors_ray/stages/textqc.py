@@ -405,3 +405,81 @@ def pack_fold(df) -> pa.Table:
             "n_tokens": pa.array(g["n_tokens"].to_numpy(), pa.int64()),
         }
     )
+
+
+# -- hashed-feature linear quality classifier (fasttext-style filter shape) --
+
+CLS_BUCKETS = 4096
+CLS_MULT = 2654435761  # Knuth multiplicative constant — the deterministic "model"
+
+
+class QualityClassifier:
+    """Hashed bag-of-words LINEAR SCORER — the model-based quality-filter
+    shape (fasttext/logistic filters in CCNet/GPT-3-style curation):
+    whitespace token -> feature bucket = token_hash % ``CLS_BUCKETS``,
+    doc score = sum of per-bucket weights.
+
+    The weight table here derives from the bucket index
+    (``w_b = (b * CLS_MULT) % 1000 - 500``, integer milli-units) so the SQL
+    oracle reproduces SCORES bit-for-bit; a trained model is the SAME dot
+    product with a broadcast weight vector — ``ray.put`` the trained array
+    once and resolve it here in ``__init__`` (once per actor, never per
+    batch).  Integer milli-unit sums are exact and order-independent, so
+    the distributed score can never drift from the oracle by float
+    association.  Docs with zero non-empty tokens emit no row (mirroring
+    the oracle's ``tok <> ''`` filter + GROUP BY).  Token hash behind the
+    engine/oracle seam (engine = one vectorized call per batch)."""
+
+    def __init__(self, hash_mode: str = "engine", weights=None) -> None:
+        self.hasher = TokenHasher(hash_mode)
+        if weights is None:
+            b = np.arange(CLS_BUCKETS, dtype=np.uint64)
+            self.weights = (
+                (b * np.uint64(CLS_MULT)) % np.uint64(1000)
+            ).astype(np.int64) - 500
+        else:
+            # trained-model path: an ObjectRef broadcasts ONE copy per node
+            # (resolved here, once per actor), a plain array ships pickled
+            import ray as _ray
+
+            if isinstance(weights, _ray.ObjectRef):
+                weights = _ray.get(weights)
+            self.weights = np.asarray(weights, dtype=np.int64)
+            if len(self.weights) != CLS_BUCKETS:
+                raise ValueError(
+                    f"weight table must have {CLS_BUCKETS} buckets, "
+                    f"got {len(self.weights)}"
+                )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_feats": pa.array([], pa.int64()),
+                "score_milli": pa.array([], pa.int64()),
+                "keep_flag": pa.array([], pa.int64()),
+            }
+        )
+        ids = batch["doc_id"].to_numpy() if batch.num_rows else np.empty(0)
+        if not len(ids):
+            return empty
+        toks = _lower_series(batch).fillna("").str.split(" ")
+        n_tok = toks.map(len).to_numpy(dtype=np.int64)  # always >= 1
+        flat = np.asarray([t for ts in toks for t in ts], dtype=object)
+        h = self.hasher.many(flat)
+        w = self.weights[(h % np.uint64(CLS_BUCKETS)).astype(np.int64)]
+        feat = flat != ""  # empty split artifacts are not features
+        w = np.where(feat, w, 0)
+        starts = np.zeros(len(ids), dtype=np.int64)
+        starts[1:] = np.cumsum(n_tok)[:-1]
+        score = np.add.reduceat(w, starts)
+        n_feats = np.add.reduceat(feat.astype(np.int64), starts)
+        m = n_feats > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m], pa.int64()),
+                "n_feats": pa.array(n_feats[m], pa.int64()),
+                "score_milli": pa.array(score[m], pa.int64()),
+                "keep_flag": pa.array((score[m] > 0).astype(np.int64), pa.int64()),
+            }
+        )

@@ -945,3 +945,46 @@ def test_sample_mixture_balances_strata_in_engine_mode(ray_session):
         assert abs(n - min_n) <= max(4 * sigma, 3), (lang, n, min_n)
     again = q_sample_mixture_documents(SF, hash_mode="engine").to_pandas()
     assert sorted(again["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_quality_classifier_kernel_and_trained_weights(ray_session):
+    """The vectorized batch scorer == a per-doc brute force on a hand-built
+    batch (double-space artifacts, empty text -> no row), engine and oracle
+    modes agree on n_feats, and a broadcast trained-weight table swaps in."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from tapdata_connectors_ray.functions.texthash import TokenHasher
+    from tapdata_connectors_ray.stages.textqc import (
+        CLS_BUCKETS,
+        CLS_MULT,
+        QualityClassifier,
+    )
+
+    texts = ["Hello  world", "the the THE", "", "one two three four"]
+    batch = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                      "text": pa.array(texts)})
+
+    for mode in ("engine", "oracle"):
+        out = QualityClassifier(hash_mode=mode)(batch)
+        hasher = TokenHasher(mode)
+        exp = {}
+        for i, t in enumerate(texts):
+            toks = [w for w in t.lower().split(" ") if w]
+            if not toks:
+                continue  # doc 3: no row
+            b = (hasher.many(toks) % np.uint64(CLS_BUCKETS)).astype(np.int64)
+            w = ((b.astype(np.uint64) * np.uint64(CLS_MULT))
+                 % np.uint64(1000)).astype(np.int64) - 500
+            exp[i + 1] = (len(toks), int(w.sum()))
+        assert out["doc_id"].to_pylist() == list(exp)
+        assert out["n_feats"].to_pylist() == [v[0] for v in exp.values()], mode
+        assert out["score_milli"].to_pylist() == [v[1] for v in exp.values()], mode
+        assert out["keep_flag"].to_pylist() == [
+            int(v[1] > 0) for v in exp.values()
+        ], mode
+
+    # trained-model swap: a broadcast all-ones table scores == n_feats
+    ones = _ray.put(np.ones(CLS_BUCKETS, dtype=np.int64))
+    out = QualityClassifier(hash_mode="engine", weights=ones)(batch)
+    assert out["score_milli"].to_pylist() == out["n_feats"].to_pylist()
