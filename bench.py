@@ -131,6 +131,10 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "cdc_partitioned_table_expansion",
         "cdc_live_tail_push",
         "cdc_write_policies",
+        # round-5 training additions (epoch order / mixture / classifier)
+        "shuffle_epoch_order",
+        "sample_mixture_documents",
+        "quality_classifier_scores",
     ]
     out: dict[str, float] = {}
     for name in panel:
