@@ -62,6 +62,7 @@ _RUN_FIRST = (
     "shuffle_epoch_order",
     "sample_mixture_documents",
     "quality_classifier_scores",
+    "vocab_top_df",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -135,6 +135,7 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "shuffle_epoch_order",
         "sample_mixture_documents",
         "quality_classifier_scores",
+        "vocab_top_df",
     ]
     out: dict[str, float] = {}
     for name in panel:

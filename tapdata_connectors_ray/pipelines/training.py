@@ -2252,6 +2252,82 @@ def q_shuffle_epoch_order(sf_dir: str, hash_mode: str = "oracle",
     )
 
 
+VOCAB_TOP = 50
+
+
+def q_vocab_top_df(sf_dir: str, hash_mode: str = "oracle") -> Any:
+    """Corpus VOCABULARY builder (tokenizer-training / stop-list prep):
+    the top-V tokens by DOCUMENT frequency.  Per batch each doc contributes
+    each distinct token once (within-block dedup + per-token pre-sum), so
+    the ONE shuffle carries at most vocab x blocks partial rows — token-
+    cardinality scale, never corpus scale.  The grouped fold sums partials;
+    the final top-V sort runs on the vocabulary frame, which is metadata
+    scale BY DEFINITION of a vocabulary (V bounds it first regardless).
+    The groupby key is the token digest viewed int64 (uint64 group keys are
+    ~100x slower in Ray's sort path); the token string rides alongside —
+    a 64-bit digest collision between two distinct corpus tokens would
+    merge their rows, negligible below ~2^32 distinct tokens."""
+    from tapdata_connectors_ray.functions.texthash import TokenHasher
+
+    hasher_mode = hash_mode
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "khash": pa.array([], pa.int64()),
+                "tok": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = (
+            pd.Series(batch["text"].to_pylist(), dtype=object)
+            .fillna("")
+            .str.lower()
+            .str.split(" ")
+        )
+        n_tok = toks.map(len).to_numpy(dtype=np.int64)
+        flat = np.asarray([t for ts in toks for t in ts], dtype=object)
+        doc_rep = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        keep = flat != ""
+        if not keep.any():
+            return empty
+        pairs = pd.DataFrame({"d": doc_rep[keep], "t": flat[keep]})
+        counts = pairs.drop_duplicates()["t"].value_counts()  # block df partial
+        tok_vals = counts.index.to_numpy(dtype=object)
+        h = TokenHasher(hasher_mode).many(tok_vals).view(np.int64)
+        return pa.table(
+            {
+                "khash": pa.array(h, pa.int64()),
+                "tok": pa.array(tok_vals, pa.string()),
+                "n": pa.array(counts.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("tok", sort=False)["n"].sum()
+        return pa.table(
+            {
+                "tok": pa.array(g.index.to_numpy(dtype=object), pa.string()),
+                "df": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    vocab = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("khash")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # vocabulary scale
+    )
+    return (
+        vocab.sort_values(["df", "tok"], ascending=[False, True])
+        .head(VOCAB_TOP)
+        .reset_index(drop=True)
+    )
+
+
 def q_text_repetition_scores(sf_dir: str) -> Any:
     """Intra-document repetition quality gates (Gopher rules 4/5 analogue):
     top-bigram occupancy + duplicated-trigram coverage per doc, thresholded."""
@@ -3265,6 +3341,21 @@ FROM hits ORDER BY doc_id
 TRAINING_SQL["ann_ivf_incremental_topk"] = TRAINING_SQL["ann_ivf_trained_topk"]
 
 
+# corpus vocabulary by document frequency (the hash is only the GROUP key
+# on the Ray side — the oracle groups by the token string directly, so the
+# value hash pins tokens and counts, not digests)
+TRAINING_SQL["vocab_top_df"] = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+), df AS (
+    SELECT tok, count(*) AS df FROM tok WHERE tok <> '' GROUP BY tok
+)
+SELECT tok, CAST(df AS BIGINT) AS df FROM df
+ORDER BY df DESC, tok LIMIT {VOCAB_TOP}
+"""
+
+
 # hashed-feature linear classifier: weight table derives from the bucket
 # index so the oracle reproduces exact integer scores (see QualityClassifier)
 TRAINING_SQL["quality_classifier_scores"] = """
@@ -3372,6 +3463,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "text_packing": q_text_packing,
         "shuffle_epoch_order": q_shuffle_epoch_order,
         "quality_classifier_scores": q_quality_classifier_scores,
+        "vocab_top_df": q_vocab_top_df,
         "text_repetition_scores": q_text_repetition_scores,
         "text_decontaminate": q_text_decontaminate,
         "sink_shard_export": q_sink_shard_export,

@@ -988,3 +988,25 @@ def test_quality_classifier_kernel_and_trained_weights(ray_session):
     ones = _ray.put(np.ones(CLS_BUCKETS, dtype=np.int64))
     out = QualityClassifier(hash_mode="engine", weights=ones)(batch)
     assert out["score_milli"].to_pylist() == out["n_feats"].to_pylist()
+
+
+def test_vocab_top_df_mode_invariant_and_bruteforce(ray_session):
+    """The token digest is ONLY the distributed group key, so engine and
+    oracle hash modes must produce IDENTICAL (tok, df) output — and both
+    must equal a driver-side brute force over the corpus."""
+    import pyarrow.parquet as _pq
+
+    from tapdata_connectors_ray.pipelines.training import VOCAB_TOP, q_vocab_top_df
+
+    eng = q_vocab_top_df(SF, hash_mode="engine")
+    ora = q_vocab_top_df(SF, hash_mode="oracle")
+    assert eng.equals(ora)
+
+    docs = _pq.read_table(SF + "/documents.parquet", columns=["text"])
+    df_count: dict[str, int] = {}
+    for t in docs["text"].to_pylist():
+        for tok in set((t or "").lower().split(" ")):
+            if tok:
+                df_count[tok] = df_count.get(tok, 0) + 1
+    exp = sorted(df_count.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_TOP]
+    assert list(zip(eng["tok"], eng["df"])) == exp
