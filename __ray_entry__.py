@@ -63,6 +63,7 @@ _RUN_FIRST = (
     "sample_mixture_documents",
     "quality_classifier_scores",
     "vocab_top_df",
+    "json_props_agg",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

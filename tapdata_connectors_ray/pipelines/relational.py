@@ -364,6 +364,58 @@ def q_text_mask_documents(sf_dir: str):
     return ds.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_json_props_agg(sf_dir: str):
+    """Semi-structured JSON projection + aggregate: the per-event ``props``
+    JSON column is parsed VECTORIZED by treating each batch's strings as one
+    NDJSON buffer (``pyarrow.json`` C++ parse — no per-row ``json.loads``;
+    sound because serialized compact JSON cannot contain a raw newline),
+    the projected field pre-aggregates per event_type INSIDE the block, and
+    only event-type-cardinality partials leave the workers (the combiner
+    shape — the driver fold sees strata x blocks rows, metadata scale).
+    Null/absent keys degrade to SQL semantics: ``count(*)`` counts the row,
+    the SUM skips it."""
+    import io
+
+    from pyarrow import json as pa_json
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sum_k": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        rows = ["{}" if v is None else v for v in batch["props"].to_pylist()]
+        parsed = pa_json.read_json(io.BytesIO("\n".join(rows).encode()))
+        k = (
+            parsed["k"].to_pandas()
+            if "k" in parsed.column_names
+            else pd.Series([np.nan] * len(rows))
+        )
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(), "k": k})
+        g = df.groupby("event_type", sort=False)["k"].agg(["size", "sum"])
+        return pa.table(
+            {
+                "event_type": pa.array(g.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+                "sum_k": pa.array(g["sum"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # strata x blocks — metadata scale
+    out = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_k=("sum_k", "sum")
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_sample_hash_documents(sf_dir: str, hash_mode: str = "oracle"):
     """Deterministic hash sampling (mod-shard on a stable key digest): the
     repeatable train/eval split and down-sampling primitive — every worker
@@ -1003,6 +1055,11 @@ RELATIONAL_SQL: dict[str, str] = {
         ) WHERE rn <= 20
         ORDER BY lang, rank
     """,
+    "json_props_agg": """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "sample_mixture_documents": """
         WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
              m AS (SELECT min(n) AS min_n FROM counts)
@@ -1249,6 +1306,7 @@ def relational_queries():
         "source_sql_command": q_source_sql_command,
         "sample_stratified_documents": q_sample_stratified_documents,
         "sample_mixture_documents": q_sample_mixture_documents,
+        "json_props_agg": q_json_props_agg,
         "distinct_segments": q_distinct_segments,
         "quantiles_lineitem": q_quantiles_lineitem,
         "profile_customer": q_profile_customer,

@@ -210,3 +210,25 @@ def test_events_window_incremental_equals_batch():
         .reset_index(drop=True)[batch.columns]
     )
     pd.testing.assert_frame_equal(inc, batch)
+
+
+def test_json_props_agg_matches_duckdb(ray_session):
+    """Vectorized NDJSON-buffer parse of the semi-structured ``props``
+    column must agree with DuckDB's per-row ``->>`` extraction, including
+    null/absent-key SQL semantics (count counts the row, SUM skips it)."""
+    import duckdb
+
+    from tapdata_connectors_ray.pipelines.relational import (
+        RELATIONAL_SQL,
+        q_json_props_agg,
+    )
+
+    got = q_json_props_agg(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    exp = con.execute(RELATIONAL_SQL["json_props_agg"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
