@@ -64,6 +64,7 @@ _RUN_FIRST = (
     "quality_classifier_scores",
     "vocab_top_df",
     "json_props_agg",
+    "dedup_cluster_representatives",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

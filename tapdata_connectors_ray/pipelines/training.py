@@ -2417,6 +2417,126 @@ def q_dedup_connected_components_stress(sf_dir: str) -> Any:
     return q_dedup_connected_components(sf_dir, pair_cap=0)
 
 
+REP_BUCKETS = 256
+
+
+def q_dedup_cluster_representatives(sf_dir: str, pair_cap: int | None = None) -> Any:
+    """Corpus-level near-dup SURVIVOR selection: connected components over
+    the n-gram Jaccard pair graph, then ONE representative per duplicate
+    cluster (longest text, ties -> lowest doc_id) plus every singleton — the
+    row set a curation pipeline actually KEEPS, where the pairwise dedup
+    queries stop at the dup graph.
+
+    Join-free two-fold plan (CC's pinned-schema rule — ``Dataset.join``
+    unifies zero-column empty partitions from upstream ``map_groups`` into
+    schema-less tables, SURVEY §8.5):
+
+    1. label attach: union of narrow doc rows ``(doc_id, -1, len)`` and CC
+       label rows ``(doc_id, label, -1)`` coarse-bucketed by doc_id — each
+       doc's rows co-bucket, one pandas fold coalesces the label (no CC row
+       => singleton => own doc_id);
+    2. representative fold: re-bucket by component (clusters co-bucket by
+       label), per-cluster arg-max + size in one vectorized pass.
+
+    Only 24-byte rows shuffle; the text column never moves past the length
+    projection.  Reference parity: the reference dedups pairwise per write
+    batch and never closes clusters (`connectors-common` has no dedup
+    closure); cluster-level keep-one is the 100-TB deliverable built on the
+    CC operator."""
+    from tapdata_connectors_ray.stages.dedup import CC_PAIR_CAP, connected_components
+
+    pairs = (
+        q_dedup_ngram_jaccard(sf_dir).select_columns(["doc_a", "doc_b"]).materialize()
+    )
+    comp = connected_components(
+        pairs,
+        num_partitions=join_partitions(pairs.count() * 2),
+        pair_cap=CC_PAIR_CAP if pair_cap is None else pair_cap,
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        ln = pc.utf8_length(batch["text"]).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "component": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+                "n_chars": pa.array(ln, pa.int64()),
+                "dbucket": pa.array((ids % REP_BUCKETS).astype(np.int32)),
+            }
+        )
+
+    def comp_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy().astype(np.int64)
+        lbl = batch["label"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "component": pa.array(lbl, pa.int64()),
+                "n_chars": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+                "dbucket": pa.array((ids % REP_BUCKETS).astype(np.int32)),
+            }
+        )
+
+    def label_fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("doc_id", sort=False).agg(
+            component=("component", "max"), n_chars=("n_chars", "max")
+        )
+        ids = g.index.to_numpy(np.int64)
+        comp_v = g["component"].to_numpy(np.int64)
+        comp_v = np.where(comp_v < 0, ids, comp_v)
+        return pa.table(
+            {
+                "component": pa.array(comp_v, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(g["n_chars"].to_numpy(np.int64), pa.int64()),
+                "cbucket": pa.array((comp_v % REP_BUCKETS).astype(np.int32)),
+            }
+        )
+
+    def rep_fold(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["component", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        best = df.drop_duplicates("component", keep="first")
+        csize = df.groupby("component", sort=False)["doc_id"].size()
+        return pa.table(
+            {
+                "component": pa.array(
+                    best["component"].to_numpy(np.int64), pa.int64()
+                ),
+                "keep_doc_id": pa.array(
+                    best["doc_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "keep_n_chars": pa.array(
+                    best["n_chars"].to_numpy(np.int64), pa.int64()
+                ),
+                "csize": pa.array(
+                    best["component"].map(csize).to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    labeled = (
+        _aug_docs(sf_dir)
+        .map_batches(doc_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            comp.map_batches(comp_rows, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("dbucket")
+        .map_groups(label_fold, batch_format="pandas")
+    )
+    return labeled.groupby("cbucket").map_groups(rep_fold, batch_format="pandas")
+
+
+def q_dedup_cluster_representatives_stress(sf_dir: str) -> Any:
+    """pair_cap=0 pins the distributed-CC regime under the representative
+    selection (same stress pattern as the CC query)."""
+    return q_dedup_cluster_representatives(sf_dir, pair_cap=0)
+
+
 SHARD_EXPORT_N = 16
 SHARD_CHECKSUM_MOD = 1_000_000_007
 
@@ -2643,6 +2763,44 @@ def _connected_components_sql() -> str:
 SELECT c.doc_id, c.component, s.csize
 FROM comp c JOIN sizes s USING (component)
 ORDER BY c.doc_id
+"""
+    )
+
+
+def _cluster_representatives_sql() -> str:
+    """Recursive-CTE twin of ``q_dedup_cluster_representatives``: components
+    via min-reachable-doc_id, label coalesced to the doc's own id for
+    singletons, then window arg-max (length DESC, doc_id ASC) per cluster."""
+    return (
+        _grams_cutoff_cte().replace("WITH aug AS", "WITH RECURSIVE aug AS", 1)
+        + f"""
+, dup AS (
+    SELECT doc_a, doc_b FROM pair_stats
+    WHERE common * 1.0 / union_n >= {JACCARD_THRESHOLD}
+), edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM dup
+    UNION ALL
+    SELECT doc_b, doc_a FROM dup
+), reach(id, lbl) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.lbl FROM edges e JOIN reach r ON r.id = e.a
+), comp AS (
+    SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+), lab AS (
+    SELECT a.doc_id,
+           coalesce(c.component, a.doc_id) AS component,
+           CAST(length(a.text) AS BIGINT) AS n_chars
+    FROM aug a LEFT JOIN comp c USING (doc_id)
+), ranked AS (
+    SELECT component, doc_id, n_chars,
+           count(*) OVER (PARTITION BY component) AS csize,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM lab
+)
+SELECT component, doc_id AS keep_doc_id, n_chars AS keep_n_chars, csize
+FROM ranked WHERE rn = 1 ORDER BY component
 """
     )
 
@@ -3157,6 +3315,8 @@ FROM e GROUP BY text ORDER BY doc_id
     "dedup_ngram_jaccard": _pairs_sql(JACCARD_THRESHOLD, cutoff=True),
     "dedup_connected_components": _connected_components_sql(),
     "dedup_connected_components_stress": _connected_components_sql(),
+    "dedup_cluster_representatives": _cluster_representatives_sql(),
+    "dedup_cluster_representatives_stress": _cluster_representatives_sql(),
     "sink_shard_export": _shard_export_sql(),
     "dedup_minhash_lsh": _pairs_sql(MINHASH_THRESHOLD),
     # union of per-epoch incremental results == the batch answer: banding is
@@ -3441,6 +3601,8 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_connected_components": q_dedup_connected_components,
         "dedup_connected_components_stress": q_dedup_connected_components_stress,
+        "dedup_cluster_representatives": q_dedup_cluster_representatives,
+        "dedup_cluster_representatives_stress": q_dedup_cluster_representatives_stress,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_join": q_dedup_minhash_lsh,  # alias (join IS the path)
         "dedup_minhash_incremental": q_dedup_minhash_incremental,

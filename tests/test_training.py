@@ -667,6 +667,36 @@ def test_connected_components_matches_oracle(ray_session):
     assert (exp["csize"] >= 2).all()  # every node in the pair graph has a peer
 
 
+def test_cluster_representatives_matches_oracle(ray_session):
+    """Survivor selection = one row per component (singletons included),
+    representative is the longest text (ties -> lowest doc_id), and the
+    representative of every multi-doc cluster belongs to that cluster."""
+    from tapdata_connectors_ray.pipelines.training import (
+        TRAINING_SQL,
+        q_dedup_cluster_representatives,
+    )
+
+    got = q_dedup_cluster_representatives(SF).to_pandas()
+    exp = _oracle(TRAINING_SQL["dedup_cluster_representatives"])
+    assert _frames_equal(got, exp)
+    # one survivor per component; survivor count == total docs - dup excess
+    assert got["component"].is_unique
+    cc = _oracle(TRAINING_SQL["dedup_connected_components"])
+    # augmented-corpus size: originals + verbatim copies (%5==0) + truncations (%5==1)
+    n = _oracle(
+        "SELECT count(*) AS n, "
+        "sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS n0, "
+        "sum(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END) AS n1 FROM documents"
+    )
+    n_aug = int(n["n"][0] + n["n0"][0] + n["n1"][0])
+    assert len(got) == n_aug - (len(cc) - cc["component"].nunique())
+    # multi-doc clusters: representative must be a member
+    multi = got[got["csize"] > 1]
+    members = cc.groupby("component")["doc_id"].apply(set)
+    for comp_id, keep in zip(multi["component"], multi["keep_doc_id"]):
+        assert keep in members[comp_id]
+
+
 @given(st.data())
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
 def test_repetition_kernel_matches_bruteforce(data):
