@@ -65,6 +65,7 @@ _RUN_FIRST = (
     "vocab_top_df",
     "json_props_agg",
     "dedup_cluster_representatives",
+    "text_relevance_topk",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

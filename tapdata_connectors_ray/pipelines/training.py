@@ -2253,6 +2253,105 @@ def q_shuffle_epoch_order(sf_dir: str, hash_mode: str = "oracle",
 
 
 VOCAB_TOP = 50
+RELEVANCE_TERMS = ("data", "query", "merge", "window", "slow", "customer")
+RELEVANCE_TOP = 25
+
+
+def q_text_relevance_topk(sf_dir: str) -> Any:
+    """Keyword relevance ranking with corpus-statistics weighting (TF-IDF
+    shape, exact-integer rarity weights): two corpus passes —
+
+    1. per-block DOCUMENT-FREQUENCY partials for ONLY the query terms
+       (term-cardinality rows leave each block; the driver fold is a
+       len(terms)-row frame) -> broadcast weight vector w(t) = N - df(t) + 1;
+    2. per-doc score = sum_t tf(t,d) * w(t), vectorized, followed by a
+       LOSSLESS per-block top-k partial (top-k of a union == top-k of
+       per-block top-ks under the total order score DESC, doc_id ASC), so
+       the final sort sees blocks x k rows — metadata scale.
+
+    Exact integers end-to-end; the float idf ``ln((N+1)/(df+1))`` is a
+    drop-in swap of the broadcast weight vector (same plan, same shuffle
+    volume: none).  The reference's query surface stops at match filters
+    (`advance_filter`); corpus-weighted ranking is a training-data search
+    primitive built on the same tokenizer as the vocabulary builder."""
+    from tapdata_connectors_ray.fixtures import parquet_num_rows
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = parquet_num_rows(path)
+    terms = np.asarray(RELEVANCE_TERMS, dtype=object)
+
+    def _doc_term_counts(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        toks = (
+            pd.Series(batch["text"].to_pylist(), dtype=object)
+            .fillna("")
+            .str.lower()
+            .str.split(" ")
+        )
+        n_tok = toks.map(len).to_numpy(dtype=np.int64)
+        flat = np.asarray([t for ts in toks for t in ts], dtype=object)
+        doc_rep = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), n_tok)
+        keep = np.isin(flat, terms)
+        return doc_rep[keep], flat[keep], n_tok
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"tok": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        d, t, _ = _doc_term_counts(batch)
+        if not len(d):
+            return empty
+        dfc = pd.DataFrame({"d": d, "t": t}).drop_duplicates()["t"].value_counts()
+        return pa.table(
+            {
+                "tok": pa.array(dfc.index.to_numpy(dtype=object), pa.string()),
+                "df": pa.array(dfc.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    dfs = (
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # terms x blocks rows — metadata scale
+        .groupby("tok")["df"]
+        .sum()
+    )
+    weights = {t: np.int64(n_docs - int(dfs.get(t, 0)) + 1) for t in RELEVANCE_TERMS}
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        d, t, _ = _doc_term_counts(batch)
+        if not len(d):
+            return empty
+        w = np.asarray([weights[x] for x in t], dtype=np.int64)
+        sc = pd.DataFrame({"doc_id": d, "w": w}).groupby("doc_id", sort=False)[
+            "w"
+        ].sum()
+        part = (
+            pd.DataFrame({"doc_id": sc.index.to_numpy(np.int64), "score": sc.to_numpy(np.int64)})
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(RELEVANCE_TOP)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(part["doc_id"].to_numpy(np.int64), pa.int64()),
+                "score": pa.array(part["score"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        score_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # blocks x k rows
+    return (
+        parts.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(RELEVANCE_TOP)
+        .reset_index(drop=True)
+    )
 
 
 def q_vocab_top_df(sf_dir: str, hash_mode: str = "oracle") -> Any:
@@ -3516,6 +3615,27 @@ ORDER BY df DESC, tok LIMIT {VOCAB_TOP}
 """
 
 
+# corpus-weighted keyword relevance: integer rarity weight w(t) = N - df(t) + 1
+# summed per occurrence == sum_t tf(t,d) * w(t); ties broken by doc_id so the
+# top-k cut is deterministic on both sides
+TRAINING_SQL["text_relevance_topk"] = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), q(tok) AS (VALUES {", ".join(f"('{t}')" for t in RELEVANCE_TERMS)}),
+n AS (SELECT count(*) AS n FROM documents),
+df AS (
+    SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+    WHERE tok IN (SELECT tok FROM q) GROUP BY tok
+)
+SELECT t.doc_id,
+       CAST(sum((SELECT n FROM n) - d.df + 1) AS BIGINT) AS score
+FROM toks t JOIN df d USING (tok)
+GROUP BY t.doc_id
+ORDER BY score DESC, t.doc_id
+LIMIT {RELEVANCE_TOP}
+"""
+
+
 # hashed-feature linear classifier: weight table derives from the bucket
 # index so the oracle reproduces exact integer scores (see QualityClassifier)
 TRAINING_SQL["quality_classifier_scores"] = """
@@ -3626,6 +3746,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_epoch_order": q_shuffle_epoch_order,
         "quality_classifier_scores": q_quality_classifier_scores,
         "vocab_top_df": q_vocab_top_df,
+        "text_relevance_topk": q_text_relevance_topk,
         "text_repetition_scores": q_text_repetition_scores,
         "text_decontaminate": q_text_decontaminate,
         "sink_shard_export": q_sink_shard_export,

@@ -667,6 +667,42 @@ def test_connected_components_matches_oracle(ray_session):
     assert (exp["csize"] >= 2).all()  # every node in the pair graph has a peer
 
 
+def test_relevance_topk_matches_oracle_and_bruteforce(ray_session):
+    """Corpus-weighted keyword ranking: oracle MATCH plus a direct pandas
+    recomputation of score = sum_t tf(t,d) * (N - df(t) + 1)."""
+    from tapdata_connectors_ray.pipelines.training import (
+        RELEVANCE_TERMS,
+        RELEVANCE_TOP,
+        TRAINING_SQL,
+        q_text_relevance_topk,
+    )
+
+    got = q_text_relevance_topk(SF)
+    exp = _oracle(TRAINING_SQL["text_relevance_topk"])
+    assert _frames_equal(got, exp)
+
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    docs = t.to_pandas()
+    n = len(docs)
+    toks = docs.assign(tok=docs["text"].str.lower().str.split(" ")).explode("tok")
+    toks = toks[toks["tok"].isin(RELEVANCE_TERMS)]
+    df = toks.drop_duplicates(["doc_id", "tok"])["tok"].value_counts()
+    toks = toks.assign(w=toks["tok"].map(lambda x: n - int(df[x]) + 1))
+    brute = (
+        toks.groupby("doc_id")["w"]
+        .sum()
+        .reset_index(name="score")
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(RELEVANCE_TOP)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"), brute.astype("int64")
+    )
+
+
 def test_cluster_representatives_matches_oracle(ray_session):
     """Survivor selection = one row per component (singletons included),
     representative is the longest text (ties -> lowest doc_id), and the
