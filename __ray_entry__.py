@@ -66,6 +66,7 @@ _RUN_FIRST = (
     "json_props_agg",
     "dedup_cluster_representatives",
     "text_relevance_topk",
+    "dedup_cc_incremental",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -136,6 +136,10 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "sample_mixture_documents",
         "quality_classifier_scores",
         "vocab_top_df",
+        # round-5 late additions (JSON projection / survivors / relevance)
+        "json_props_agg",
+        "dedup_cluster_representatives",
+        "text_relevance_topk",
     ]
     out: dict[str, float] = {}
     for name in panel:

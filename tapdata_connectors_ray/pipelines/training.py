@@ -2636,6 +2636,95 @@ def q_dedup_cluster_representatives_stress(sf_dir: str) -> Any:
     return q_dedup_cluster_representatives(sf_dir, pair_cap=0)
 
 
+CC_INC_EPOCHS = 3
+
+
+def q_dedup_cc_incremental(
+    sf_dir: str, n_epochs: int = CC_INC_EPOCHS, pair_cap: int | None = None
+) -> Any:
+    """INCREMENTAL connected components: the dup-pair graph arrives in
+    epochs (here: the Jaccard pair set deterministically split 3 ways) and
+    each epoch folds into a label LEDGER instead of recomputing over every
+    pair ever seen.
+
+    The fold treats the previous epoch's labels as COMPRESSED EDGES
+    (id -> label): union-by-min over (new pairs ∪ label edges) yields
+    exactly the components of the union graph, because a label edge is a
+    path witness for everything the old epochs connected (path-compression
+    materialized as data).  Per-epoch cost is O(live nodes + new pairs) —
+    historical pairs are NEVER re-read, the 100-TB property every other
+    incremental ledger in this module shares.  The label set (24-byte rows)
+    IS the resumable checkpoint state; `connected_components` itself picks
+    the driver or distributed pointer-jumping regime per epoch via
+    ``pair_cap``.  Invariant (driver-verified): incremental fold == batch
+    CC over all pairs — the same oracle as `dedup_connected_components`."""
+    from tapdata_connectors_ray.stages.dedup import CC_PAIR_CAP, connected_components
+
+    cap = CC_PAIR_CAP if pair_cap is None else pair_cap
+    pairs = (
+        q_dedup_ngram_jaccard(sf_dir).select_columns(["doc_a", "doc_b"]).materialize()
+    )
+    n_join = join_partitions(pairs.count() * 2)
+
+    def epoch_slice(ep: int):
+        def pick(batch: pa.Table) -> pa.Table:
+            a = batch["doc_a"].to_numpy().astype(np.int64)
+            b = batch["doc_b"].to_numpy().astype(np.int64)
+            keep = ((a + b) % n_epochs) == ep
+            return batch.filter(pa.array(keep))
+
+        return pairs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+    def labels_as_edges(batch: pa.Table) -> pa.Table:
+        # (id, label) -> (doc_a, doc_b); self-edges kept so isolated-in-this-
+        # epoch nodes stay present in the fold
+        return pa.table(
+            {
+                "doc_a": batch["id"].cast(pa.int64()),
+                "doc_b": batch["label"].cast(pa.int64()),
+            }
+        )
+
+    labels = None
+    for ep in range(n_epochs):
+        edges = epoch_slice(ep)
+        if labels is not None:
+            edges = edges.union(
+                labels.map_batches(
+                    labels_as_edges, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+        labels = connected_components(
+            edges.materialize(), num_partitions=n_join, pair_cap=cap
+        ).materialize()
+
+    # same output shape as the batch CC query: (doc_id, component, csize)
+    def size_fold(df: pd.DataFrame) -> pa.Table:
+        csize = df.groupby("label")["label"].transform("size")
+        return pa.table(
+            {
+                "doc_id": pa.array(df["id"].to_numpy(dtype=np.int64), type=pa.int64()),
+                "component": pa.array(
+                    df["label"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+                "csize": pa.array(csize.to_numpy(dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        labels.map_batches(
+            lambda b: b.append_column(
+                "cbucket",
+                pa.array((b["label"].to_numpy() % 256).astype(np.int32)),
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("cbucket")
+        .map_groups(size_fold, batch_format="pandas")
+    )
+
+
 SHARD_EXPORT_N = 16
 SHARD_CHECKSUM_MOD = 1_000_000_007
 
@@ -3416,6 +3505,8 @@ FROM e GROUP BY text ORDER BY doc_id
     "dedup_connected_components_stress": _connected_components_sql(),
     "dedup_cluster_representatives": _cluster_representatives_sql(),
     "dedup_cluster_representatives_stress": _cluster_representatives_sql(),
+    # epoch-folded label ledger == batch CC over the union graph
+    "dedup_cc_incremental": _connected_components_sql(),
     "sink_shard_export": _shard_export_sql(),
     "dedup_minhash_lsh": _pairs_sql(MINHASH_THRESHOLD),
     # union of per-epoch incremental results == the batch answer: banding is
@@ -3723,6 +3814,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_connected_components_stress": q_dedup_connected_components_stress,
         "dedup_cluster_representatives": q_dedup_cluster_representatives,
         "dedup_cluster_representatives_stress": q_dedup_cluster_representatives_stress,
+        "dedup_cc_incremental": q_dedup_cc_incremental,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_join": q_dedup_minhash_lsh,  # alias (join IS the path)
         "dedup_minhash_incremental": q_dedup_minhash_incremental,

@@ -667,6 +667,82 @@ def test_connected_components_matches_oracle(ray_session):
     assert (exp["csize"] >= 2).all()  # every node in the pair graph has a peer
 
 
+def test_cc_incremental_equals_batch(ray_session):
+    """Epoch-folded label ledger == one-shot CC on the full pair graph
+    (incremental == batch, the module's ledger invariant)."""
+    from tapdata_connectors_ray.pipelines.training import (
+        q_dedup_cc_incremental,
+        q_dedup_connected_components,
+    )
+
+    inc = q_dedup_cc_incremental(SF).to_pandas()
+    batch = q_dedup_connected_components(SF).to_pandas()
+    assert _frames_equal(inc, batch)
+
+
+@given(st.data())
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cc_label_edge_fold_matches_batch_on_random_graphs(ray_session, data):
+    """The incremental trick — previous labels re-enter the next fold as
+    compressed (id, label) edges — must equal batch CC for ANY epoch split
+    of a random graph."""
+    import ray.data
+
+    from tapdata_connectors_ray.stages.dedup import connected_components
+
+    n_nodes = data.draw(st.integers(min_value=2, max_value=25))
+    edges = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n_nodes - 1),
+                st.integers(min_value=0, max_value=n_nodes - 1),
+            ).filter(lambda p: p[0] != p[1]),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    n_epochs = data.draw(st.integers(min_value=2, max_value=4))
+    assign = [data.draw(st.integers(min_value=0, max_value=n_epochs - 1)) for _ in edges]
+
+    def tbl(es):
+        return pa.table(
+            {
+                "doc_a": pa.array([min(e) for e in es], type=pa.int64()),
+                "doc_b": pa.array([max(e) for e in es], type=pa.int64()),
+            }
+        )
+
+    labels = None
+    for ep in range(n_epochs):
+        es = [e for e, a in zip(edges, assign) if a == ep]
+        rows = tbl(es) if es else tbl([])
+        eds = ray.data.from_arrow(rows)
+        if labels is not None:
+            led = labels.to_pandas()
+            eds = eds.union(
+                ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "doc_a": pa.array(led["id"].to_numpy(), type=pa.int64()),
+                            "doc_b": pa.array(led["label"].to_numpy(), type=pa.int64()),
+                        }
+                    )
+                )
+            )
+        if eds.count() == 0:
+            continue
+        labels = connected_components(eds.materialize(), num_partitions=2).materialize()
+
+    batch = (
+        connected_components(ray.data.from_arrow(tbl(edges)), num_partitions=2)
+        .to_pandas()
+        .set_index("id")["label"]
+        .to_dict()
+    )
+    got = labels.to_pandas().set_index("id")["label"].to_dict()
+    assert got == batch  # same node universe, same min-labels
+
+
 def test_relevance_topk_matches_oracle_and_bruteforce(ray_session):
     """Corpus-weighted keyword ranking: oracle MATCH plus a direct pandas
     recomputation of score = sum_t tf(t,d) * (N - df(t) + 1)."""
