@@ -136,10 +136,11 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "sample_mixture_documents",
         "quality_classifier_scores",
         "vocab_top_df",
-        # round-5 late additions (JSON projection / survivors / relevance)
+        # round-5 late additions (JSON projection / survivors / relevance / inc-CC)
         "json_props_agg",
         "dedup_cluster_representatives",
         "text_relevance_topk",
+        "dedup_cc_incremental",
     ]
     out: dict[str, float] = {}
     for name in panel:
