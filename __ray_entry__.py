@@ -67,6 +67,7 @@ _RUN_FIRST = (
     "dedup_cluster_representatives",
     "text_relevance_topk",
     "dedup_cc_incremental",
+    "transcript_quality_gate",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

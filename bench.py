@@ -141,6 +141,7 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "dedup_cluster_representatives",
         "text_relevance_topk",
         "dedup_cc_incremental",
+        "transcript_quality_gate",
     ]
     out: dict[str, float] = {}
     for name in panel:

@@ -496,6 +496,105 @@ def render_transcripts(
     )
 
 
+TRANSCRIPT_GATE_MIN_TURNS = 8
+TRANSCRIPT_GATE_MIN_ASSISTANT = 1
+TRANSCRIPT_GATE_MIN_CHARS = 256
+TRANSCRIPT_GATE_MAX_CHARS = 2400
+
+
+def transcript_quality_gate(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    plan: EvolutionPlan | None = None,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Conversation-level CURATION GATE over the replayed lake state — the
+    transcript-training analogue of the documents table's quality gates:
+    keep conversations with enough turns, at least one assistant turn, and
+    a total text size inside sane bounds; emit each survivor's stats row.
+
+    Scale shape: like ``render_transcripts``, the gate is FUSED into the
+    LWW merge's ``map_groups`` — the keyed shuffle's partition groups
+    already hold every turn of a conversation, the merge output is
+    key-sorted, so all four per-conversation statistics are segment sums
+    over the sorted run (``np.add.reduceat``), cost zero extra shuffles,
+    and only gated STATS rows (5 narrow columns) ever leave the merge;
+    the text payload dies inside the partition group.  All-integer output
+    (exact under the driver's value hash)."""
+    import pyarrow.compute as pc
+
+    plan = plan or scan_evolution_plan_distributed(events_path, spec)
+    merge_fn = make_lww_merge(plan.schema_at(), plan.keys())
+    ev = normalized_events(
+        events_path,
+        base_path,
+        plan=plan,
+        num_partitions=num_partitions,
+        **kwargs,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+            ("n_assistant", pa.int64()),
+            ("n_tool", pa.int64()),
+            ("total_chars", pa.int64()),
+        ]
+    )
+
+    def merge_then_gate(t: pa.Table) -> pa.Table:
+        merged = merge_fn(t)  # key-sorted: (conv_id asc, turn_idx asc)
+        n_rows = len(merged)
+        if n_rows == 0:
+            return out_schema.empty_table()
+        conv = merged["conv_id"].combine_chunks().cast(pa.string())
+        if n_rows == 1:
+            starts = np.array([0], dtype=np.int64)
+        else:
+            neq = pc.not_equal(conv.slice(1), conv.slice(0, n_rows - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.concatenate(([0], np.flatnonzero(neq).astype(np.int64) + 1))
+        n_turns = np.diff(np.concatenate((starts, [n_rows]))).astype(np.int64)
+        role = pc.fill_null(merged["role"].combine_chunks().cast(pa.string()), "")
+        is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)
+        tool_col = "tool_name" if "tool_name" in merged.column_names else "tool"
+        has_tool = pc.is_valid(merged[tool_col].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        chars = pc.utf8_length(
+            pc.fill_null(merged["text"].combine_chunks().cast(pa.string()), "")
+        ).to_numpy(zero_copy_only=False)
+        n_assistant = np.add.reduceat(is_asst.astype(np.int64), starts)
+        n_tool = np.add.reduceat(has_tool.astype(np.int64), starts)
+        total_chars = np.add.reduceat(chars.astype(np.int64), starts)
+        keep = (
+            (n_turns >= TRANSCRIPT_GATE_MIN_TURNS)
+            & (n_assistant >= TRANSCRIPT_GATE_MIN_ASSISTANT)
+            & (total_chars >= TRANSCRIPT_GATE_MIN_CHARS)
+            & (total_chars <= TRANSCRIPT_GATE_MAX_CHARS)
+        )
+        idx = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts[idx])),
+                "n_turns": pa.array(n_turns[idx], pa.int64()),
+                "n_assistant": pa.array(n_assistant[idx], pa.int64()),
+                "n_tool": pa.array(n_tool[idx], pa.int64()),
+                "total_chars": pa.array(total_chars[idx], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return ev.groupby("partition_id").map_groups(
+        merge_then_gate, batch_format="pyarrow"
+    )
+
+
 def replay_from_normalized(
     feed: ray.data.Dataset,
     plan: EvolutionPlan,

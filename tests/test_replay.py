@@ -211,6 +211,47 @@ def test_render_transcripts_matches_oracle(paths, expected):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_transcript_quality_gate_matches_bruteforce(paths, expected):
+    """Fused-merge gate == pandas recomputation over the oracle final state:
+    identical stats AND identical keep set under the three thresholds."""
+    from tapdata_connectors_ray.pipelines.replay import (
+        TRANSCRIPT_GATE_MAX_CHARS,
+        TRANSCRIPT_GATE_MIN_ASSISTANT,
+        TRANSCRIPT_GATE_MIN_CHARS,
+        TRANSCRIPT_GATE_MIN_TURNS,
+        transcript_quality_gate,
+    )
+
+    exp_df = expected.to_pandas()
+    tool_col = "tool_name" if "tool_name" in exp_df.columns else "tool"
+    g = exp_df.groupby("conv_id", sort=True)
+    stats = pd.DataFrame(
+        {
+            "n_turns": g.size(),
+            "n_assistant": g["role"].agg(lambda s: int((s == "assistant").sum())),
+            "n_tool": g[tool_col].agg(lambda s: int(s.notna().sum())),
+            "total_chars": g["text"].agg(lambda s: int(s.fillna("").str.len().sum())),
+        }
+    )
+    keep = stats[
+        (stats["n_turns"] >= TRANSCRIPT_GATE_MIN_TURNS)
+        & (stats["n_assistant"] >= TRANSCRIPT_GATE_MIN_ASSISTANT)
+        & (stats["total_chars"] >= TRANSCRIPT_GATE_MIN_CHARS)
+        & (stats["total_chars"] <= TRANSCRIPT_GATE_MAX_CHARS)
+    ].reset_index()
+
+    ev, base = paths
+    got = (
+        transcript_quality_gate(ev, base, num_partitions=16)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+        .astype({c: "int64" for c in ("n_turns", "n_assistant", "n_tool", "total_chars")})
+    )
+    assert len(got) < len(stats)  # the gate actually filters on this fixture
+    pd.testing.assert_frame_equal(got, keep.astype(got.dtypes.to_dict()))
+
+
 def test_footer_probe_distributed_past_threshold(ray_session, tmp_path):
     """At 5k segments the footer probe (row counts + LSN bounds) must fan
     out as Ray tasks, not a serial driver loop, and agree exactly with the
