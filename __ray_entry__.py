@@ -68,6 +68,7 @@ _RUN_FIRST = (
     "text_relevance_topk",
     "dedup_cc_incremental",
     "transcript_quality_gate",
+    "transcript_tool_sequences",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

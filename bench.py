@@ -142,6 +142,7 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "text_relevance_topk",
         "dedup_cc_incremental",
         "transcript_quality_gate",
+        "transcript_tool_sequences",
     ]
     out: dict[str, float] = {}
     for name in panel:

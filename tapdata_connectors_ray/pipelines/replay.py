@@ -595,6 +595,83 @@ def transcript_quality_gate(
     )
 
 
+def transcript_tool_sequences(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    plan: EvolutionPlan | None = None,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    **kwargs,
+) -> ray.data.Dataset:
+    """TOOL-CALL SEQUENCE mining over the replayed lake state — per live
+    conversation, the ordered comma-joined list of tool names invoked (the
+    agent-trace analytics primitive: behavior clustering, tool-usage
+    frequency, curriculum selection by tool diversity all start from this
+    row shape).
+
+    Same fusion as ``render_transcripts``/``transcript_quality_gate``: the
+    LWW merge's partition groups hold whole conversations key-sorted, so
+    sequences assemble from the sorted run — tool-valid rows filtered once,
+    per-conversation offsets from a segment-sum of the validity mask, and
+    the join is one ``pc.binary_join`` over a ListArray view.  Zero extra
+    shuffles; output rows are (conv_id, n_tool_calls, tool_seq)."""
+    import pyarrow.compute as pc
+
+    plan = plan or scan_evolution_plan_distributed(events_path, spec)
+    merge_fn = make_lww_merge(plan.schema_at(), plan.keys())
+    ev = normalized_events(
+        events_path,
+        base_path,
+        plan=plan,
+        num_partitions=num_partitions,
+        **kwargs,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_tool_calls", pa.int64()),
+            ("tool_seq", pa.string()),
+        ]
+    )
+
+    def merge_then_mine(t: pa.Table) -> pa.Table:
+        merged = merge_fn(t)  # key-sorted: (conv_id asc, turn_idx asc)
+        n_rows = len(merged)
+        if n_rows == 0:
+            return out_schema.empty_table()
+        conv = merged["conv_id"].combine_chunks().cast(pa.string())
+        if n_rows == 1:
+            starts = np.array([0], dtype=np.int64)
+        else:
+            neq = pc.not_equal(conv.slice(1), conv.slice(0, n_rows - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.concatenate(([0], np.flatnonzero(neq).astype(np.int64) + 1))
+        tool_col = "tool_name" if "tool_name" in merged.column_names else "tool"
+        tool = merged[tool_col].combine_chunks().cast(pa.string())
+        valid = pc.is_valid(tool).to_numpy(zero_copy_only=False)
+        n_tool = np.add.reduceat(valid.astype(np.int64), starts)
+        # ListArray over the tool-valid rows: offsets = running count of
+        # valid rows at each conversation boundary
+        offsets = np.concatenate(([0], np.cumsum(n_tool))).astype(np.int32)
+        seq_vals = tool.filter(pa.array(valid))
+        per_conv = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), seq_vals)
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts)),
+                "n_tool_calls": pa.array(n_tool, pa.int64()),
+                "tool_seq": pc.binary_join(per_conv, ","),
+            },
+            schema=out_schema,
+        )
+
+    return ev.groupby("partition_id").map_groups(
+        merge_then_mine, batch_format="pyarrow"
+    )
+
+
 def replay_from_normalized(
     feed: ray.data.Dataset,
     plan: EvolutionPlan,

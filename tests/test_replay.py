@@ -252,6 +252,34 @@ def test_transcript_quality_gate_matches_bruteforce(paths, expected):
     pd.testing.assert_frame_equal(got, keep.astype(got.dtypes.to_dict()))
 
 
+def test_transcript_tool_sequences_matches_bruteforce(paths, expected):
+    """Fused-merge tool mining == pandas assembly over the oracle final
+    state (ordered join of non-null tools per conversation)."""
+    from tapdata_connectors_ray.pipelines.replay import transcript_tool_sequences
+
+    exp_df = expected.to_pandas().sort_values(["conv_id", "turn_idx"])
+    tool_col = "tool_name" if "tool_name" in exp_df.columns else "tool"
+    g = exp_df.groupby("conv_id", sort=True)[tool_col]
+    exp = pd.DataFrame(
+        {
+            "conv_id": g.size().index,
+            "n_tool_calls": g.agg(lambda s: int(s.notna().sum())).to_numpy(),
+            "tool_seq": g.agg(lambda s: ",".join(s.dropna())).to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+    ev, base = paths
+    got = (
+        transcript_tool_sequences(ev, base, num_partitions=16)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+        .astype({"n_tool_calls": "int64"})
+    )
+    assert (got["n_tool_calls"] > 0).any() and (got["n_tool_calls"] == 0).any()
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
 def test_footer_probe_distributed_past_threshold(ray_session, tmp_path):
     """At 5k segments the footer probe (row counts + LSN bounds) must fan
     out as Ray tasks, not a serial driver loop, and agree exactly with the
