@@ -69,6 +69,7 @@ _RUN_FIRST = (
     "dedup_cc_incremental",
     "transcript_quality_gate",
     "transcript_tool_sequences",
+    "transcript_piece_packing",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -143,6 +143,7 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "dedup_cc_incremental",
         "transcript_quality_gate",
         "transcript_tool_sequences",
+        "transcript_piece_packing",
     ]
     out: dict[str, float] = {}
     for name in panel:

@@ -672,6 +672,103 @@ def transcript_tool_sequences(
     )
 
 
+CONV_PACK_CHARS = 512
+
+
+def transcript_piece_packing(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    piece_chars: int = CONV_PACK_CHARS,
+    plan: EvolutionPlan | None = None,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Conversation-bounded TRAINING-PIECE packing over the replayed lake:
+    each conversation splits into pieces of ~``piece_chars`` characters at
+    TURN boundaries (turns never split, pieces never cross conversations)
+    — the context-window prep step for transcript training data, the
+    conversation analogue of the documents table's doc-bounded chunking.
+
+    Deterministic closed-form piece rule (no greedy scan): a turn belongs
+    to piece ``cum_chars_before_it_in_conv // piece_chars``, so piece
+    assignment is a prefix-sum, not a loop — the same window-sum shape as
+    `stages/textqc` packing, here fused into the LWW merge.  Because the
+    merge output is key-sorted, (conv, piece) runs are contiguous and the
+    per-piece aggregate is another segment sum over run boundaries; zero
+    extra shuffles, only piece stats rows leave the merge."""
+    import pyarrow.compute as pc
+
+    plan = plan or scan_evolution_plan_distributed(events_path, spec)
+    merge_fn = make_lww_merge(plan.schema_at(), plan.keys())
+    ev = normalized_events(
+        events_path,
+        base_path,
+        plan=plan,
+        num_partitions=num_partitions,
+        **kwargs,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("piece", pa.int64()),
+            ("n_turns", pa.int64()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+
+    def merge_then_pack(t: pa.Table) -> pa.Table:
+        merged = merge_fn(t)  # key-sorted: (conv_id asc, turn_idx asc)
+        n_rows = len(merged)
+        if n_rows == 0:
+            return out_schema.empty_table()
+        conv = merged["conv_id"].combine_chunks().cast(pa.string())
+        if n_rows == 1:
+            conv_change = np.zeros(0, dtype=bool)
+        else:
+            conv_change = pc.not_equal(
+                conv.slice(1), conv.slice(0, n_rows - 1)
+            ).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(conv_change).astype(np.int64) + 1)
+        )
+        chars = (
+            pc.utf8_length(
+                pc.fill_null(merged["text"].combine_chunks().cast(pa.string()), "")
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # chars BEFORE each turn within its conversation: global prefix sum
+        # minus the conversation's start-of-segment prefix (broadcast by run)
+        cum = np.concatenate(([0], np.cumsum(chars)[:-1]))
+        seg_len = np.diff(np.concatenate((starts, [n_rows])))
+        before = cum - np.repeat(cum[starts], seg_len)
+        piece = before // piece_chars
+        # (conv, piece) runs are contiguous in the sorted order
+        run_new = np.ones(n_rows, dtype=bool)
+        if n_rows > 1:
+            run_new[1:] = conv_change | (piece[1:] != piece[:-1])
+        rstarts = np.flatnonzero(run_new).astype(np.int64)
+        n_turns = np.diff(np.concatenate((rstarts, [n_rows]))).astype(np.int64)
+        n_chars = np.add.reduceat(chars, rstarts)
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(rstarts)),
+                "piece": pa.array(piece[rstarts], pa.int64()),
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return ev.groupby("partition_id").map_groups(
+        merge_then_pack, batch_format="pyarrow"
+    )
+
+
 def replay_from_normalized(
     feed: ray.data.Dataset,
     plan: EvolutionPlan,

@@ -280,6 +280,46 @@ def test_transcript_tool_sequences_matches_bruteforce(paths, expected):
     pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
 
 
+def test_transcript_piece_packing_matches_bruteforce(paths, expected):
+    """Prefix-sum piece rule == per-conversation pandas recomputation, and
+    the packing invariants hold: pieces partition each conversation's turns
+    in order, char totals are preserved, and the fixture genuinely splits."""
+    from tapdata_connectors_ray.pipelines.replay import (
+        CONV_PACK_CHARS,
+        transcript_piece_packing,
+    )
+
+    exp_df = expected.to_pandas().sort_values(["conv_id", "turn_idx"])
+    ln = exp_df["text"].fillna("").str.len().astype("int64")
+    before = ln.groupby(exp_df["conv_id"].to_numpy()).transform(
+        lambda s: s.cumsum() - s
+    )
+    piece = (before // CONV_PACK_CHARS).astype("int64")
+    exp = (
+        pd.DataFrame(
+            {"conv_id": exp_df["conv_id"].to_numpy(), "piece": piece.to_numpy(), "ln": ln.to_numpy()}
+        )
+        .groupby(["conv_id", "piece"], as_index=False)
+        .agg(n_turns=("ln", "size"), n_chars=("ln", "sum"))
+        .astype({"n_turns": "int64", "n_chars": "int64"})
+    )
+
+    ev, base = paths
+    got = (
+        transcript_piece_packing(ev, base, num_partitions=16)
+        .to_pandas()
+        .sort_values(["conv_id", "piece"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+    # char totals preserved per conversation
+    assert (
+        got.groupby("conv_id")["n_chars"].sum().to_numpy()
+        == ln.groupby(exp_df["conv_id"].to_numpy()).sum().to_numpy()
+    ).all()
+    assert (got["piece"] > 0).any()  # the fixture actually splits
+
+
 def test_footer_probe_distributed_past_threshold(ray_session, tmp_path):
     """At 5k segments the footer probe (row counts + LSN bounds) must fan
     out as Ray tasks, not a serial driver loop, and agree exactly with the
