@@ -38,13 +38,16 @@ def entry() -> Any:
 # `events_hopping_window` shares the window-expansion kernel with the
 # r04-fresh tumbling/incremental windows; `cdc_multi_table_single_pass` is
 # pytest-pinned bit-for-bit equal to `cdc_multi_table_consistent`).
-# The four round-5 additions displace four r03 slots; the displaced ones
-# (`source_csv_events_agg`, `source_csv_dialect`, `source_xlsx_events_agg`,
-# `source_xml_events_agg`) sit at the tuple's END because they carry the
-# strongest non-driver evidence: `test_filesource_queries_match_oracle` runs
-# csv_events_agg/jsonl against the same DuckDB oracle inside pytest, plus
-# dedicated format tests (`test_csv_dialect_options`, `test_xlsx_*`,
-# `test_xml_*`).
+# Round-5 additions (16 by the end of the round) each enter the new-query
+# block AS THEY LAND — a query with NO driver row outranks any query with an
+# r03 row, so each addition displaces the tail of the r03 block past the
+# 50-slot cap.  Every r03 query that falls out keeps (a) its green r03 driver
+# row and (b) pytest coverage against the same DuckDB oracle shape
+# (test_filesource_queries_match_oracle, test_query_algebra, test_training,
+# property suites); the four file-format queries sit at the tuple's END
+# because their non-driver evidence is strongest (dedicated format tests:
+# `test_csv_dialect_options`, `test_xlsx_*`, `test_xml_*`).  Round 6 rotates
+# the displaced set back to the front.
 _RUN_FIRST = (
     # newest driver row is r02 — front-load first (round-4 plan)
     "af_customer_match",
@@ -70,6 +73,7 @@ _RUN_FIRST = (
     "transcript_quality_gate",
     "transcript_tool_sequences",
     "transcript_piece_packing",
+    "embedding_outliers",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -144,6 +144,7 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "transcript_quality_gate",
         "transcript_tool_sequences",
         "transcript_piece_packing",
+        "embedding_outliers",
     ]
     out: dict[str, float] = {}
     for name in panel:

@@ -1825,6 +1825,85 @@ def _kmeans_fit(sf_dir: str):
     return labels, cents, last
 
 
+EMB_OUTLIER_TOP = 50
+
+
+def q_embedding_outliers(sf_dir: str) -> Any:
+    """Embedding OUTLIER scoring (label-noise / anomaly curation for a
+    labeled embedding corpus): euclidean distance of every vector to its
+    own label's centroid, top-N by rounded distance.
+
+    Pass 1 is the k-means partial shape — ONE vectorized (label, count,
+    sum-vector) fold per block, k x d values leave each block (metadata
+    scale), driver fold -> broadcast centroid matrix via ``ray.put``;
+    pass 2 scores each block against the broadcast centroids and keeps a
+    LOSSLESS per-block top-N under the total order (rounded dist DESC,
+    vec_id ASC), so the final sort sees blocks x N rows.  Zero shuffles.
+    Distances round to 5 decimals before ranking (centroid means sum in
+    different orders across systems — the module's cosine rule)."""
+    from tapdata_connectors_ray.stages.similarity import stack_embeddings
+
+    ds = _emb(sf_dir)
+
+    def centroid_partial(batch: pa.Table) -> pa.Table:
+        mat = stack_embeddings(batch).astype(np.float64)
+        labels = batch["label"].to_numpy().astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(
+        centroid_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # labels x blocks rows — metadata scale
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for lbl, n, vs in zip(parts["label"], parts["n"], parts["vsum"]):
+        v = np.asarray(vs, dtype=np.float64)
+        sums[lbl] = sums.get(lbl, 0) + v
+        counts[lbl] = counts.get(lbl, 0) + int(n)
+    cent_labels = np.array(sorted(sums), dtype=np.int64)
+    cents = np.stack([sums[l] / counts[l] for l in cent_labels])
+    cents_ref = ray.put({"labels": cent_labels, "cents": cents})
+
+    class OutlierTopN:
+        def __init__(self) -> None:
+            cd = ray.get(cents_ref)
+            self.pos = {int(l): i for i, l in enumerate(cd["labels"])}
+            self.cents = cd["cents"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = stack_embeddings(batch).astype(np.float64)
+            labels = batch["label"].to_numpy().astype(np.int64)
+            ids = batch["vec_id"].to_numpy().astype(np.int64)
+            rows = np.fromiter(
+                (self.pos[int(l)] for l in labels), dtype=np.int64, count=len(labels)
+            )
+            diff = mat - self.cents[rows]
+            dist = np.round(np.sqrt((diff * diff).sum(axis=1)), 5)
+            order = np.lexsort((ids, -dist))[:EMB_OUTLIER_TOP]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[order], pa.int64()),
+                    "label": pa.array(labels[order], pa.int64()),
+                    "dist": pa.array(dist[order], pa.float64()),
+                }
+            )
+
+    parts2 = ds.map_batches(
+        OutlierTopN, concurrency=actor_pool(), batch_format="pyarrow"
+    ).to_pandas()  # blocks x N rows
+    parts2 = parts2.sort_values(["dist", "vec_id"], ascending=[False, True])
+    return parts2.head(EMB_OUTLIER_TOP).reset_index(drop=True)
+
+
 def q_kmeans_train(sf_dir: str) -> Any:
     """Per surviving cluster: member count + rounded centroid norm — the
     conformance surface of :func:`_kmeans_fit` (see there for the
@@ -3507,6 +3586,24 @@ FROM e GROUP BY text ORDER BY doc_id
     "dedup_cluster_representatives_stress": _cluster_representatives_sql(),
     # epoch-folded label ledger == batch CC over the union graph
     "dedup_cc_incremental": _connected_components_sql(),
+    # per-label centroid distance, top-N by rounded distance (the module's
+    # cosine rounding rule: round(.,5) before ranking)
+    "embedding_outliers": f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+    SELECT label, i, avg(val) AS cv
+    FROM (SELECT label, unnest(v) AS val, unnest(range(len(v))) AS i FROM e)
+    GROUP BY label, i
+), cl AS (
+    SELECT label, list(cv ORDER BY i) AS cv FROM c GROUP BY label
+)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+       round(list_distance(e.v, cl.cv), 5) AS dist
+FROM e JOIN cl USING (label)
+ORDER BY dist DESC, vec_id
+LIMIT {EMB_OUTLIER_TOP}
+""",
     "sink_shard_export": _shard_export_sql(),
     "dedup_minhash_lsh": _pairs_sql(MINHASH_THRESHOLD),
     # union of per-epoch incremental results == the batch answer: banding is
@@ -3815,6 +3912,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster_representatives": q_dedup_cluster_representatives,
         "dedup_cluster_representatives_stress": q_dedup_cluster_representatives_stress,
         "dedup_cc_incremental": q_dedup_cc_incremental,
+        "embedding_outliers": q_embedding_outliers,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_join": q_dedup_minhash_lsh,  # alias (join IS the path)
         "dedup_minhash_incremental": q_dedup_minhash_incremental,

@@ -743,6 +743,39 @@ def test_cc_label_edge_fold_matches_batch_on_random_graphs(ray_session, data):
     assert got == batch  # same node universe, same min-labels
 
 
+def test_embedding_outliers_matches_oracle_and_bruteforce(ray_session):
+    """Top-N centroid-distance outliers: oracle MATCH plus a direct numpy
+    recomputation (per-label mean centroid, rounded euclidean, lexsorted)."""
+    from tapdata_connectors_ray.pipelines.training import (
+        EMB_OUTLIER_TOP,
+        TRAINING_SQL,
+        q_embedding_outliers,
+    )
+
+    got = q_embedding_outliers(SF)
+    exp = _oracle(TRAINING_SQL["embedding_outliers"])
+    assert _frames_equal(got, exp)
+
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(SF + "/embeddings.parquet")
+    mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    labels = t["label"].to_numpy().astype(np.int64)
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    cents = {l: mat[labels == l].mean(axis=0) for l in np.unique(labels)}
+    dist = np.round(
+        np.sqrt(((mat - np.stack([cents[l] for l in labels])) ** 2).sum(axis=1)), 5
+    )
+    order = np.lexsort((ids, -dist))[:EMB_OUTLIER_TOP]
+    brute = pd.DataFrame(
+        {"vec_id": ids[order], "label": labels[order], "dist": dist[order]}
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"vec_id": "int64", "label": "int64"}),
+        brute.reset_index(drop=True),
+    )
+
+
 def test_relevance_topk_matches_oracle_and_bruteforce(ray_session):
     """Corpus-weighted keyword ranking: oracle MATCH plus a direct pandas
     recomputation of score = sum_t tf(t,d) * (N - df(t) + 1)."""
