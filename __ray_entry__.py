@@ -74,6 +74,7 @@ _RUN_FIRST = (
     "transcript_tool_sequences",
     "transcript_piece_packing",
     "embedding_outliers",
+    "ann_filtered_topk",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -145,6 +145,7 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "transcript_tool_sequences",
         "transcript_piece_packing",
         "embedding_outliers",
+        "ann_filtered_topk",
     ]
     out: dict[str, float] = {}
     for name in panel:

@@ -1659,6 +1659,45 @@ def q_ann_cosine_topk(sf_dir: str) -> Any:
     return final_topk(cands, ANN_K)
 
 
+ANN_FILTER_LABELS = (0, 1, 2, 3)
+
+
+def q_ann_filtered_topk(sf_dir: str) -> Any:
+    """FILTERED vector search (predicate-constrained ANN — the metadata-
+    filtered retrieval shape every vector store exposes): exact cosine
+    top-k among vectors whose label passes the predicate.  The predicate is
+    pushed INTO the parquet scan (``read_parquet(filter=...)`` → row-group
+    statistics pruning), so out-of-predicate rows never leave storage —
+    prune-at-the-read, not a post-filter stage; everything downstream is
+    the brute-force top-k kernel unchanged."""
+    import pyarrow.dataset as pads
+
+    from tapdata_connectors_ray.stages.similarity import (
+        BruteForceTopK,
+        final_topk,
+        normalize_rows,
+    )
+
+    q_ids, q_mat = _query_matrix(sf_dir)
+    qref = ray.put({"ids": q_ids, "mat": normalize_rows(q_mat)})
+
+    class TopK(BruteForceTopK):
+        def __init__(self) -> None:
+            super().__init__(qref, ANN_K)
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cands = (
+        ray.data.read_parquet(
+            path,
+            columns=["vec_id", "embedding"],
+            filter=pads.field("label").isin(list(ANN_FILTER_LABELS)),
+        )
+        .map_batches(TopK, batch_format="pyarrow", concurrency=actor_pool())
+        .to_pandas()
+    )
+    return final_topk(cands, ANN_K)
+
+
 def q_ann_ivf_topk(sf_dir: str) -> Any:
     """IVF top-k: cells = label column, centroids = grouped mean (partial
     aggregation), queries probe the 2 nearest centroids, exact search within
@@ -3706,6 +3745,23 @@ SELECT query_id, neighbor_id, round(sim, 5) AS sim FROM (
 ) WHERE rn <= {ANN_K}
 ORDER BY query_id, neighbor_id
 """,
+    "ann_filtered_topk": f"""
+WITH q AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE vec_id IN {ANN_QUERY_IDS}
+), cand AS (
+    SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+           list_cosine_similarity(q.v, CAST(t.embedding AS DOUBLE[])) AS sim
+    FROM q JOIN embeddings t ON t.vec_id <> q.vec_id
+    WHERE t.label IN {ANN_FILTER_LABELS}
+)
+SELECT query_id, neighbor_id, round(sim, 5) AS sim FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM cand
+) WHERE rn <= {ANN_K}
+ORDER BY query_id, neighbor_id
+""",
     "ann_ivf_topk": f"""
 WITH dummy AS (SELECT 1)
 {_CENTROID_CTE.lstrip()}
@@ -3923,6 +3979,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_incremental": q_dedup_embedding_incremental,
         "dedup_embedding_incremental_stress": q_dedup_embedding_incremental_stress,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_filtered_topk": q_ann_filtered_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_train": q_kmeans_train,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,

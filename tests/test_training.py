@@ -743,6 +743,26 @@ def test_cc_label_edge_fold_matches_batch_on_random_graphs(ray_session, data):
     assert got == batch  # same node universe, same min-labels
 
 
+def test_ann_filtered_topk_respects_predicate(ray_session):
+    """Filtered vector search: oracle MATCH and every returned neighbor's
+    label passes the pushed-down predicate."""
+    from tapdata_connectors_ray.pipelines.training import (
+        ANN_FILTER_LABELS,
+        TRAINING_SQL,
+        q_ann_filtered_topk,
+    )
+
+    got = q_ann_filtered_topk(SF)
+    exp = _oracle(TRAINING_SQL["ann_filtered_topk"])
+    assert _frames_equal(got, exp)
+
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(SF + "/embeddings.parquet", columns=["vec_id", "label"])
+    lab = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    assert all(lab[n] in ANN_FILTER_LABELS for n in got["neighbor_id"])
+
+
 def test_embedding_outliers_matches_oracle_and_bruteforce(ray_session):
     """Top-N centroid-distance outliers: oracle MATCH plus a direct numpy
     recomputation (per-label mean centroid, rounded euclidean, lexsorted)."""
