@@ -75,6 +75,7 @@ _RUN_FIRST = (
     "transcript_piece_packing",
     "embedding_outliers",
     "ann_filtered_topk",
+    "search_hybrid_rrf",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

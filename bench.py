@@ -146,6 +146,7 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "transcript_piece_packing",
         "embedding_outliers",
         "ann_filtered_topk",
+        "search_hybrid_rrf",
     ]
     out: dict[str, float] = {}
     for name in panel:

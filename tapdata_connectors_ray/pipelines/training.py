@@ -1698,6 +1698,70 @@ def q_ann_filtered_topk(sf_dir: str) -> Any:
     return final_topk(cands, ANN_K)
 
 
+RRF_K = 60
+HYBRID_LIST_K = 25
+HYBRID_TOP = 10
+HYBRID_QUERY_VEC = 0
+
+
+def q_search_hybrid_rrf(sf_dir: str) -> Any:
+    """HYBRID retrieval with reciprocal-rank fusion (the modern two-tower
+    search shape: lexical list + vector list fused by rank, not score):
+
+    - keyword list: the corpus-weighted relevance top-K (two metadata-scale
+      corpus passes, see `q_text_relevance_topk`);
+    - vector list: exact cosine top-K against one broadcast query vector
+      (per-block lossless truncation, blocks x K candidate rows);
+    - fusion: RRF(id) = Σ_lists 1/(RRF_K + rank), computed on the driver
+      over ≤ 2K rank rows — fusion is metadata-scale BY CONSTRUCTION, the
+      corpus is never touched a third time.
+
+    Ranks are deterministic on both sides (score DESC doc_id ASC; rounded
+    sim DESC vec_id ASC), and each RRF score is the same two-term IEEE sum
+    of identical divisions, so equality with the SQL twin is exact."""
+    from tapdata_connectors_ray.stages.similarity import (
+        BruteForceTopK,
+        normalize_rows,
+    )
+
+    kw = q_text_relevance_topk(sf_dir).head(HYBRID_LIST_K)
+    kw_rank = {int(d): r + 1 for r, d in enumerate(kw["doc_id"])}
+
+    q_ids, q_mat = _query_matrix(sf_dir, qids=(HYBRID_QUERY_VEC,))
+    qref = ray.put({"ids": q_ids, "mat": normalize_rows(q_mat)})
+
+    class TopK(BruteForceTopK):
+        def __init__(self) -> None:
+            super().__init__(qref, HYBRID_LIST_K)
+
+    cands = (
+        _emb(sf_dir)
+        .select_columns(["vec_id", "embedding"])
+        .map_batches(TopK, batch_format="pyarrow", concurrency=actor_pool())
+        .to_pandas()
+    )
+    # rank by RAW sim (the module's ann convention: round only for display)
+    cands = cands.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(
+        HYBRID_LIST_K
+    )
+    vec_rank = {int(n): r + 1 for r, n in enumerate(cands["neighbor_id"])}
+
+    ids = sorted(set(kw_rank) | set(vec_rank))
+    rows = []
+    for i in ids:
+        kr = kw_rank.get(i, 0)
+        vr = vec_rank.get(i, 0)
+        rrf = (1.0 / (RRF_K + kr) if kr else 0.0) + (
+            1.0 / (RRF_K + vr) if vr else 0.0
+        )
+        rows.append((i, round(rrf, 6), kr, vr))
+    fused = pd.DataFrame(rows, columns=["id", "rrf", "kw_rank", "vec_rank"])
+    fused = fused.sort_values(["rrf", "id"], ascending=[False, True]).head(HYBRID_TOP)
+    return fused.astype(
+        {"id": "int64", "kw_rank": "int64", "vec_rank": "int64"}
+    ).reset_index(drop=True)
+
+
 def q_ann_ivf_topk(sf_dir: str) -> Any:
     """IVF top-k: cells = label column, centroids = grouped mean (partial
     aggregation), queries probe the 2 nearest centroids, exact search within
@@ -3762,6 +3826,48 @@ SELECT query_id, neighbor_id, round(sim, 5) AS sim FROM (
 ) WHERE rn <= {ANN_K}
 ORDER BY query_id, neighbor_id
 """,
+    # hybrid RRF: ranks are deterministic (keyword: integer score DESC,
+    # doc_id; vector: raw sim DESC, vec_id — the ann convention), each RRF
+    # score is the same two-term IEEE sum of identical divisions
+    "search_hybrid_rrf": f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), qt(tok) AS (VALUES {", ".join(f"('{t}')" for t in RELEVANCE_TERMS)}),
+n AS (SELECT count(*) AS n FROM documents),
+df AS (
+    SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+    WHERE tok IN (SELECT tok FROM qt) GROUP BY tok
+), kw_scores AS (
+    SELECT t.doc_id, CAST(sum((SELECT n FROM n) - d.df + 1) AS BIGINT) AS score
+    FROM toks t JOIN df d USING (tok) GROUP BY t.doc_id
+), kw AS (
+    SELECT doc_id AS id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM kw_scores
+    ) WHERE r <= {HYBRID_LIST_K}
+), qv AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE vec_id = {HYBRID_QUERY_VEC}
+), sims AS (
+    SELECT t.vec_id,
+           list_cosine_similarity((SELECT v FROM qv),
+                                  CAST(t.embedding AS DOUBLE[])) AS sim
+    FROM embeddings t WHERE t.vec_id <> {HYBRID_QUERY_VEC}
+), vec AS (
+    SELECT vec_id AS id, r FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+        FROM sims
+    ) WHERE r <= {HYBRID_LIST_K}
+), fused AS (
+    SELECT coalesce(k.id, v.id) AS id,
+           round(coalesce(1.0/({RRF_K}+k.r), 0) + coalesce(1.0/({RRF_K}+v.r), 0), 6)
+               AS rrf,
+           CAST(coalesce(k.r, 0) AS BIGINT) AS kw_rank,
+           CAST(coalesce(v.r, 0) AS BIGINT) AS vec_rank
+    FROM kw k FULL OUTER JOIN vec v ON k.id = v.id
+)
+SELECT * FROM fused ORDER BY rrf DESC, id LIMIT {HYBRID_TOP}
+""",
     "ann_ivf_topk": f"""
 WITH dummy AS (SELECT 1)
 {_CENTROID_CTE.lstrip()}
@@ -3980,6 +4086,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_incremental_stress": q_dedup_embedding_incremental_stress,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_filtered_topk": q_ann_filtered_topk,
+        "search_hybrid_rrf": q_search_hybrid_rrf,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_train": q_kmeans_train,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,

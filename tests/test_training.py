@@ -763,6 +763,31 @@ def test_ann_filtered_topk_respects_predicate(ray_session):
     assert all(lab[n] in ANN_FILTER_LABELS for n in got["neighbor_id"])
 
 
+def test_search_hybrid_rrf_matches_oracle_and_fusion_identity(ray_session):
+    """Hybrid RRF: oracle MATCH, every fused row carries at least one list
+    membership, and each RRF value equals the two-term reciprocal sum of
+    its own rank columns."""
+    from tapdata_connectors_ray.pipelines.training import (
+        RRF_K,
+        TRAINING_SQL,
+        q_search_hybrid_rrf,
+    )
+
+    got = q_search_hybrid_rrf(SF)
+    exp = _oracle(TRAINING_SQL["search_hybrid_rrf"])
+    assert _frames_equal(got, exp)
+    assert ((got["kw_rank"] > 0) | (got["vec_rank"] > 0)).all()
+    recomputed = got.apply(
+        lambda r: round(
+            (1.0 / (RRF_K + r["kw_rank"]) if r["kw_rank"] else 0.0)
+            + (1.0 / (RRF_K + r["vec_rank"]) if r["vec_rank"] else 0.0),
+            6,
+        ),
+        axis=1,
+    )
+    assert (recomputed == got["rrf"]).all()
+
+
 def test_embedding_outliers_matches_oracle_and_bruteforce(ray_session):
     """Top-N centroid-distance outliers: oracle MATCH plus a direct numpy
     recomputation (per-label mean centroid, rounded euclidean, lexsorted)."""
