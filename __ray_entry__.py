@@ -76,6 +76,7 @@ _RUN_FIRST = (
     "embedding_outliers",
     "ann_filtered_topk",
     "search_hybrid_rrf",
+    "transcript_piece_render",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

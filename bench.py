@@ -147,6 +147,7 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "embedding_outliers",
         "ann_filtered_topk",
         "search_hybrid_rrf",
+        "transcript_piece_render",
     ]
     out: dict[str, float] = {}
     for name in panel:

@@ -769,6 +769,91 @@ def transcript_piece_packing(
     )
 
 
+def transcript_piece_render(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    piece_chars: int = CONV_PACK_CHARS,
+    plan: EvolutionPlan | None = None,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    **kwargs,
+) -> ray.data.Dataset:
+    """The packed TRAINING ROWS themselves: `transcript_piece_packing`'s
+    piece assignment, but emitting each piece's rendered text (turns joined
+    as ``role: text`` lines) — the actual sample a trainer consumes.  Same
+    fusion (piece rule + segment aggregation inside the LWW merge, Arrow
+    ``binary_join_element_wise`` + ListArray ``binary_join``; the text
+    column shuffles exactly once and never round-trips pandas)."""
+    import pyarrow.compute as pc
+
+    plan = plan or scan_evolution_plan_distributed(events_path, spec)
+    merge_fn = make_lww_merge(plan.schema_at(), plan.keys())
+    ev = normalized_events(
+        events_path,
+        base_path,
+        plan=plan,
+        num_partitions=num_partitions,
+        **kwargs,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("piece", pa.int64()),
+            ("n_turns", pa.int64()),
+            ("piece_text", pa.string()),
+        ]
+    )
+
+    def merge_then_render(t: pa.Table) -> pa.Table:
+        merged = merge_fn(t)  # key-sorted: (conv_id asc, turn_idx asc)
+        n_rows = len(merged)
+        if n_rows == 0:
+            return out_schema.empty_table()
+        conv = merged["conv_id"].combine_chunks().cast(pa.string())
+        if n_rows == 1:
+            conv_change = np.zeros(0, dtype=bool)
+        else:
+            conv_change = pc.not_equal(
+                conv.slice(1), conv.slice(0, n_rows - 1)
+            ).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(conv_change).astype(np.int64) + 1)
+        )
+        text = pc.fill_null(merged["text"].combine_chunks().cast(pa.string()), "")
+        chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(chars)[:-1]))
+        seg_len = np.diff(np.concatenate((starts, [n_rows])))
+        before = cum - np.repeat(cum[starts], seg_len)
+        piece = before // piece_chars
+        run_new = np.ones(n_rows, dtype=bool)
+        if n_rows > 1:
+            run_new[1:] = conv_change | (piece[1:] != piece[:-1])
+        rstarts = np.flatnonzero(run_new).astype(np.int64)
+        n_turns = np.diff(np.concatenate((rstarts, [n_rows]))).astype(np.int64)
+        line = pc.binary_join_element_wise(
+            pc.fill_null(merged["role"].combine_chunks().cast(pa.string()), ""),
+            text,
+            ": ",
+        )
+        offsets = np.concatenate((rstarts, [n_rows])).astype(np.int32)
+        per_piece = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), line)
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(rstarts)),
+                "piece": pa.array(piece[rstarts], pa.int64()),
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "piece_text": pc.binary_join(per_piece, "\n"),
+            },
+            schema=out_schema,
+        )
+
+    return ev.groupby("partition_id").map_groups(
+        merge_then_render, batch_format="pyarrow"
+    )
+
+
 def replay_from_normalized(
     feed: ray.data.Dataset,
     plan: EvolutionPlan,

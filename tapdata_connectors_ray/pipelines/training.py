@@ -2812,6 +2812,13 @@ def q_dedup_cluster_representatives(sf_dir: str, pair_cap: int | None = None) ->
     return labeled.groupby("cbucket").map_groups(rep_fold, batch_format="pandas")
 
 
+def q_dedup_cc_incremental_stress(sf_dir: str) -> Any:
+    """pair_cap=0 pins the distributed pointer-jumping regime for EVERY
+    epoch fold of the incremental CC (the stress-query pattern: the 100-TB
+    path through the same oracle)."""
+    return q_dedup_cc_incremental(sf_dir, pair_cap=0)
+
+
 def q_dedup_cluster_representatives_stress(sf_dir: str) -> Any:
     """pair_cap=0 pins the distributed-CC regime under the representative
     selection (same stress pattern as the CC query)."""
@@ -3689,6 +3696,7 @@ FROM e GROUP BY text ORDER BY doc_id
     "dedup_cluster_representatives_stress": _cluster_representatives_sql(),
     # epoch-folded label ledger == batch CC over the union graph
     "dedup_cc_incremental": _connected_components_sql(),
+    "dedup_cc_incremental_stress": _connected_components_sql(),
     # per-label centroid distance, top-N by rounded distance (the module's
     # cosine rounding rule: round(.,5) before ranking)
     "embedding_outliers": f"""
@@ -4074,6 +4082,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster_representatives": q_dedup_cluster_representatives,
         "dedup_cluster_representatives_stress": q_dedup_cluster_representatives_stress,
         "dedup_cc_incremental": q_dedup_cc_incremental,
+        "dedup_cc_incremental_stress": q_dedup_cc_incremental_stress,
         "embedding_outliers": q_embedding_outliers,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_lsh_join": q_dedup_minhash_lsh,  # alias (join IS the path)

@@ -320,6 +320,47 @@ def test_transcript_piece_packing_matches_bruteforce(paths, expected):
     assert (got["piece"] > 0).any()  # the fixture actually splits
 
 
+def test_transcript_piece_render_matches_bruteforce(paths, expected):
+    """Rendered piece text == pandas assembly under the same piece rule;
+    re-joining a conversation's pieces reproduces the full transcript."""
+    from tapdata_connectors_ray.pipelines.replay import (
+        CONV_PACK_CHARS,
+        transcript_piece_render,
+    )
+
+    exp_df = expected.to_pandas().sort_values(["conv_id", "turn_idx"])
+    ln = exp_df["text"].fillna("").str.len().astype("int64")
+    before = ln.groupby(exp_df["conv_id"].to_numpy()).transform(
+        lambda s: s.cumsum() - s
+    )
+    line = exp_df["role"].fillna("") + ": " + exp_df["text"].fillna("")
+    frame = pd.DataFrame(
+        {
+            "conv_id": exp_df["conv_id"].to_numpy(),
+            "piece": (before // CONV_PACK_CHARS).to_numpy(),
+            "line": line.to_numpy(),
+        }
+    )
+    exp = (
+        frame.groupby(["conv_id", "piece"], as_index=False)
+        .agg(n_turns=("line", "size"), piece_text=("line", "\n".join))
+        .astype({"n_turns": "int64", "piece": "int64"})
+    )
+
+    ev, base = paths
+    got = (
+        transcript_piece_render(ev, base, num_partitions=16)
+        .to_pandas()
+        .sort_values(["conv_id", "piece"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+    # piece concatenation reproduces the whole conversation render
+    whole = line.groupby(exp_df["conv_id"].to_numpy()).agg("\n".join)
+    rejoined = got.groupby("conv_id")["piece_text"].agg("\n".join)
+    assert (rejoined.to_numpy() == whole.to_numpy()).all()
+
+
 def test_footer_probe_distributed_past_threshold(ray_session, tmp_path):
     """At 5k segments the footer probe (row counts + LSN bounds) must fan
     out as Ray tasks, not a serial driver loop, and agree exactly with the
