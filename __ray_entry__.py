@@ -77,6 +77,7 @@ _RUN_FIRST = (
     "ann_filtered_topk",
     "search_hybrid_rrf",
     "transcript_piece_render",
+    "transcript_tool_transitions",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

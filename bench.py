@@ -148,6 +148,7 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "ann_filtered_topk",
         "search_hybrid_rrf",
         "transcript_piece_render",
+        "transcript_tool_transitions",
     ]
     out: dict[str, float] = {}
     for name in panel:

@@ -854,6 +854,95 @@ def transcript_piece_render(
     )
 
 
+TOOL_TRANSITION_TOP = 20
+
+
+def transcript_tool_transitions(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    plan: EvolutionPlan | None = None,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    top: int = TOOL_TRANSITION_TOP,
+    **kwargs,
+) -> "pd.DataFrame":
+    """Corpus-wide TOOL-TRANSITION mining (agent-behavior analytics): count
+    every consecutive tool pair (tool_i -> tool_{i+1}) within a
+    conversation's tool-call order, across all live conversations; return
+    the top-N transitions.
+
+    The transition partials are computed INSIDE the fused LWW merge — each
+    partition group holds whole conversations, so consecutive tool pairs
+    come from one shifted comparison over the tool-valid rows (conversation
+    boundaries masked out), and only (pair, count) partial rows leave the
+    merge: at most distinct-transitions x partitions, metadata scale
+    (the tool vocabulary is small by definition).  Driver fold sums
+    partials and takes the top-N — no second shuffle."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    plan = plan or scan_evolution_plan_distributed(events_path, spec)
+    merge_fn = make_lww_merge(plan.schema_at(), plan.keys())
+    ev = normalized_events(
+        events_path,
+        base_path,
+        plan=plan,
+        num_partitions=num_partitions,
+        **kwargs,
+    )
+
+    part_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("n", pa.int64())]
+    )
+
+    def merge_then_count(t: pa.Table) -> pa.Table:
+        merged = merge_fn(t)  # key-sorted: (conv_id asc, turn_idx asc)
+        n_rows = len(merged)
+        if n_rows == 0:
+            return part_schema.empty_table()
+        conv = merged["conv_id"].combine_chunks().cast(pa.string())
+        tool_col = "tool_name" if "tool_name" in merged.column_names else "tool"
+        tool = merged[tool_col].combine_chunks().cast(pa.string())
+        valid = pc.is_valid(tool).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(valid)
+        if len(idx) < 2:
+            return part_schema.empty_table()
+        # consecutive tool calls within the SAME conversation: adjacent
+        # tool-valid rows whose conv matches
+        conv_np = conv.to_numpy(zero_copy_only=False)
+        same_conv = conv_np[idx[1:]] == conv_np[idx[:-1]]
+        src_i = idx[:-1][same_conv]
+        dst_i = idx[1:][same_conv]
+        if not len(src_i):
+            return part_schema.empty_table()
+        tool_np = tool.to_numpy(zero_copy_only=False)
+        pairs = pd.DataFrame({"src": tool_np[src_i], "dst": tool_np[dst_i]})
+        g = pairs.groupby(["src", "dst"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "src": pa.array(g["src"].to_numpy(dtype=object), pa.string()),
+                "dst": pa.array(g["dst"].to_numpy(dtype=object), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    parts = (
+        ev.groupby("partition_id")
+        .map_groups(merge_then_count, batch_format="pyarrow")
+        .to_pandas()  # transitions x partitions — metadata scale
+    )
+    out = (
+        parts.groupby(["src", "dst"], as_index=False)["n"]
+        .sum()
+        .sort_values(["n", "src", "dst"], ascending=[False, True, True])
+        .head(top)
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def replay_from_normalized(
     feed: ray.data.Dataset,
     plan: EvolutionPlan,

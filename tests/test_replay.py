@@ -361,6 +361,39 @@ def test_transcript_piece_render_matches_bruteforce(paths, expected):
     assert (rejoined.to_numpy() == whole.to_numpy()).all()
 
 
+def test_transcript_tool_transitions_matches_bruteforce(paths, expected):
+    """Fused-merge transition partials == pandas shifted-pair recomputation
+    over the oracle final state."""
+    from tapdata_connectors_ray.pipelines.replay import (
+        TOOL_TRANSITION_TOP,
+        transcript_tool_transitions,
+    )
+
+    exp_df = expected.to_pandas().sort_values(["conv_id", "turn_idx"])
+    tool_col = "tool_name" if "tool_name" in exp_df.columns else "tool"
+    tl = exp_df[exp_df[tool_col].notna()]
+    same = tl["conv_id"].to_numpy()[1:] == tl["conv_id"].to_numpy()[:-1]
+    src = tl[tool_col].to_numpy()[:-1][same]
+    dst = tl[tool_col].to_numpy()[1:][same]
+    exp = (
+        pd.DataFrame({"src": src, "dst": dst})
+        .groupby(["src", "dst"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["n", "src", "dst"], ascending=[False, True, True])
+        .head(TOOL_TRANSITION_TOP)
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+
+    ev, base = paths
+    got = transcript_tool_transitions(ev, base, num_partitions=16).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+    assert got["n"].sum() > 0
+
+
 def test_footer_probe_distributed_past_threshold(ray_session, tmp_path):
     """At 5k segments the footer probe (row counts + LSN bounds) must fan
     out as Ray tasks, not a serial driver loop, and agree exactly with the
