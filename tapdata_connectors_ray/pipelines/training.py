@@ -2829,7 +2829,12 @@ CC_INC_EPOCHS = 3
 
 
 def q_dedup_cc_incremental(
-    sf_dir: str, n_epochs: int = CC_INC_EPOCHS, pair_cap: int | None = None
+    sf_dir: str,
+    n_epochs: int = CC_INC_EPOCHS,
+    pair_cap: int | None = None,
+    ledger_dir: str | None = None,
+    start_epoch: int = 0,
+    end_epoch: int | None = None,
 ) -> Any:
     """INCREMENTAL connected components: the dup-pair graph arrives in
     epochs (here: the Jaccard pair set deterministically split 3 ways) and
@@ -2874,8 +2879,16 @@ def q_dedup_cc_incremental(
             }
         )
 
+    # the label set IS the checkpoint: with a ledger_dir each epoch commits
+    # labels as parquet (epoch-<k>), and start_epoch>0 resumes from the
+    # previous epoch's committed labels — a crashed fold re-runs only its
+    # own epoch, never the history (tested by the resume unit test)
     labels = None
-    for ep in range(n_epochs):
+    if ledger_dir is not None and start_epoch > 0:
+        labels = ray.data.read_parquet(
+            os.path.join(ledger_dir, f"epoch-{start_epoch - 1}")
+        ).materialize()
+    for ep in range(start_epoch, n_epochs if end_epoch is None else end_epoch):
         edges = epoch_slice(ep)
         if labels is not None:
             edges = edges.union(
@@ -2886,6 +2899,8 @@ def q_dedup_cc_incremental(
         labels = connected_components(
             edges.materialize(), num_partitions=n_join, pair_cap=cap
         ).materialize()
+        if ledger_dir is not None:
+            labels.write_parquet(os.path.join(ledger_dir, f"epoch-{ep}"))
 
     # same output shape as the batch CC query: (doc_id, component, csize)
     def size_fold(df: pd.DataFrame) -> pa.Table:

@@ -667,6 +667,30 @@ def test_connected_components_matches_oracle(ray_session):
     assert (exp["csize"] >= 2).all()  # every node in the pair graph has a peer
 
 
+def test_cc_incremental_resumes_from_ledger(ray_session, tmp_path):
+    """Crash-resume: fold epochs 0-1 with a label ledger, then a FRESH call
+    resumes at epoch 2 from the committed labels — result equals the
+    uninterrupted fold and the batch CC."""
+    from tapdata_connectors_ray.pipelines.training import (
+        CC_INC_EPOCHS,
+        q_dedup_cc_incremental,
+        q_dedup_connected_components,
+    )
+
+    led = str(tmp_path / "cc_ledger")
+    # run only epochs 0..n-2 (simulated crash before the last epoch); the
+    # epoch-split modulus stays n_epochs so resume sees the same slices
+    partial = q_dedup_cc_incremental(
+        SF, ledger_dir=led, end_epoch=CC_INC_EPOCHS - 1
+    ).to_pandas()
+    assert len(partial)  # epochs committed
+    resumed = q_dedup_cc_incremental(
+        SF, ledger_dir=led, start_epoch=CC_INC_EPOCHS - 1
+    ).to_pandas()
+    batch = q_dedup_connected_components(SF).to_pandas()
+    assert _frames_equal(resumed, batch)
+
+
 def test_cc_incremental_equals_batch(ray_session):
     """Epoch-folded label ledger == one-shot CC on the full pair graph
     (incremental == batch, the module's ledger invariant)."""
