@@ -78,6 +78,7 @@ _RUN_FIRST = (
     "search_hybrid_rrf",
     "transcript_piece_render",
     "transcript_tool_transitions",
+    "vocab_top_df_incremental",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

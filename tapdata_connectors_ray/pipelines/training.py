@@ -2548,9 +2548,27 @@ def q_vocab_top_df(sf_dir: str, hash_mode: str = "oracle") -> Any:
     ~100x slower in Ray's sort path); the token string rides alongside —
     a 64-bit digest collision between two distinct corpus tokens would
     merge their rows, negligible below ~2^32 distinct tokens."""
-    from tapdata_connectors_ray.functions.texthash import TokenHasher
+    vocab = (
+        _docs(sf_dir)
+        .map_batches(
+            _vocab_partial_fn(hash_mode),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("khash")
+        .map_groups(_vocab_fold, batch_format="pandas")
+        .to_pandas()  # vocabulary scale
+    )
+    return (
+        vocab.sort_values(["df", "tok"], ascending=[False, True])
+        .head(VOCAB_TOP)
+        .reset_index(drop=True)
+    )
 
-    hasher_mode = hash_mode
+
+def _vocab_partial_fn(hasher_mode: str):
+    """Per-block DF partial: within-block per-doc token dedup + pre-sum."""
+    from tapdata_connectors_ray.functions.texthash import TokenHasher
 
     def partial(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -2586,24 +2604,57 @@ def q_vocab_top_df(sf_dir: str, hash_mode: str = "oracle") -> Any:
             }
         )
 
-    def fold(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("tok", sort=False)["n"].sum()
-        return pa.table(
-            {
-                "tok": pa.array(g.index.to_numpy(dtype=object), pa.string()),
-                "df": pa.array(g.to_numpy(np.int64), pa.int64()),
-            }
-        )
+    return partial
 
-    vocab = (
-        _docs(sf_dir)
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("khash")
-        .map_groups(fold, batch_format="pandas")
-        .to_pandas()  # vocabulary scale
+
+def _vocab_fold(df: pd.DataFrame) -> pa.Table:
+    g = df.groupby("tok", sort=False)["n"].sum()
+    return pa.table(
+        {
+            "tok": pa.array(g.index.to_numpy(dtype=object), pa.string()),
+            "df": pa.array(g.to_numpy(np.int64), pa.int64()),
+        }
     )
+
+
+VOCAB_INC_EPOCHS = 3
+
+
+def q_vocab_top_df_incremental(
+    sf_dir: str, hash_mode: str = "oracle", n_epochs: int = VOCAB_INC_EPOCHS
+) -> Any:
+    """INCREMENTAL vocabulary builder: the corpus arrives in epochs
+    (doc_id % n split) and each epoch's document-frequency partials fold
+    ADDITIVELY into a vocab ledger — DF is a plain sum, so an epoch's fold
+    reads only that epoch's documents plus the vocab-scale ledger frame,
+    never the historical corpus (the module's ledger invariant applied to
+    tokenizer training).  top-V from the ledger == the batch vocabulary —
+    the same oracle as `vocab_top_df`."""
+    partial = _vocab_partial_fn(hash_mode)
+    ledger: pd.DataFrame | None = None
+    for ep in range(n_epochs):
+
+        def pick(batch: pa.Table, ep: int = ep) -> pa.Table:
+            ids = batch["doc_id"].to_numpy().astype(np.int64)
+            return batch.filter(pa.array((ids % n_epochs) == ep))
+
+        vocab_ep = (
+            _docs(sf_dir)
+            .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("khash")
+            .map_groups(_vocab_fold, batch_format="pandas")
+            .to_pandas()  # vocabulary scale
+        )
+        ledger = (
+            vocab_ep
+            if ledger is None
+            else pd.concat([ledger, vocab_ep])
+            .groupby("tok", as_index=False)["df"]
+            .sum()
+        )
     return (
-        vocab.sort_values(["df", "tok"], ascending=[False, True])
+        ledger.sort_values(["df", "tok"], ascending=[False, True])
         .head(VOCAB_TOP)
         .reset_index(drop=True)
     )
@@ -3986,6 +4037,8 @@ WITH tok AS (
 SELECT tok, CAST(df AS BIGINT) AS df FROM df
 ORDER BY df DESC, tok LIMIT {VOCAB_TOP}
 """
+# additive DF ledger fold == batch vocabulary
+TRAINING_SQL["vocab_top_df_incremental"] = TRAINING_SQL["vocab_top_df"]
 
 
 # corpus-weighted keyword relevance: integer rarity weight w(t) = N - df(t) + 1
@@ -4124,6 +4177,7 @@ def training_queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_epoch_order": q_shuffle_epoch_order,
         "quality_classifier_scores": q_quality_classifier_scores,
         "vocab_top_df": q_vocab_top_df,
+        "vocab_top_df_incremental": q_vocab_top_df_incremental,
         "text_relevance_topk": q_text_relevance_topk,
         "text_repetition_scores": q_text_repetition_scores,
         "text_decontaminate": q_text_decontaminate,

@@ -667,6 +667,21 @@ def test_connected_components_matches_oracle(ray_session):
     assert (exp["csize"] >= 2).all()  # every node in the pair graph has a peer
 
 
+def test_vocab_incremental_equals_batch_both_modes(ray_session):
+    """Additive DF ledger fold == one-shot vocabulary in BOTH hash modes."""
+    from tapdata_connectors_ray.pipelines.training import (
+        q_vocab_top_df,
+        q_vocab_top_df_incremental,
+    )
+
+    for mode in ("oracle", "engine"):
+        inc = q_vocab_top_df_incremental(SF, hash_mode=mode)
+        batch = q_vocab_top_df(SF, hash_mode=mode)
+        pd.testing.assert_frame_equal(
+            inc.reset_index(drop=True), batch.reset_index(drop=True)
+        )
+
+
 def test_cc_incremental_resumes_from_ledger(ray_session, tmp_path):
     """Crash-resume: fold epochs 0-1 with a label ledger, then a FRESH call
     resumes at epoch 2 from the committed labels — result equals the
