@@ -68,8 +68,10 @@ _RUN_FIRST = (
     "vocab_top_df",
     "json_props_agg",
     "dedup_cluster_representatives",
+    "dedup_cluster_representatives_stress",
     "text_relevance_topk",
     "dedup_cc_incremental",
+    "dedup_cc_incremental_stress",
     "transcript_quality_gate",
     "transcript_tool_sequences",
     "transcript_piece_packing",
