@@ -81,6 +81,9 @@ _RUN_FIRST = (
     "transcript_piece_render",
     "transcript_tool_transitions",
     "vocab_top_df_incremental",
+    "cdc_scd2_history",
+    "cdc_change_data_feed",
+    "cdc_retention_forget",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

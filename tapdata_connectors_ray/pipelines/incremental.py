@@ -890,6 +890,112 @@ class CheckpointedIngest:
                     pass
         return self.ingest(events_path, base_path)
 
+    def forget_keys(self, values: list, column: str | None = None) -> Manifest:
+        """Retention / right-to-be-forgotten delete: physically remove every
+        row whose partition-key ``column`` is in ``values`` from the lake —
+        rewriting ONLY the partitions those keys hash to (the GDPR-delete
+        shape of Delta `DELETE WHERE` + VACUUM; reference analogue: the
+        plain DML delete path, ``CommonDbConnector.java`` ``writeRecord``
+        delete branch — but here as a lake-file rewrite, because a
+        tombstone is not erasure).
+
+        Scale shape: affected partitions come from HASHING the key list
+        (never scanning the lake); each affected partition's file stack is
+        rewritten file-by-file in one Ray task per partition with only that
+        partition's key subset shipped.  Untouched partitions keep their
+        exact files.  Tombstones for forgotten keys are dropped too (they
+        name the subject).  The rewrite commits as one epoch via the same
+        manifest CAS; superseded files are GC'd after the swap, and a
+        ``vacuum`` erases them from older retained history."""
+        from tapdata_connectors_ray.functions.hashing import partition_ids_for
+
+        plan = self.committed_plan()
+        column = column or plan.partition_columns()[0]
+        vals = pd.Series(values).drop_duplicates()
+        key_t = pa.table({column: pa.array(vals, pa.string())})
+        pids = partition_ids_for(key_t, [column], self.num_partitions)
+        by_pid: dict[int, list] = {}
+        for v, p in zip(vals, pids):
+            by_pid.setdefault(int(p), []).append(v)
+        items = [
+            {"pid": pid, "forget": keys,
+             "files": list(self.manifest.partitions[pid].files),
+             "vers": self.manifest.partitions[pid].versions()}
+            for pid, keys in sorted(by_pid.items())
+            if pid in self.manifest.partitions and self.manifest.partitions[pid].files
+        ]
+        if not items:
+            return self.manifest
+        epoch = self.manifest.epoch + 1
+        plan_json = plan.to_json()
+        spec_json = self.spec.to_json()
+        lake_dir = self.lake_dir
+
+        def forget_one(batch: pd.DataFrame) -> pa.Table:
+            import pyarrow.compute as pc
+
+            plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
+            rows = []
+            for _, row in batch.iterrows():
+                pid = int(row["pid"])
+                forget = pa.array(list(row["forget"]), pa.string())
+                new_files, new_vers, dropped, kept_rows = [], [], 0, 0
+                for f, v in zip(row["files"], row["vers"]):
+                    t = _lake_file_to_table(f, plan_l, int(v))
+                    keep = pc.invert(pc.is_in(t[column], value_set=forget))
+                    out_t = t.filter(keep)
+                    dropped += len(t) - len(out_t)
+                    base = os.path.basename(f)
+                    stem = base[: -len(".parquet")]
+                    out = os.path.join(
+                        partition_dir(lake_dir, pid), f"{stem}-f{epoch:06d}.parquet"
+                    )
+                    atomic_put_parquet(out_t, out)
+                    new_files.append(out)
+                    new_vers.append(plan_l.latest_version)
+                    kept_rows += len(out_t)
+                rows.append(
+                    {"partition_id": pid, "files": new_files, "vers": new_vers,
+                     "rows": kept_rows, "dropped": dropped}
+                )
+            return pa.Table.from_pylist(rows)
+
+        results = (
+            ray.data.from_items(items)
+            .map_batches(forget_one, batch_format="pandas", batch_size=1)
+            .take_all()
+        )
+        new = Manifest(
+            num_partitions=self.num_partitions,
+            epoch=epoch,
+            schema_version=plan.latest_version,
+            ddl_history=plan.to_json(),
+            table_spec=self.spec.to_json(),
+            partitions=dict(self.manifest.partitions),
+        )
+        superseded: list[str] = []
+        for r in results:
+            pid = int(r["partition_id"])
+            old = self.manifest.partitions[pid]
+            superseded.extend(old.files)
+            new.partitions[pid] = PartitionState(
+                applied_lsn=old.applied_lsn,
+                files=list(r["files"]),
+                file_versions=[int(v) for v in r["vers"]],
+                rows=int(r["rows"]),
+                schema_version=plan.latest_version,
+                lineage={**old.lineage, "retention_epoch": epoch,
+                         "forgotten_rows": int(r["dropped"])},
+            )
+        commit_manifest(self.lake_dir, new, expected_epoch=new.epoch - 1)
+        self.manifest = new
+        for f in superseded:  # invisible after the swap; best-effort GC
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        return new
+
     def vacuum(self, retain_last: int = 2) -> dict:
         """Lake vacuum — the Hudi cleaner / Delta VACUUM analogue: drop
         history manifests beyond the newest ``retain_last`` and delete every

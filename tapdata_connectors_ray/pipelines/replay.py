@@ -414,6 +414,217 @@ def replay_final_state(
     )
 
 
+def _dedup_sorted_frame(t: pa.Table, keys: list[str]):
+    """Shared narrow-index scaffold for the history-shaped merges: dedup
+    verbatim replays by (lsn, keys) keep-first, stable-sort by (keys, lsn).
+    Returns (df, take_idx) where ``take_idx`` maps sorted rows back to ``t``
+    positions (payload attaches later via zero-copy-ish ``take``, the
+    ``lww_keep_indices`` pattern — the wide text column never enters pandas)."""
+    import pandas as pd
+
+    cols = {k: t[k].to_numpy(zero_copy_only=False) for k in keys}
+    df = pd.DataFrame(
+        {**cols, "__lsn": t["lsn"].to_numpy(),
+         "__op": t["op"].to_numpy(zero_copy_only=False)}
+    )
+    df = df.drop_duplicates(["__lsn", *keys], keep="first")
+    df = df.sort_values([*keys, "__lsn"], kind="stable")
+    return df, df.index.to_numpy()
+
+
+def _same_next_key(df, keys: list[str]) -> np.ndarray:
+    """Boolean per sorted row: does the NEXT row belong to the same key?
+    (null-safe — None==None, matching the no-PK fallback's key semantics)."""
+    import pandas as pd
+
+    n = len(df)
+    same = np.zeros(n, dtype=bool)
+    if n > 1:
+        sm = np.ones(n - 1, dtype=bool)
+        for k in keys:
+            v = df[k].to_numpy()
+            na = pd.isna(v)
+            with np.errstate(invalid="ignore"):
+                eq = v[1:] == v[:-1]
+            sm &= np.asarray(eq, dtype=bool) | (na[1:] & na[:-1])
+        same[:-1] = sm
+    return same
+
+
+def scd2_history(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    plan: EvolutionPlan | None = None,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Slowly-Changing-Dimension Type 2 replay: instead of collapsing each
+    key to its last writer, every distinct change event opens a VERSION row
+    ``[valid_from, valid_to)`` in LSN coordinates — the audit/history sink a
+    CDC user points at a warehouse dimension table (reference precedent:
+    the before/after images every ``TapUpdateRecordEvent`` carries,
+    ``tapdata-pdk-api/.../TapUpdateRecordEvent.java``, which exist precisely
+    so targets can keep row history).
+
+    Semantics: per key in LSN order (verbatim duplicate replays dropped —
+    the exactly-once ledger applies to history sinks too), each non-delete
+    event yields one row with ``valid_from = lsn`` and ``valid_to`` = the
+    key's next change LSN (NULL while current); a DELETE closes the prior
+    version and emits nothing.  Key-changing updates close the before-image
+    key's version via the synthetic tombstone normalize already emits.
+
+    Scale shape: identical to the flagship replay — ONE keyed shuffle, and
+    the versioning is a narrow-index pass (keys + lsn + op) inside the merge
+    group; the wide payload attaches via ``take``.  No pre-reduce: history
+    keeps every event, so the shuffle carries the full deduped log (that is
+    the operator's output size, not overhead)."""
+    plan = plan or scan_evolution_plan_distributed(events_path, spec)
+    keys = plan.keys()
+    payload_schema = plan.schema_at()
+    payload_names = payload_schema.names
+    out_schema = pa.schema(
+        [*payload_schema,
+         ("valid_from", pa.int64()), ("valid_to", pa.int64()),
+         ("is_current", pa.int64())]
+    )
+
+    ev = normalized_events(
+        events_path, base_path, plan=plan, num_partitions=num_partitions,
+        prereduce=False, **kwargs,
+    )
+
+    def scd2_group(t: pa.Table) -> pa.Table:
+        df, take_idx = _dedup_sorted_frame(t, keys)
+        n = len(df)
+        if n == 0:
+            return out_schema.empty_table()
+        lsn = df["__lsn"].to_numpy()
+        same_next = _same_next_key(df, keys)
+        # valid_to = next lsn within the key run; -1 encodes NULL (current)
+        nxt = np.empty(n, dtype=np.int64)
+        nxt[:-1] = lsn[1:]
+        nxt[-1] = -1
+        valid_to = np.where(same_next, nxt, -1)
+        keep = df["__op"].to_numpy() != "D"
+        out = t.select(payload_names).take(np.asarray(take_idx[keep]))
+        for f in payload_schema:
+            if not out.schema.field(f.name).type.equals(f.type):
+                i = out.schema.get_field_index(f.name)
+                out = out.set_column(i, f.name, out[f.name].cast(f.type, safe=True))
+        vt = valid_to[keep]
+        out = out.append_column("valid_from", pa.array(lsn[keep], pa.int64()))
+        out = out.append_column("valid_to", pa.array(vt, pa.int64(), mask=vt < 0))
+        out = out.append_column(
+            "is_current", pa.array((vt < 0).astype(np.int64), pa.int64())
+        )
+        return out
+
+    return ev.groupby("partition_id").map_groups(scd2_group, batch_format="pyarrow")
+
+
+def change_data_feed(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    from_lsn: int,
+    plan: EvolutionPlan | None = None,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Change-data-feed read: the row-level NET delta between the lake state
+    AS OF ``from_lsn`` and the current state — one row per key whose live
+    image changed, tagged ``op_cdf`` ∈ {I, U, D} (Delta CDF / Hudi
+    incremental-query shape; the downstream-consumer face of the same
+    timeline ``dataset_at`` exposes for time travel).
+
+    I/U rows carry the post-image, D rows the pre-image (what a downstream
+    sink needs to retract).  Keys whose intermediate churn cancels out
+    (UPDATE back to the same payload, INSERT then DELETE) emit nothing —
+    this is the *net* feed, the semantics a downstream MERGE wants.
+
+    Scale shape: ONE keyed shuffle of the full log (no pre-reduce: both
+    endpoint winners are needed), then a narrow-index two-winner scan per
+    partition group — winner-at-``from_lsn`` via a masked ``reduceat`` over
+    key runs, winner-now = run tail; payloads attach via ``take`` and the
+    pre/post diff is column-wise Arrow compute, never per-row Python."""
+    import pyarrow.compute as pc
+
+    plan = plan or scan_evolution_plan_distributed(events_path, spec)
+    keys = plan.keys()
+    payload_schema = plan.schema_at()
+    payload_names = payload_schema.names
+    out_schema = pa.schema([("op_cdf", pa.string()), *payload_schema])
+    non_key = [n for n in payload_names if n not in keys]
+
+    ev = normalized_events(
+        events_path, base_path, plan=plan, num_partitions=num_partitions,
+        prereduce=False, **kwargs,
+    )
+
+    def cdf_group(t: pa.Table) -> pa.Table:
+        df, take_idx = _dedup_sorted_frame(t, keys)
+        n = len(df)
+        if n == 0:
+            return out_schema.empty_table()
+        lsn = df["__lsn"].to_numpy()
+        op = df["__op"].to_numpy()
+        same_next = _same_next_key(df, keys)
+        starts = np.concatenate(([0], np.flatnonzero(~same_next[:-1]) + 1)) \
+            if n > 1 else np.array([0], dtype=np.int64)
+        ends = np.append(starts[1:], n) - 1  # winner-now per key run
+        pos = np.arange(n, dtype=np.int64)
+        cand = np.where(lsn <= from_lsn, pos, -1)
+        w1 = np.maximum.reduceat(cand, starts)  # -1: key absent at from_lsn
+        w2 = ends
+        alive1 = (w1 >= 0) & (op[np.maximum(w1, 0)] != "D")
+        alive2 = op[w2] != "D"
+        ins = ~alive1 & alive2
+        dele = alive1 & ~alive2
+        both = alive1 & alive2
+        # payload diff (IS DISTINCT FROM any non-key column), Arrow-native
+        upd = np.zeros(0, dtype=np.int64)
+        if both.any():
+            i1 = np.asarray(take_idx[w1[both]])
+            i2 = np.asarray(take_idx[w2[both]])
+            diff = np.zeros(len(i1), dtype=bool)
+            for name in non_key:
+                a = t[name].take(i1)
+                b = t[name].take(i2)
+                neq = pc.fill_null(pc.not_equal(a, b), False).to_numpy(
+                    zero_copy_only=False
+                )
+                one_null = pc.xor(pc.is_null(a), pc.is_null(b)).to_numpy(
+                    zero_copy_only=False
+                )
+                diff |= np.asarray(neq, dtype=bool) | np.asarray(one_null, dtype=bool)
+            upd = np.flatnonzero(both)[diff]
+
+        def image(rows_sorted: np.ndarray, tag: str) -> pa.Table:
+            sel = np.asarray(take_idx[rows_sorted])
+            out = t.select(payload_names).take(sel)
+            for f in payload_schema:
+                if not out.schema.field(f.name).type.equals(f.type):
+                    i = out.schema.get_field_index(f.name)
+                    out = out.set_column(i, f.name, out[f.name].cast(f.type, safe=True))
+            tags = pa.array(np.full(len(sel), tag, dtype=object), pa.string())
+            return pa.table(
+                {"op_cdf": tags, **{n: out[n] for n in payload_names}},
+                schema=out_schema,
+            )
+
+        parts = [image(w2[ins], "I")]
+        if len(upd):
+            parts.append(image(w2[upd], "U"))
+        parts.append(image(w1[dele], "D"))
+        parts = [p for p in parts if p.num_rows]
+        return pa.concat_tables(parts) if parts else out_schema.empty_table()
+
+    return ev.groupby("partition_id").map_groups(cdf_group, batch_format="pyarrow")
+
+
 def render_transcripts(
     events_path: str | list[str],
     base_path: str | list[str] | None = None,

@@ -785,3 +785,57 @@ def test_push_tail_crash_windows_lose_nothing(paths, expected, tmp_path):
     _ray.get(receiver2.push.remote(events.slice(half)))
     assert t2.consume_once() == 1
     assert_lake_matches(t2.ingest, expected)
+
+
+def test_forget_keys_rewrites_only_affected_partitions(
+    ray_session, paths, expected, lake_dir
+):
+    """Retention delete: (a) result == final state minus the forgotten
+    conversations; (b) partitions no forgotten key hashes to keep their
+    EXACT file lists (the rewrite is hash-pruned, not a lake scan);
+    (c) the forget lands as its own epoch with lineage, and vacuum erases
+    the superseded files."""
+    import os
+
+    from tapdata_connectors_ray.functions.hashing import partition_ids
+
+    ev, base = paths
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing.ingest(ev, base)
+    before = {pid: list(st.files) for pid, st in ing.manifest.partitions.items()}
+    epoch_before = ing.manifest.epoch
+
+    forget = [f"conv-{i:08d}" for i in range(5, 400, 37)]
+    m = ing.forget_keys(forget)
+    assert m.epoch == epoch_before + 1
+
+    affected = set(partition_ids(pd.Series(forget).to_numpy(), 16).tolist())
+    for pid, files in before.items():
+        st = m.partitions[pid]
+        if pid in affected:
+            assert list(st.files) != files
+            assert st.lineage.get("retention_epoch") == m.epoch
+        else:
+            assert list(st.files) == files
+
+    got = ing.final_dataset().to_pandas()
+    assert not got["conv_id"].isin(set(forget)).any()
+    exp = expected.to_pandas()
+    exp = exp[~exp["conv_id"].isin(set(forget))]
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got["turn_score"] = got["turn_score"].astype("Int64")
+    exp["turn_score"] = exp["turn_score"].astype("Int64")
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+    # idempotent: forgetting the same keys again is a no-op commit-wise
+    m2 = ing.forget_keys(forget)
+    assert m2.epoch == m.epoch + 1  # rewrite still commits (files existed)
+
+    # superseded pre-forget files are GC'd at latest; vacuum purges history
+    ing.vacuum(retain_last=1)
+    live = set(ing.manifest.all_files())
+    for pid in affected:
+        for f in before[pid]:
+            assert f not in live
+            assert not os.path.exists(f)

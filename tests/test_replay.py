@@ -432,3 +432,74 @@ def test_footer_probe_distributed_past_threshold(ray_session, tmp_path):
     small = paths[: replay.FOOTER_PROBE_DRIVER_MAX_FILES]
     assert replay.footer_stats(small) == replay._probe_footers(small)
     assert replay._LAST_FOOTER_PROBE_MODE == "driver"
+
+
+def test_scd2_history_versions(paths, expected):
+    """SCD Type 2 invariants on the smoke fixture: (a) the is_current=1
+    slice equals the LWW final state; (b) per key, versions chain —
+    valid_from strictly increasing and each valid_to equals the next
+    version's valid_from when the next version exists at the same key."""
+    from tapdata_connectors_ray.pipelines.replay import scd2_history
+
+    ev, base = paths
+    hist = scd2_history(ev, base, num_partitions=16).to_pandas()
+    assert (hist["is_current"] == (hist["valid_to"].isna()).astype("int64")).all()
+
+    import ray
+
+    cur = hist[hist["is_current"] == 1][
+        ["conv_id", "turn_idx", "role", "text", "tool_name", "turn_score", "ts"]
+    ]
+    # current slice == final state (keys whose last event is a delete have
+    # no current version at all, matching the final state's absence)
+    assert_matches(ray.data.from_pandas(cur.reset_index(drop=True)), expected)
+
+    hist = hist.sort_values(["conv_id", "turn_idx", "valid_from"])
+    g = hist.groupby(["conv_id", "turn_idx"], sort=False)
+    assert (g["valid_from"].diff().dropna() > 0).all()
+    # chain: within a key, a non-null valid_to is ≥ its own valid_from and
+    # ≤ the next version's valid_from (a D event in between may end the
+    # version strictly before the next one opens)
+    nxt = g["valid_from"].shift(-1)
+    closed = hist["valid_to"].notna()
+    assert (hist.loc[closed, "valid_to"] > hist.loc[closed, "valid_from"]).all()
+    has_next = nxt.notna()
+    both = closed & has_next
+    assert (hist.loc[both, "valid_to"] <= nxt[both]).all()
+
+
+def test_change_data_feed_applies_to_snapshot(paths):
+    """Applying the CDF delta (I=insert, U=replace, D=remove) to the state
+    AS OF the cut LSN must reproduce the final state exactly."""
+    import pyarrow.compute as pc
+
+    from tapdata_connectors_ray.pipelines.replay import change_data_feed, lsn_bounds
+
+    ev, base = paths
+    _, hi = lsn_bounds(ev)
+    cut = hi * 23 // 25
+    ev_t = pq.read_table(ev)
+    s1 = expected_final_state(
+        pq.read_table(base), ev_t.filter(pc.less_equal(ev_t["lsn"], cut))
+    ).to_pandas()
+    s2 = expected_final_state(pq.read_table(base), ev_t).to_pandas()
+
+    cdf = change_data_feed(ev, base, from_lsn=cut, num_partitions=16).to_pandas()
+    assert set(cdf["op_cdf"]) <= {"I", "U", "D"}
+    assert len(cdf) > 0  # the tail of the log genuinely changes state
+
+    keyed = lambda df: df.set_index(["conv_id", "turn_idx"])
+    state = keyed(s1)
+    dele = cdf[cdf["op_cdf"] == "D"]
+    state = state.drop(index=keyed(dele).index)
+    up = keyed(cdf[cdf["op_cdf"].isin(["I", "U"])].drop(columns="op_cdf"))
+    state = pd.concat([state.drop(index=up.index, errors="ignore"), up])
+    got = state.reset_index().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = s2.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got = got[exp.columns]
+    for c in ("turn_score",):
+        got[c] = got[c].astype("Int64")
+        exp[c] = exp[c].astype("Int64")
+    got["turn_idx"] = got["turn_idx"].astype("Int32")
+    exp["turn_idx"] = exp["turn_idx"].astype("Int32")
+    pd.testing.assert_frame_equal(got, exp)
