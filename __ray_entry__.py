@@ -84,6 +84,7 @@ _RUN_FIRST = (
     "cdc_scd2_history",
     "cdc_change_data_feed",
     "cdc_retention_forget",
+    "cdc_cdf_between_epochs",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

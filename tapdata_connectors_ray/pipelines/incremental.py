@@ -890,6 +890,124 @@ class CheckpointedIngest:
                     pass
         return self.ingest(events_path, base_path)
 
+    def changes_between(self, from_epoch: int, to_epoch: int | None = None) -> ray.data.Dataset:
+        """Lake-native change-data-feed: the net I/U/D row delta between two
+        COMMITTED epochs, computed from the manifests alone — partitions
+        whose file lists are identical in both commits are PRUNED without
+        reading a byte (the Delta CDF / Hudi incremental-query economics:
+        diff cost tracks touched partitions, not lake size).
+
+        Per changed partition, both states merge from their own file stacks
+        (each file migrated per its recorded schema version, so a diff
+        across a DDL boundary compares in the newer schema) and the diff is
+        a key outer-join + Arrow column compare — post-image on I/U,
+        pre-image on D, silent on keys whose state is byte-equal even when
+        the epoch rewrote their partition file."""
+        m1 = load_manifest_at(self.lake_dir, from_epoch)
+        if m1 is None:
+            raise ValueError(f"epoch {from_epoch} was never committed in {self.lake_dir}")
+        m2 = self.manifest if to_epoch is None else load_manifest_at(self.lake_dir, to_epoch)
+        if m2 is None:
+            raise ValueError(f"epoch {to_epoch} was never committed in {self.lake_dir}")
+        plan = self.committed_plan(m2)
+        keys = plan.keys()
+        payload_schema = plan.schema_at()
+        payload_names = payload_schema.names
+        out_schema = pa.schema([("op_cdf", pa.string()), *payload_schema])
+
+        items = []
+        for pid in sorted(set(m1.partitions) | set(m2.partitions)):
+            s1 = m1.partitions.get(pid)
+            s2 = m2.partitions.get(pid)
+            f1 = list(s1.files) if s1 else []
+            f2 = list(s2.files) if s2 else []
+            if f1 == f2:
+                continue  # untouched partition: pruned, never read
+            items.append(
+                {"pid": pid, "files1": f1, "vers1": s1.versions() if s1 else [],
+                 "files2": f2, "vers2": s2.versions() if s2 else []}
+            )
+        if not items:
+            return ray.data.from_arrow(out_schema.empty_table())
+        plan_json = plan.to_json()
+        spec_json = self.spec.to_json()
+        non_key = [n for n in payload_names if n not in keys]
+
+        def diff_one(batch: pd.DataFrame) -> pa.Table:
+            import pyarrow.compute as pc
+
+            from tapdata_connectors_ray.stages.merge import lww_merge_tables
+
+            plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
+            out_sch = merged_schema(plan_l.schema_at())
+            outs = []
+
+            def state(files, vers) -> pa.Table:
+                if not files:
+                    return out_sch.empty_table()
+                missing = [f for f in files if not os.path.exists(f)]
+                if missing:
+                    # erasure/resync epochs GC superseded files at commit;
+                    # their pre-images are gone BY CONTRACT (a retention
+                    # delete that stayed CDF-readable would not be erasure)
+                    raise ValueError(
+                        "changes_between: epoch files erased by a later "
+                        f"retention/resync commit: {missing[:3]}"
+                    )
+                tables = [_lake_file_to_table(f, plan_l, int(v)) for f, v in zip(files, vers)]
+                return lww_merge_tables(tables, out_sch, keys)
+
+            def image(t: pa.Table, idx: np.ndarray, tag: str) -> pa.Table:
+                sel = t.select(payload_names).take(pa.array(idx, pa.int64()))
+                tags = pa.array(np.full(len(idx), tag, dtype=object), pa.string())
+                return pa.table(
+                    {"op_cdf": tags, **{n: sel[n] for n in payload_names}},
+                    schema=out_schema,
+                )
+
+            for _, row in batch.iterrows():
+                t1 = state(row["files1"], row["vers1"])
+                t2 = state(row["files2"], row["vers2"])
+                k1 = pd.DataFrame({k: t1[k].to_numpy(zero_copy_only=False) for k in keys})
+                k1["__p1"] = np.arange(len(k1))
+                k2 = pd.DataFrame({k: t2[k].to_numpy(zero_copy_only=False) for k in keys})
+                k2["__p2"] = np.arange(len(k2))
+                mg = k1.merge(k2, on=keys, how="outer")
+                ins = mg["__p1"].isna() & mg["__p2"].notna()
+                dele = mg["__p2"].isna() & mg["__p1"].notna()
+                both = mg["__p1"].notna() & mg["__p2"].notna()
+                if both.any():
+                    i1 = mg.loc[both, "__p1"].to_numpy(dtype=np.int64)
+                    i2 = mg.loc[both, "__p2"].to_numpy(dtype=np.int64)
+                    diff = np.zeros(len(i1), dtype=bool)
+                    for name in non_key:
+                        a = t1[name].take(pa.array(i1, pa.int64()))
+                        b = t2[name].take(pa.array(i2, pa.int64()))
+                        neq = pc.fill_null(pc.not_equal(a, b), False).to_numpy(
+                            zero_copy_only=False
+                        )
+                        one_null = pc.xor(pc.is_null(a), pc.is_null(b)).to_numpy(
+                            zero_copy_only=False
+                        )
+                        diff |= np.asarray(neq, bool) | np.asarray(one_null, bool)
+                    if diff.any():
+                        outs.append(image(t2, i2[diff], "U"))
+                if ins.any():
+                    outs.append(
+                        image(t2, mg.loc[ins, "__p2"].to_numpy(dtype=np.int64), "I")
+                    )
+                if dele.any():
+                    outs.append(
+                        image(t1, mg.loc[dele, "__p1"].to_numpy(dtype=np.int64), "D")
+                    )
+            if not outs:
+                return out_schema.empty_table()
+            return pa.concat_tables(outs)
+
+        return ray.data.from_items(items).map_batches(
+            diff_one, batch_format="pandas", batch_size=1
+        )
+
     def forget_keys(self, values: list, column: str | None = None) -> Manifest:
         """Retention / right-to-be-forgotten delete: physically remove every
         row whose partition-key ``column`` is in ``values`` from the lake —

