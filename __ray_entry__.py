@@ -85,6 +85,7 @@ _RUN_FIRST = (
     "cdc_change_data_feed",
     "cdc_retention_forget",
     "cdc_cdf_between_epochs",
+    "cdc_scd2_incremental",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -890,6 +890,272 @@ class CheckpointedIngest:
                     pass
         return self.ingest(events_path, base_path)
 
+    def scd2_apply_epoch(
+        self,
+        events_path: str | list[str],
+        base_path: str | list[str] | None = None,
+        *,
+        end_lsn: int | None = None,
+    ) -> Manifest:
+        """One epoch of the INCREMENTAL SCD Type 2 history sink: the epoch's
+        events close the currently-open versions of exactly the keys they
+        touch and append the epoch's own closed/open version chains — the
+        history analogue of the LWW ingest, with the same exactly-once
+        machinery (watermark drop, manifest CAS, idempotent file names).
+
+        Ledger layout per partition: immutable ``hist-{epoch}`` files hold
+        CLOSED versions (append-only — an epoch never rewrites history) and
+        one ``open-{epoch}`` file holds the current open set, rewritten only
+        when the partition is touched.  Epoch cost therefore tracks the
+        epoch's events + open-set size, never the accumulated history — the
+        property that makes a 10^10-event history sink ingestible.  The
+        union of all files read back equals the batch ``scd2_history`` (same
+        DuckDB oracle)."""
+        from tapdata_connectors_ray.pipelines.replay import (
+            _dedup_sorted_frame,
+            _same_next_key,
+            normalized_events,
+            scan_evolution_plan_distributed,
+        )
+
+        plan = scan_evolution_plan_distributed(events_path, self.spec)
+        if self.manifest.ddl_history:
+            plan = EvolutionPlan.from_json(
+                self.manifest.ddl_history, spec=self.spec
+            ).merged_with(plan)
+        if end_lsn is not None:
+            plan = EvolutionPlan(
+                changes=[c for c in plan.changes if c.lsn <= end_lsn],
+                base_version=plan.base_version,
+                spec=plan.spec,
+            )
+        keys = plan.keys()
+        payload_schema = plan.schema_at()
+        payload_names = payload_schema.names
+        hist_schema = pa.schema(
+            [*payload_schema,
+             ("valid_from", pa.int64()), ("valid_to", pa.int64()),
+             ("is_current", pa.int64())]
+        )
+
+        wm_ref = ray.put(self.manifest.watermarks())
+        ev = normalized_events(
+            events_path,
+            base_path,
+            plan=plan,
+            num_partitions=self.num_partitions,
+            prereduce=False,
+            watermarks=wm_ref,
+            base_watermarks=wm_ref,
+            batch_size=self.batch_size,
+            max_lsn=end_lsn,
+        )
+        epoch = self.manifest.epoch + 1
+        prev = {
+            pid: (list(st.files), st.versions())
+            for pid, st in self.manifest.partitions.items()
+        }
+        plan_json = plan.to_json()
+        spec_json = self.spec.to_json()
+        lake_dir = self.lake_dir
+
+        def apply_group(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc  # noqa: F401  (parity with sibling closures)
+
+            plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
+            pid = int(t["partition_id"][0].as_py())
+            df, take_idx = _dedup_sorted_frame(t, keys)
+            n = len(df)
+            lsn = df["__lsn"].to_numpy()
+            op = df["__op"].to_numpy()
+            same_next = _same_next_key(df, keys)
+            nxt = np.empty(n, dtype=np.int64)
+            if n:
+                nxt[:-1] = lsn[1:]
+                nxt[-1] = -1
+            valid_to = np.where(same_next, nxt, -1)
+            keep = op != "D"
+
+            def versions_of(mask: np.ndarray, vt: np.ndarray | None) -> pa.Table:
+                sel = np.asarray(take_idx[mask])
+                out = t.select(payload_names).take(sel)
+                for f in payload_schema:
+                    if not out.schema.field(f.name).type.equals(f.type):
+                        i = out.schema.get_field_index(f.name)
+                        out = out.set_column(i, f.name, out[f.name].cast(f.type, safe=True))
+                out = out.append_column("valid_from", pa.array(lsn[mask], pa.int64()))
+                if vt is None:
+                    out = out.append_column(
+                        "valid_to", pa.array([None] * len(sel), pa.int64())
+                    )
+                    cur = np.ones(len(sel), dtype=np.int64)
+                else:
+                    out = out.append_column("valid_to", pa.array(vt[mask], pa.int64()))
+                    cur = np.zeros(len(sel), dtype=np.int64)
+                return out.append_column("is_current", pa.array(cur, pa.int64()))
+
+            closed_new = versions_of(keep & (valid_to >= 0), valid_to)
+            open_new = versions_of(keep & (valid_to < 0), None)
+
+            # previous open set: versions closed by this epoch's first event
+            # per key; untouched open rows carry forward verbatim
+            open_carry = hist_schema.empty_table()
+            closed_prev = hist_schema.empty_table()
+            files, vers = prev.get(pid, ([], []))
+            open_files = [
+                (f, v) for f, v in zip(files, vers)
+                if os.path.basename(f).startswith("open-")
+            ]
+            if open_files:
+                po = pa.concat_tables(
+                    [_lake_file_to_table(f, plan_l, int(v)) for f, v in open_files],
+                    promote_options="default",
+                ).select(hist_schema.names)
+                starts = (
+                    np.concatenate(([0], np.flatnonzero(~same_next[:-1]) + 1))
+                    if n > 1 else (np.array([0], dtype=np.int64) if n else
+                                   np.array([], dtype=np.int64))
+                )
+                pk = pd.DataFrame({k: po[k].to_numpy(zero_copy_only=False) for k in keys})
+                pk["__pos"] = np.arange(len(pk))
+                fk = pd.DataFrame(
+                    {k: df[k].to_numpy()[starts] for k in keys}
+                )
+                fk["__first"] = lsn[starts]
+                mg = pk.merge(fk, on=keys, how="left")
+                hit = mg["__first"].notna().to_numpy()
+                pos = mg["__pos"].to_numpy()
+                if hit.any():
+                    cp = po.take(pa.array(pos[hit], pa.int64()))
+                    i_vt = cp.schema.get_field_index("valid_to")
+                    cp = cp.set_column(
+                        i_vt, "valid_to",
+                        pa.array(mg.loc[hit, "__first"].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+                    )
+                    i_c = cp.schema.get_field_index("is_current")
+                    closed_prev = cp.set_column(
+                        i_c, "is_current",
+                        pa.array(np.zeros(int(hit.sum()), dtype=np.int64), pa.int64()),
+                    )
+                if (~hit).any():
+                    open_carry = po.take(pa.array(pos[~hit], pa.int64()))
+
+            def conform(tb: pa.Table) -> pa.Table:
+                for f in hist_schema:
+                    if not tb.schema.field(f.name).type.equals(f.type):
+                        i = tb.schema.get_field_index(f.name)
+                        tb = tb.set_column(i, f.name, tb[f.name].cast(f.type, safe=True))
+                return tb.select(hist_schema.names)
+
+            hist_t = pa.concat_tables(
+                [conform(closed_prev), conform(closed_new)], promote_options="default"
+            )
+            open_t = pa.concat_tables(
+                [conform(open_carry), conform(open_new)], promote_options="default"
+            )
+            pdir = partition_dir(lake_dir, pid)
+            hist_f = os.path.join(pdir, f"hist-{epoch:06d}.parquet")
+            open_f = os.path.join(pdir, f"open-{epoch:06d}.parquet")
+            if hist_t.num_rows:
+                atomic_put_parquet(hist_t, hist_f)
+            atomic_put_parquet(open_t, open_f)
+            return pa.Table.from_pylist(
+                [{
+                    "partition_id": pid,
+                    "hist_file": hist_f if hist_t.num_rows else "",
+                    "open_file": open_f,
+                    "open_rows": open_t.num_rows,
+                    "max_lsn": int(lsn.max()) if n else -1,
+                }]
+            )
+
+        results = (
+            ev.groupby("partition_id")
+            .map_groups(
+                apply_group,
+                batch_format="pyarrow",
+                max_retries=SINK_MAX_RETRIES,
+                retry_exceptions=list(RETRYABLE_SINK_EXCEPTIONS),
+            )
+            .take_all()
+        )
+        new = Manifest(
+            num_partitions=self.num_partitions,
+            epoch=epoch,
+            schema_version=plan.latest_version,
+            ddl_history=plan.to_json(),
+            table_spec=self.spec.to_json(),
+            partitions=dict(self.manifest.partitions),
+        )
+        superseded: list[str] = []
+        for r in results:
+            pid = int(r["partition_id"])
+            old = self.manifest.partitions.get(pid)
+            carried, carried_v = [], []
+            if old is not None:
+                for f, v in zip(old.files, old.versions()):
+                    if os.path.basename(f).startswith("open-"):
+                        superseded.append(f)
+                    else:
+                        carried.append(f)
+                        carried_v.append(v)
+            files = [r["open_file"], *carried]
+            fvers = [plan.latest_version, *carried_v]
+            if r["hist_file"]:
+                files.append(r["hist_file"])
+                fvers.append(plan.latest_version)
+            prev_wm = old.applied_lsn if old else -1
+            new.partitions[pid] = PartitionState(
+                applied_lsn=max(prev_wm, int(r["max_lsn"])),
+                files=files,
+                file_versions=fvers,
+                rows=int(r["open_rows"]),
+                schema_version=plan.latest_version,
+                lineage={**(old.lineage if old else {}), "scd2_epoch": epoch},
+            )
+        commit_manifest(self.lake_dir, new, expected_epoch=new.epoch - 1)
+        self.manifest = new
+        for f in superseded:  # invisible after the swap; best-effort GC
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        return new
+
+    def scd2_dataset(self) -> ray.data.Dataset:
+        """Read back the full SCD2 history: per partition, the union of the
+        immutable ``hist-*`` files and the current ``open-*`` file (one task
+        per partition, no shuffle — partitions are key-disjoint)."""
+        plan = self.committed_plan()
+        cols = [*plan.schema_at().names, "valid_from", "valid_to", "is_current"]
+        items = self._partition_items()
+        plan_json = plan.to_json()
+        spec_json = self.spec.to_json()
+        if not items:
+            import pyarrow as _pa
+
+            empty = _pa.schema(
+                [*plan.schema_at(),
+                 ("valid_from", _pa.int64()), ("valid_to", _pa.int64()),
+                 ("is_current", _pa.int64())]
+            )
+            return ray.data.from_arrow(empty.empty_table())
+
+        def read_one(batch: pd.DataFrame) -> pa.Table:
+            plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
+            outs = []
+            for _, row in batch.iterrows():
+                for f, v in zip(row["files"], row["vers"]):
+                    outs.append(
+                        _lake_file_to_table(f, plan_l, int(v)).select(cols)
+                    )
+            return pa.concat_tables(outs, promote_options="default")
+
+        return ray.data.from_items(items).map_batches(
+            read_one, batch_format="pandas", batch_size=1
+        )
+
     def changes_between(self, from_epoch: int, to_epoch: int | None = None) -> ray.data.Dataset:
         """Lake-native change-data-feed: the net I/U/D row delta between two
         COMMITTED epochs, computed from the manifests alone — partitions

@@ -891,3 +891,40 @@ def test_changes_between_epochs_matches_log_cdf(ray_session, paths, lake_dir):
         ing.changes_between(pre_manifest.epoch).to_pandas()
     blob = str(ei.value) + str(getattr(ei.value, "cause", "")) + str(ei.value.__cause__)
     assert "erased by a later" in blob or "FileNotFound" in blob
+
+
+def test_scd2_incremental_equals_batch_and_is_idempotent(ray_session, paths, lake_dir):
+    """Epoch-ledgered SCD2: (a) the 3-epoch incremental read-back equals the
+    one-shot batch scd2_history bit for bit; (b) re-applying the last epoch
+    (duplicate delivery / crash-retry) changes nothing — the watermark drop
+    makes the apply idempotent; (c) hist files are append-only (earlier
+    epochs' hist files survive verbatim in the manifest)."""
+    from tapdata_connectors_ray.pipelines.replay import lsn_bounds, scd2_history
+
+    ev, base = paths
+    _, hi = lsn_bounds(ev)
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    for i, frac in enumerate((1, 2, 3)):
+        ing.scd2_apply_epoch(ev, base if i == 0 else None, end_lsn=hi * frac // 3)
+
+    def norm(df):
+        df = df.sort_values(["conv_id", "turn_idx", "valid_from"]).reset_index(drop=True)
+        df["turn_score"] = df["turn_score"].astype("Int64")
+        df["turn_idx"] = df["turn_idx"].astype("Int64")
+        df["valid_to"] = df["valid_to"].astype("Int64")
+        return df
+
+    got = norm(ing.scd2_dataset().to_pandas())
+    want = norm(scd2_history(ev, base, num_partitions=16).to_pandas())
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+    hist_before = {
+        pid: sorted(f for f in st.files if "hist-" in f)
+        for pid, st in ing.manifest.partitions.items()
+    }
+    ing.scd2_apply_epoch(ev, None, end_lsn=hi)  # duplicate re-delivery
+    again = norm(ing.scd2_dataset().to_pandas())
+    pd.testing.assert_frame_equal(again[want.columns], want)
+    for pid, hists in hist_before.items():
+        kept = [f for f in ing.manifest.partitions[pid].files if "hist-" in f]
+        assert set(hists) <= set(kept)
