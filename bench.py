@@ -149,6 +149,12 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "search_hybrid_rrf",
         "transcript_piece_render",
         "transcript_tool_transitions",
+        # round-5 CDC-lifecycle additions (history / CDF / retention)
+        "cdc_scd2_history",
+        "cdc_scd2_incremental",
+        "cdc_change_data_feed",
+        "cdc_cdf_between_epochs",
+        "cdc_retention_forget",
     ]
     out: dict[str, float] = {}
     for name in panel:
