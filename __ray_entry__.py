@@ -86,6 +86,7 @@ _RUN_FIRST = (
     "cdc_retention_forget",
     "cdc_cdf_between_epochs",
     "cdc_scd2_incremental",
+    "transcript_render_incremental",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -155,6 +155,7 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "cdc_change_data_feed",
         "cdc_cdf_between_epochs",
         "cdc_retention_forget",
+        "transcript_render_incremental",
     ]
     out: dict[str, float] = {}
     for name in panel:

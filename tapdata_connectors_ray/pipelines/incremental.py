@@ -837,6 +837,76 @@ class CheckpointedIngest:
         )
         return ray.data.read_parquet(files)
 
+    def update_render_mv(self) -> list[int]:
+        """Incrementally-maintained RENDERED-TRANSCRIPT view — the training
+        sample a consumer actually reads, kept fresh by CDC: each refresh
+        re-renders ONLY the partitions whose data lineage advanced past the
+        view's last refresh (conversations are partition-local, so a touched
+        partition's render file is the exact blast radius of its epochs).
+        The render kernel is the same Arrow-native assembly the fused replay
+        render uses (``replay.render_merged_table``); the per-view staleness
+        key rides the same lineage mechanism as the aggregate MVs.  Returns
+        the refreshed partition ids."""
+        from tapdata_connectors_ray.pipelines.replay import render_merged_table
+
+        plan = self.committed_plan()
+        epoch = self.manifest.epoch
+        mvk = "mv_epoch:__render__"
+        touched = [
+            pid
+            for pid, st in sorted(self.manifest.partitions.items())
+            if st.files
+            and int(st.lineage.get("epoch", -1)) > int(st.lineage.get(mvk, -1))
+        ]
+        if not touched:
+            return []
+        plan_json = plan.to_json()
+        spec_json = self.spec.to_json()
+        mv_dir = os.path.join(self.lake_dir, "mv", "__render__")
+        os.makedirs(mv_dir, exist_ok=True)
+        items = [
+            {
+                "pid": pid,
+                "files": list(self.manifest.partitions[pid].files),
+                "vers": self.manifest.partitions[pid].versions(),
+            }
+            for pid in touched
+        ]
+
+        def refresh(batch: pd.DataFrame) -> pa.Table:
+            from tapdata_connectors_ray.stages.merge import lww_merge_tables
+
+            plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
+            keys = plan_l.keys()
+            out_schema = merged_schema(plan_l.schema_at())
+            rows = []
+            for _, row in batch.iterrows():
+                pid = int(row["pid"])
+                tables = [
+                    _lake_file_to_table(f, plan_l, int(v))
+                    for f, v in zip(row["files"], row["vers"])
+                ]
+                merged = lww_merge_tables(tables, out_schema, keys)
+                rendered = render_merged_table(merged)
+                out = os.path.join(mv_dir, f"p={pid:05d}.parquet")
+                atomic_put_parquet(rendered, out)
+                rows.append({"partition_id": pid})
+            return pa.Table.from_pylist(rows)
+
+        (
+            ray.data.from_items(items)
+            .map_batches(refresh, batch_format="pandas", batch_size=1)
+            .take_all()
+        )
+        for pid in touched:
+            st = self.manifest.partitions[pid]
+            st.lineage[mvk] = epoch
+        commit_manifest(self.lake_dir, self.manifest)
+        return touched
+
+    def render_mv_dataset(self) -> ray.data.Dataset:
+        return self.mv_dataset("__render__")
+
     def dataset_at(self, epoch: int) -> ray.data.Dataset:
         """Time-travel read: the lake AS OF an earlier committed epoch (the
         lake-table commit timeline: every commit snapshots its manifest under
@@ -1368,7 +1438,11 @@ class CheckpointedIngest:
                 file_versions=[int(v) for v in r["vers"]],
                 rows=int(r["rows"]),
                 schema_version=plan.latest_version,
-                lineage={**old.lineage, "retention_epoch": epoch,
+                # "epoch" is the last DATA-changing epoch — a retention
+                # rewrite counts, so downstream MVs see these partitions as
+                # stale and refresh them
+                lineage={**old.lineage, "epoch": epoch,
+                         "retention_epoch": epoch,
                          "forgotten_rows": int(r["dropped"])},
             )
         commit_manifest(self.lake_dir, new, expected_epoch=new.epoch - 1)

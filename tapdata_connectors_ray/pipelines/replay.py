@@ -654,8 +654,6 @@ def render_transcripts(
     key-sorted run starts, and the transcript join via ``pc.binary_join``
     over a ListArray view — the wide text column never round-trips through
     pandas object strings (it IS the payload at 10^10-event scale)."""
-    import pyarrow.compute as pc
-
     plan = plan or scan_evolution_plan_distributed(events_path, spec)
     merge_fn = make_lww_merge(plan.schema_at(), plan.keys())
     ev = normalized_events(
@@ -666,44 +664,53 @@ def render_transcripts(
         **kwargs,
     )
 
-    out_schema = pa.schema(
-        [("conv_id", pa.string()), ("n_turns", pa.int64()), ("transcript", pa.string())]
-    )
-
     def merge_then_render(t: pa.Table) -> pa.Table:
-        merged = merge_fn(t)  # key-sorted: (conv_id asc, turn_idx asc)
-        n_rows = len(merged)
-        if n_rows == 0:
-            return out_schema.empty_table()
-        conv = merged["conv_id"].combine_chunks().cast(pa.string())
-        line = pc.binary_join_element_wise(
-            pc.fill_null(merged["role"].combine_chunks().cast(pa.string()), ""),
-            pc.fill_null(merged["text"].combine_chunks().cast(pa.string()), ""),
-            ": ",
-        )
-        # run starts of the key-sorted conv_id column = conversation bounds
-        if n_rows == 1:
-            starts = np.array([0], dtype=np.int64)
-        else:
-            neq = pc.not_equal(conv.slice(1), conv.slice(0, n_rows - 1)).to_numpy(
-                zero_copy_only=False
-            )
-            starts = np.concatenate(
-                ([0], np.flatnonzero(neq).astype(np.int64) + 1)
-            )
-        offsets = np.concatenate((starts, [n_rows])).astype(np.int32)
-        per_conv = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), line)
-        return pa.table(
-            {
-                "conv_id": conv.take(starts),
-                "n_turns": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
-                "transcript": pc.binary_join(per_conv, "\n"),
-            },
-            schema=out_schema,
-        )
+        return render_merged_table(merge_fn(t))
 
     return ev.groupby("partition_id").map_groups(
         merge_then_render, batch_format="pyarrow"
+    )
+
+
+RENDER_SCHEMA = pa.schema(
+    [("conv_id", pa.string()), ("n_turns", pa.int64()), ("transcript", pa.string())]
+)
+
+
+def render_merged_table(merged: pa.Table) -> pa.Table:
+    """Arrow-native transcript assembly over a KEY-SORTED merged state
+    (conv_id asc, turn_idx asc) — the shared render kernel of the fused
+    replay render and the incrementally-maintained render view."""
+    import pyarrow.compute as pc
+
+    n_rows = len(merged)
+    if n_rows == 0:
+        return RENDER_SCHEMA.empty_table()
+    conv = merged["conv_id"].combine_chunks().cast(pa.string())
+    line = pc.binary_join_element_wise(
+        pc.fill_null(merged["role"].combine_chunks().cast(pa.string()), ""),
+        pc.fill_null(merged["text"].combine_chunks().cast(pa.string()), ""),
+        ": ",
+    )
+    # run starts of the key-sorted conv_id column = conversation bounds
+    if n_rows == 1:
+        starts = np.array([0], dtype=np.int64)
+    else:
+        neq = pc.not_equal(conv.slice(1), conv.slice(0, n_rows - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(
+            ([0], np.flatnonzero(neq).astype(np.int64) + 1)
+        )
+    offsets = np.concatenate((starts, [n_rows])).astype(np.int32)
+    per_conv = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), line)
+    return pa.table(
+        {
+            "conv_id": conv.take(starts),
+            "n_turns": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+            "transcript": pc.binary_join(per_conv, "\n"),
+        },
+        schema=RENDER_SCHEMA,
     )
 
 

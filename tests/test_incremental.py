@@ -928,3 +928,36 @@ def test_scd2_incremental_equals_batch_and_is_idempotent(ray_session, paths, lak
     for pid, hists in hist_before.items():
         kept = [f for f in ing.manifest.partitions[pid].files if "hist-" in f]
         assert set(hists) <= set(kept)
+
+
+def test_render_mv_refreshes_only_touched_partitions(ray_session, paths, lake_dir):
+    """The rendered-transcript view refreshes exactly the partitions whose
+    lineage advanced: a full ingest renders everything; a retention epoch
+    touching a handful of partitions re-renders only those; view content
+    always equals the one-shot fused render of the current state."""
+    from tapdata_connectors_ray.functions.hashing import partition_ids
+    from tapdata_connectors_ray.pipelines.replay import render_transcripts
+
+    ev, base = paths
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing.ingest(ev, base)
+    first = ing.update_render_mv()
+    assert set(first) == {pid for pid, st in ing.manifest.partitions.items() if st.files}
+    assert ing.update_render_mv() == []  # nothing stale -> no rewrite
+
+    def norm(df):
+        return df.sort_values("conv_id").reset_index(drop=True)
+
+    got = norm(ing.render_mv_dataset().to_pandas())
+    want = norm(render_transcripts(ev, base, num_partitions=16).to_pandas())
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+    forget = sorted(got["conv_id"].unique()[:5])
+    ing.forget_keys(list(forget))
+    second = ing.update_render_mv()
+    affected = set(partition_ids(pd.Series(list(forget)).to_numpy(), 16).tolist())
+    assert set(second) == affected and affected < set(first)
+    after = norm(ing.render_mv_dataset().to_pandas())
+    assert not after["conv_id"].isin(set(forget)).any()
+    want_after = want[~want["conv_id"].isin(set(forget))].reset_index(drop=True)
+    pd.testing.assert_frame_equal(after[want_after.columns], want_after)
