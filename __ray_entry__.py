@@ -87,6 +87,7 @@ _RUN_FIRST = (
     "cdc_cdf_between_epochs",
     "cdc_scd2_incremental",
     "transcript_render_incremental",
+    "cdc_wap_publish",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

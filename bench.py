@@ -156,6 +156,7 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "cdc_cdf_between_epochs",
         "cdc_retention_forget",
         "transcript_render_incremental",
+        "cdc_wap_publish",
     ]
     out: dict[str, float] = {}
     for name in panel:

@@ -361,6 +361,104 @@ class CheckpointedIngest:
             self.manifest = new
         return new
 
+    def ingest_audited(
+        self,
+        events_path: str | list[str],
+        base_path: str | list[str] | None = None,
+        *,
+        end_lsn: int | None = None,
+        checks: list | None = None,
+    ) -> tuple[Manifest, dict]:
+        """Write-audit-publish (the Iceberg WAP / staged-commit pattern —
+        the quality gate between a CDC epoch landing and consumers seeing
+        it): the epoch's partition files land on disk but the manifest is
+        NOT committed; a distributed audit then validates the staged state,
+        and only a fully-green audit publishes (the same CAS swap).  A red
+        audit leaves the lake byte-identical for readers — the staged files
+        are unreferenced orphans the next ``vacuum`` removes — and a later
+        retry re-stages from the unchanged watermarks.
+
+        Built-in invariants, audited over ONLY the partitions the epoch
+        changed (manifest file-list diff — the CDF pruning rule): key
+        columns null-free, and key uniqueness within each partition's merged
+        state.  ``checks`` adds caller predicates ``fn(merged: pa.Table) ->
+        (ok, detail)`` run per changed partition.  Returns
+        ``(manifest, audit)`` where ``audit['published']`` says which way it
+        went."""
+        staged = self.ingest(events_path, base_path, end_lsn=end_lsn, commit=False)
+        plan = EvolutionPlan.from_json(staged.ddl_history, spec=self.spec)
+        keys = plan.keys()
+        changed = [
+            pid for pid in staged.partitions
+            if list(staged.partitions[pid].files)
+            != list(
+                self.manifest.partitions[pid].files
+                if pid in self.manifest.partitions else []
+            )
+        ]
+        items = [
+            {"pid": pid, "files": list(staged.partitions[pid].files),
+             "vers": staged.partitions[pid].versions()}
+            for pid in sorted(changed)
+        ]
+        plan_json = plan.to_json()
+        spec_json = self.spec.to_json()
+        user_checks = list(checks or [])
+
+        def audit_one(batch: pd.DataFrame) -> pa.Table:
+            from tapdata_connectors_ray.stages.merge import lww_merge_tables
+
+            plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
+            out_schema = merged_schema(plan_l.schema_at())
+            rows = []
+            for _, row in batch.iterrows():
+                tables = [
+                    _lake_file_to_table(f, plan_l, int(v))
+                    for f, v in zip(row["files"], row["vers"])
+                ]
+                merged = lww_merge_tables(tables, out_schema, plan_l.keys())
+                key_nulls = sum(
+                    merged[k].null_count for k in keys
+                ) if len(merged) else 0
+                kf = pd.DataFrame(
+                    {k: merged[k].to_numpy(zero_copy_only=False) for k in keys}
+                )
+                dup_keys = int(kf.duplicated(keep="first").sum())
+                failed = []
+                for i, fn in enumerate(user_checks):
+                    ok, detail = fn(merged)
+                    if not ok:
+                        failed.append(f"check[{i}]: {detail}")
+                rows.append(
+                    {"partition_id": int(row["pid"]), "rows": len(merged),
+                     "key_nulls": int(key_nulls), "dup_keys": dup_keys,
+                     "failed": "; ".join(failed)}
+                )
+            return pa.Table.from_pylist(rows)
+
+        results = (
+            ray.data.from_items(items)
+            .map_batches(audit_one, batch_format="pandas", batch_size=1)
+            .take_all()
+        ) if items else []
+        key_nulls = sum(int(r["key_nulls"]) for r in results)
+        dup_keys = sum(int(r["dup_keys"]) for r in results)
+        failures = [r["failed"] for r in results if r["failed"]]
+        passed = key_nulls == 0 and dup_keys == 0 and not failures
+        audit = {
+            "published": passed,
+            "partitions_audited": len(results),
+            "key_nulls": key_nulls,
+            "dup_keys": dup_keys,
+            "failed_checks": failures,
+            "staged_epoch": staged.epoch,
+        }
+        if passed:
+            commit_manifest(self.lake_dir, staged, expected_epoch=staged.epoch - 1)
+            self.manifest = staged
+            return staged, audit
+        return self.manifest, audit
+
     # -- multi-epoch replay ------------------------------------------------
 
     def ingest_in_epochs(

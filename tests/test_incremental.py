@@ -961,3 +961,44 @@ def test_render_mv_refreshes_only_touched_partitions(ray_session, paths, lake_di
     assert not after["conv_id"].isin(set(forget)).any()
     want_after = want[~want["conv_id"].isin(set(forget))].reset_index(drop=True)
     pd.testing.assert_frame_equal(after[want_after.columns], want_after)
+
+
+def test_wap_red_audit_leaves_lake_unchanged(ray_session, paths, expected, lake_dir):
+    """Write-audit-publish: a failing audit check must leave the committed
+    lake byte-identical (staged files are invisible orphans vacuum can GC),
+    and a later green retry re-stages from the unchanged watermarks and
+    converges to the one-shot state."""
+    from tapdata_connectors_ray.pipelines.replay import lsn_bounds
+
+    ev, base = paths
+    _, hi = lsn_bounds(ev)
+    ing = CheckpointedIngest(lake_dir, num_partitions=16)
+    ing.ingest(ev, base, end_lsn=hi // 2)
+    before_epoch = ing.manifest.epoch
+    before_state = _as_sorted_df(ing.final_dataset())
+
+    def always_red(merged):
+        return False, f"synthetic data-quality failure over {len(merged)} rows"
+
+    m, audit = ing.ingest_audited(ev, None, checks=[always_red])
+    assert not audit["published"]
+    assert audit["failed_checks"] and audit["partitions_audited"] > 0
+    assert m.epoch == before_epoch  # returned manifest is the OLD commit
+    assert ing.manifest.epoch == before_epoch
+    pd.testing.assert_frame_equal(_as_sorted_df(ing.final_dataset()), before_state)
+
+    # a fresh coordinator sees the same committed state (nothing leaked)
+    reopened = CheckpointedIngest(lake_dir, num_partitions=16)
+    assert reopened.manifest.epoch == before_epoch
+
+    # green retry: built-in invariants pass on real data and publish
+    m2, audit2 = ing.ingest_audited(ev, None)
+    assert audit2["published"] and audit2["dup_keys"] == 0 == audit2["key_nulls"]
+    # the red attempt never committed, so the retry re-stages the SAME epoch
+    # number (its atomic_put overwrites the red orphans deterministically)
+    assert m2.epoch == before_epoch + 1
+    assert_lake_matches(ing, expected)
+
+    # staged orphans from the red attempt are GC'd by vacuum
+    removed = ing.vacuum(retain_last=2)
+    assert removed["removed_files"] >= 0  # no retained commit references them
