@@ -88,6 +88,7 @@ _RUN_FIRST = (
     "cdc_scd2_incremental",
     "transcript_render_incremental",
     "cdc_wap_publish",
+    "cdc_scd2_asof",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",
