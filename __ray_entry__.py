@@ -89,6 +89,7 @@ _RUN_FIRST = (
     "transcript_render_incremental",
     "cdc_wap_publish",
     "cdc_scd2_asof",
+    "cdc_cdf_to_log",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",
