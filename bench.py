@@ -157,6 +157,9 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "cdc_retention_forget",
         "transcript_render_incremental",
         "cdc_wap_publish",
+        "cdc_partition_split",
+        "cdc_scd2_asof",
+        "cdc_cdf_to_log",
     ]
     out: dict[str, float] = {}
     for name in panel:

@@ -1552,6 +1552,103 @@ class CheckpointedIngest:
                 pass
         return new
 
+    def split_partitions(self, factor: int = 2) -> Manifest:
+        """Online partition-count growth — resharding WITHOUT a shuffle:
+        because partition ids are ``hash % P``, growing to ``P' = factor*P``
+        maps every key of old partition ``h`` to one of ``{h, h+P, ...,
+        h+(factor-1)P}`` — a PARTITION-LOCAL split.  Each old partition's
+        stack compacts (dedup + LWW + tombstone drop, exactly ``compact``'s
+        contract) and fans out into its ``factor`` children in ONE task; no
+        row ever crosses partitions, so the operation is map-shaped at any
+        lake size.  Children inherit the parent's applied-LSN watermark (an
+        event the parent absorbed is absorbed by whichever child its key
+        now maps to), so ingest continues exactly where it left off at the
+        new width.  Commits as one epoch via the same manifest CAS; the
+        reverse direction (merging partitions) is the same local property.
+
+        This is the grow-the-lake operation a 10^10-event table needs when
+        live-keys/partition outgrows a worker — at fixed P that ratio only
+        climbs; with local splits it is a knob."""
+        if factor < 2:
+            raise ValueError("factor must be >= 2")
+        plan = self.committed_plan()
+        old_p = self.num_partitions
+        new_p = old_p * factor
+        epoch = self.manifest.epoch + 1
+        items = self._partition_items()
+        plan_json = plan.to_json()
+        spec_json = self.spec.to_json()
+        lake_dir = self.lake_dir
+        pcols = plan.partition_columns()
+
+        def split_one(batch: pd.DataFrame) -> pa.Table:
+            from tapdata_connectors_ray.functions.hashing import partition_ids_for
+            from tapdata_connectors_ray.stages.merge import lww_merge_tables
+
+            plan_l = EvolutionPlan.from_json(plan_json, spec=TableSpec.from_json(spec_json))
+            keys = plan_l.keys()
+            out_schema = merged_schema(plan_l.schema_at())
+            rows = []
+            for _, row in batch.iterrows():
+                pid = int(row["pid"])
+                tables = [
+                    _lake_file_to_table(f, plan_l, int(v))
+                    for f, v in zip(row["files"], row["vers"])
+                ]
+                merged = lww_merge_tables(tables, out_schema, keys)
+                child_ids = partition_ids_for(merged, pcols, new_p)
+                # the local-split invariant: every child id ≡ pid (mod old_p)
+                assert (child_ids % old_p == pid).all(), "hash family broke locality"
+                for child in np.unique(child_ids):
+                    part = merged.filter(pa.array(child_ids == child))
+                    out = os.path.join(
+                        partition_dir(lake_dir, int(child)),
+                        f"part-{epoch:06d}.parquet",
+                    )
+                    atomic_put_parquet(part, out)
+                    rows.append(
+                        {"parent": pid, "partition_id": int(child),
+                         "file": out, "rows": part.num_rows}
+                    )
+            return pa.Table.from_pylist(rows)
+
+        results = (
+            ray.data.from_items(items)
+            .map_batches(split_one, batch_format="pandas", batch_size=1)
+            .take_all()
+        ) if items else []
+        new = Manifest(
+            num_partitions=new_p,
+            epoch=epoch,
+            schema_version=plan.latest_version,
+            ddl_history=plan.to_json(),
+            table_spec=self.spec.to_json(),
+            partitions={},
+        )
+        superseded: list[str] = []
+        for r in results:
+            parent = self.manifest.partitions[int(r["parent"])]
+            new.partitions[int(r["partition_id"])] = PartitionState(
+                applied_lsn=parent.applied_lsn,
+                files=[r["file"]],
+                file_versions=[plan.latest_version],
+                rows=int(r["rows"]),
+                schema_version=plan.latest_version,
+                lineage={"epoch": epoch, "split_from": int(r["parent"]),
+                         "watermark_ts": int(parent.lineage.get("watermark_ts", -1))},
+            )
+        for st in self.manifest.partitions.values():
+            superseded.extend(st.files)
+        commit_manifest(self.lake_dir, new, expected_epoch=new.epoch - 1)
+        self.manifest = new
+        self.num_partitions = new_p
+        for f in superseded:  # invisible after the swap; best-effort GC
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        return new
+
     def vacuum(self, retain_last: int = 2) -> dict:
         """Lake vacuum — the Hudi cleaner / Delta VACUUM analogue: drop
         history manifests beyond the newest ``retain_last`` and delete every

@@ -1002,3 +1002,31 @@ def test_wap_red_audit_leaves_lake_unchanged(ray_session, paths, expected, lake_
     # staged orphans from the red attempt are GC'd by vacuum
     removed = ing.vacuum(retain_last=2)
     assert removed["removed_files"] >= 0  # no retained commit references them
+
+
+def test_partition_split_is_local_and_resumable(ray_session, paths, expected, lake_dir):
+    """Doubling the partition count must (a) keep every key inside its
+    parent partition's child pair (split_from ≡ child mod old_P), (b)
+    preserve state exactly, (c) inherit watermarks so a resumed ingest of
+    the already-applied log is a no-op, and (d) leave point lookups working
+    at the new width."""
+    ev, base = paths
+    ing = CheckpointedIngest(lake_dir, num_partitions=8)
+    ing.ingest(ev, base)
+    rows_before = ing.metrics()["rows"]
+
+    m = ing.split_partitions(factor=2)
+    assert m.num_partitions == 16
+    for child, st in m.partitions.items():
+        assert st.lineage["split_from"] == child % 8
+    assert_lake_matches(ing, expected)
+
+    resumed = CheckpointedIngest(lake_dir, num_partitions=16)
+    resumed.ingest(ev, None)  # full log again — all below inherited watermarks
+    assert resumed.metrics()["rows"] == rows_before
+    assert_lake_matches(resumed, expected)
+
+    exp = expected.to_pandas()
+    probe = exp.iloc[len(exp) // 3]
+    got = resumed.query_by_key(probe["conv_id"], int(probe["turn_idx"]))
+    assert got is not None and got["text"] == probe["text"]
