@@ -38,10 +38,12 @@ def entry() -> Any:
 # `events_hopping_window` shares the window-expansion kernel with the
 # r04-fresh tumbling/incremental windows; `cdc_multi_table_single_pass` is
 # pytest-pinned bit-for-bit equal to `cdc_multi_table_consistent`).
-# Round-5 additions (16 by the end of the round) each enter the new-query
-# block AS THEY LAND — a query with NO driver row outranks any query with an
-# r03 row, so each addition displaces the tail of the r03 block past the
-# 50-slot cap.  Every r03 query that falls out keeps (a) its green r03 driver
+# Round-5 additions (33 by the end of the round, incl. the CDC-lifecycle
+# wave: SCD2 ×3, CDF ×3, retention, WAP, render MV, partition split) each
+# enter the new-query block AS THEY LAND — a query with NO driver row
+# outranks any query with an r03 row, so each addition displaces the tail
+# of the r03 block past the 50-slot cap.  Every r03 query that falls
+# out keeps (a) its green r03 driver
 # row and (b) pytest coverage against the same DuckDB oracle shape
 # (test_filesource_queries_match_oracle, test_query_algebra, test_training,
 # property suites); the four file-format queries sit at the tuple's END
