@@ -33,6 +33,7 @@ from dataclasses import asdict, dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from tapdata_connectors_ray.schema import EVENT_LOG_SCHEMA, TRANSCRIPTS_SCHEMA
@@ -994,3 +995,156 @@ class RateControlledProducer:
     @property
     def exhausted(self) -> bool:
         return self.emitted >= self.events.num_rows
+
+
+# ---------------------------------------------------------------------------
+# Conversation DIMENSION fixture: a second CDC table keyed by conv_id alone,
+# co-partitioned with the transcripts fact table (both hash-partition on
+# conv_id), feeding the incrementally-maintained JOIN materialized view.
+# The reference's analogue is a multi-table sync task whose downstream
+# processor joins the tables (master/detail lookup,
+# connectors-common table-map merge); here the join itself is an
+# incrementally-maintained lake view.
+# ---------------------------------------------------------------------------
+
+CONVERSATIONS_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("channel", pa.string()),
+        pa.field("owner", pa.string()),
+        pa.field("priority", pa.int64()),
+    ]
+)
+
+CONVERSATIONS_SPEC = TableSpec(
+    name="conversations",
+    base_schema=CONVERSATIONS_SCHEMA,
+    key_columns=("conv_id",),
+    partition_columns=("conv_id",),
+)
+
+_DIM_CHANNELS = np.array(["web", "mobile", "api", "email", "chat"])
+_DIM_OWNERS = np.array([f"agent-{i:03d}" for i in range(40)])
+
+DIM_FIXTURE_VERSION = 1
+
+
+def generate_conversation_dim_tables(
+    conv_ids: np.ndarray, seed: int = 31
+) -> tuple[pa.Table, pa.Table]:
+    """Dimension base snapshot + I/U/D change log over the given conv-id
+    universe (the fact table's conv ids, so the join is meaningful).
+
+    ~80% of convs appear in the base; of the remainder, half are INSERTED by
+    the log (late-created dimension rows) and half never exist (fact-side
+    orphans -> NULL dim columns under the LEFT join).  ~6% of base convs are
+    DELETED by the log (dim row removed while fact rows live on)."""
+    rng = np.random.default_rng(seed)
+    conv_ids = np.sort(np.asarray(conv_ids, dtype=object))
+    n = len(conv_ids)
+    perm = rng.permutation(n)
+    n_base = int(n * 0.8)
+    n_ins = int(n * 0.1)
+    base_ids = np.sort(conv_ids[perm[:n_base]])
+    ins_ids = conv_ids[perm[n_base : n_base + n_ins]]
+
+    def attrs(ids: np.ndarray, r: np.random.Generator) -> dict:
+        return {
+            "conv_id": pa.array(ids, pa.string()),
+            "channel": _DIM_CHANNELS[r.integers(0, len(_DIM_CHANNELS), len(ids))],
+            "owner": _DIM_OWNERS[r.integers(0, len(_DIM_OWNERS), len(ids))],
+            "priority": r.integers(0, 5, len(ids)).astype(np.int64),
+        }
+
+    base = pa.table(attrs(base_ids, rng), schema=CONVERSATIONS_SCHEMA)
+
+    # change log: inserts for the late rows, updates over base rows
+    # (re-assign owner/priority), deletes for ~6% of base rows
+    n_upd = max(1, int(n_base * 0.4))
+    n_del = max(1, int(n_base * 0.06))
+    upd_ids = base_ids[rng.integers(0, n_base, n_upd)]
+    del_ids = base_ids[rng.choice(n_base, size=n_del, replace=False)]
+    ops = np.concatenate(
+        [
+            np.full(len(ins_ids), "I", object),
+            np.full(n_upd, "U", object),
+            np.full(n_del, "D", object),
+        ]
+    )
+    ids = np.concatenate([ins_ids, upd_ids, del_ids])
+    m = len(ids)
+    order = rng.permutation(m)
+    ops, ids = ops[order], ids[order]
+    a = attrs(ids, rng)
+    df = pd.DataFrame(
+        {
+            "lsn": np.arange(1, m + 1, dtype=np.int64),
+            "op": ops,
+            "conv_id": ids,
+            "channel": np.asarray(a["channel"], dtype=object),
+            "owner": np.asarray(a["owner"], dtype=object),
+            "priority": a["priority"],
+            "schema_ver": np.int32(1),
+            "ddl_payload": None,
+        }
+    )
+    is_d = df["op"].to_numpy() == "D"
+    for col in ("channel", "owner"):
+        df.loc[is_d, col] = None
+    df["priority"] = df["priority"].astype("Int64")
+    df.loc[is_d, "priority"] = pd.NA
+    df = _dup_and_disorder(df, rng, dup_frac=0.04, window=64)
+    events_schema = pa.schema(
+        [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+        + list(CONVERSATIONS_SCHEMA)
+        + [pa.field("schema_ver", pa.int32()), pa.field("ddl_payload", pa.string())]
+    )
+    events = pa.Table.from_pandas(
+        df[[f.name for f in events_schema]], schema=events_schema, preserve_index=False
+    )
+    return base, events
+
+
+def ensure_dim_fixtures(sf: str = "sf0.001", root: str = DEFAULT_FIXTURE_ROOT) -> str:
+    """Per-tier dimension fixture derived from the tier's fact fixture:
+    ``<root>/dim_<sf>/{conv_base,conv_events}.parquet``.  Cache key includes
+    the fact fixture's fingerprint so regenerating the fact tier regenerates
+    the dimension with it."""
+    fact_dir = ensure_fixtures(sf, root=root)
+    with open(os.path.join(fact_dir, "meta.json")) as f:
+        fact_fp = json.load(f)["fingerprint"]
+    out = os.path.join(root, f"dim_{sf}")
+    meta_path = os.path.join(out, "meta.json")
+    key = {"version": DIM_FIXTURE_VERSION, "fact_fingerprint": fact_fp}
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                if json.load(f) == key:
+                    return out
+        except (json.JSONDecodeError, OSError):
+            pass
+    import pyarrow.dataset as pads
+
+    def _ids(name: str) -> np.ndarray:
+        col = pads.dataset(os.path.join(fact_dir, name)).to_table(
+            columns=["conv_id"]
+        )["conv_id"]
+        # DDL rows carry null conv_id in the event log
+        return pc.drop_null(pc.unique(col.combine_chunks())).to_numpy(
+            zero_copy_only=False
+        )
+
+    conv_ids = np.unique(
+        np.concatenate([_ids("transcripts.parquet"), _ids("events.parquet")])
+    )
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    base, events = generate_conversation_dim_tables(conv_ids)
+    _write_sharded(base, os.path.join(tmp, "conv_base.parquet"))
+    _write_sharded(events, os.path.join(tmp, "conv_events.parquet"))
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(key, f)
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out

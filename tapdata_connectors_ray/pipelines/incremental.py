@@ -1745,3 +1745,167 @@ class CheckpointedIngest:
             "watermark_ts_max": max(live_ts) if live_ts else -1,
             "schema_version": self.manifest.schema_version,
         }
+
+
+class JoinMaterializedView:
+    """Incrementally-maintained JOIN view across TWO co-partitioned lakes.
+
+    The fact lake (transcripts, keyed by (conv_id, turn_idx)) and the
+    dimension lake (conversations, keyed by conv_id) both hash-partition on
+    the JOIN key, so view partition ``p`` depends on exactly fact partition
+    ``p`` and dim partition ``p`` — a refresh is PARTITION-LOCAL: no shuffle,
+    no cross-partition read, ever.  Staleness is tracked per (partition,
+    side): a fact epoch refreshes only the partitions it touched; a dim
+    epoch likewise; an untouched partition's view file is never rewritten.
+
+    Semantics: per-conversation fact aggregate (``n_turns``, ``sum_score``)
+    LEFT JOINed with the dimension's current row — a conversation whose dim
+    row is missing or deleted keeps NULL attributes (the reference's
+    master/detail lookup shape over a multi-table sync task, here maintained
+    as a lake view instead of a per-event processor).
+
+    At 100 TB: refresh cost is O(touched partitions) map tasks, each bounded
+    by one partition's live keys on both sides; the view state file is
+    O(P) — metadata scale.  Reference: multi-table task + merge-table
+    processor (survey §2.6, §3.1)."""
+
+    STATE_FILE = "join_state.json"
+
+    def __init__(
+        self,
+        out_dir: str,
+        fact: CheckpointedIngest,
+        dim: CheckpointedIngest,
+    ):
+        if fact.num_partitions != dim.num_partitions:
+            raise ValueError(
+                f"co-partitioning violated: fact P={fact.num_partitions} "
+                f"!= dim P={dim.num_partitions}"
+            )
+        fcols = fact.spec.effective_partition_columns()
+        dcols = dim.spec.effective_partition_columns()
+        if fcols != dcols:
+            raise ValueError(
+                f"join key mismatch: fact partitions on {fcols}, dim on {dcols}"
+            )
+        self.join_cols = list(fcols)
+        self.out_dir = out_dir
+        self.fact = fact
+        self.dim = dim
+        os.makedirs(out_dir, exist_ok=True)
+        sp = os.path.join(out_dir, self.STATE_FILE)
+        if os.path.exists(sp):
+            with open(sp) as f:
+                raw = json.load(f)
+            self.state = {k: {int(p): int(e) for p, e in v.items()} for k, v in raw.items()}
+        else:
+            self.state = {"fact": {}, "dim": {}}
+
+    def _stale_pids(self) -> list[int]:
+        stale = set()
+        for side, ing in (("fact", self.fact), ("dim", self.dim)):
+            seen = self.state[side]
+            for pid, st in ing.manifest.partitions.items():
+                if int(st.lineage.get("epoch", -1)) > seen.get(pid, -1):
+                    stale.add(pid)
+        return sorted(stale)
+
+    def refresh(self) -> list[int]:
+        """Rewrite the view files of exactly the stale partitions; returns
+        the refreshed partition ids (empty = the view was already fresh)."""
+        stale = self._stale_pids()
+        if not stale:
+            return []
+        f_plan, d_plan = self.fact.committed_plan(), self.dim.committed_plan()
+        f_plan_json, d_plan_json = f_plan.to_json(), d_plan.to_json()
+        f_spec_json = self.fact.spec.to_json()
+        d_spec_json = self.dim.spec.to_json()
+        join_cols = self.join_cols
+        out_dir = self.out_dir
+
+        def part_item(ing: CheckpointedIngest, pid: int) -> tuple[list, list]:
+            st = ing.manifest.partitions.get(pid)
+            return (list(st.files), st.versions()) if st else ([], [])
+
+        items = []
+        for pid in stale:
+            ff, fv = part_item(self.fact, pid)
+            df_, dv = part_item(self.dim, pid)
+            items.append(
+                {"pid": pid, "fact_files": ff, "fact_vers": fv,
+                 "dim_files": df_, "dim_vers": dv}
+            )
+
+        def refresh_one(batch: pd.DataFrame) -> pa.Table:
+            from tapdata_connectors_ray.stages.merge import lww_merge_tables
+
+            fp = EvolutionPlan.from_json(f_plan_json, spec=TableSpec.from_json(f_spec_json))
+            dp = EvolutionPlan.from_json(d_plan_json, spec=TableSpec.from_json(d_spec_json))
+            f_schema = merged_schema(fp.schema_at())
+            d_schema = merged_schema(dp.schema_at())
+            rows = []
+            for _, row in batch.iterrows():
+                pid = int(row["pid"])
+                fact_tabs = [
+                    _lake_file_to_table(f, fp, int(v))
+                    for f, v in zip(row["fact_files"], row["fact_vers"])
+                ]
+                merged_f = (
+                    lww_merge_tables(fact_tabs, f_schema, fp.keys())
+                    if fact_tabs
+                    else f_schema.empty_table()
+                )
+                agg = merged_f.group_by(join_cols).aggregate(
+                    [([], "count_all"), ("turn_score", "sum")]
+                )
+                agg = agg.rename_columns(
+                    [
+                        {"count_all": "n_turns", "turn_score_sum": "sum_score"}.get(c, c)
+                        for c in agg.column_names
+                    ]
+                )
+                dim_tabs = [
+                    _lake_file_to_table(f, dp, int(v))
+                    for f, v in zip(row["dim_files"], row["dim_vers"])
+                ]
+                merged_d = (
+                    lww_merge_tables(dim_tabs, d_schema, dp.keys())
+                    if dim_tabs
+                    else d_schema.empty_table()
+                )
+                dim_cols = [n for n in merged_d.column_names if n not in join_cols]
+                joined = agg.join(
+                    merged_d.select(join_cols + dim_cols),
+                    keys=join_cols,
+                    join_type="left outer",
+                )
+                joined = joined.select(
+                    join_cols + ["n_turns", "sum_score"] + dim_cols
+                ).sort_by([(c, "ascending") for c in join_cols])
+                atomic_put_parquet(joined, os.path.join(out_dir, f"p={pid:05d}.parquet"))
+                rows.append({"partition_id": pid})
+            return pa.Table.from_pylist(rows)
+
+        (
+            ray.data.from_items(items)
+            .map_batches(refresh_one, batch_format="pandas", batch_size=1)
+            .take_all()
+        )
+        for side, ing in (("fact", self.fact), ("dim", self.dim)):
+            for pid in stale:
+                st = ing.manifest.partitions.get(pid)
+                if st is not None:
+                    self.state[side][pid] = int(st.lineage.get("epoch", -1))
+        tmp = os.path.join(self.out_dir, self.STATE_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.state, f)
+        os.replace(tmp, os.path.join(self.out_dir, self.STATE_FILE))
+        return stale
+
+    def dataset(self) -> ray.data.Dataset:
+        files = sorted(
+            os.path.join(self.out_dir, f)
+            for f in os.listdir(self.out_dir)
+            if f.endswith(".parquet")
+        )
+        return ray.data.read_parquet(files)

@@ -1,0 +1,112 @@
+"""Incrementally-maintained JOIN materialized view across two co-partitioned
+CDC lakes (fact transcripts x dim conversations).
+
+Pins (a) per-side partition-pruned refresh — a fact-only epoch refreshes
+exactly the fact-touched partitions, a no-op refresh returns [], (b)
+incremental == batch (3 asymmetric epochs equal a fresh one-shot view), and
+(c) LEFT-join semantics — a conversation whose dim row was deleted keeps
+NULL attributes.
+"""
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+
+from tapdata_connectors_ray.fixtures import (
+    CONVERSATIONS_SPEC,
+    ensure_dim_fixtures,
+    ensure_fixtures,
+)
+from tapdata_connectors_ray.pipelines.incremental import (
+    CheckpointedIngest,
+    JoinMaterializedView,
+)
+from tapdata_connectors_ray.pipelines.replay import lsn_bounds
+
+
+@pytest.fixture(scope="module")
+def paths():
+    fact_dir = ensure_fixtures("sf0.001")
+    dim_dir = ensure_dim_fixtures("sf0.001")
+    return {
+        "ev": os.path.join(fact_dir, "events.parquet"),
+        "base": os.path.join(fact_dir, "transcripts.parquet"),
+        "d_ev": os.path.join(dim_dir, "conv_events.parquet"),
+        "d_base": os.path.join(dim_dir, "conv_base.parquet"),
+    }
+
+
+def _view_df(view: JoinMaterializedView) -> pd.DataFrame:
+    df = view.dataset().to_pandas()
+    return df.sort_values("conv_id").reset_index(drop=True)
+
+
+def test_join_mv_incremental_equals_batch_and_prunes(paths):
+    _, hi = lsn_bounds(paths["ev"])
+    _, d_hi = lsn_bounds(paths["d_ev"])
+
+    # incremental: 3 asymmetric epochs with a refresh after each
+    f_lake = tempfile.mkdtemp(prefix="jmv_f_", dir="/tmp")
+    d_lake = tempfile.mkdtemp(prefix="jmv_d_", dir="/tmp")
+    fact = CheckpointedIngest(f_lake, num_partitions=16)
+    dim = CheckpointedIngest(d_lake, num_partitions=16, spec=CONVERSATIONS_SPEC)
+    view = JoinMaterializedView(tempfile.mkdtemp(prefix="jmv_v_", dir="/tmp"), fact, dim)
+
+    fact.ingest(paths["ev"], paths["base"], end_lsn=hi // 2)
+    dim.ingest(paths["d_ev"], paths["d_base"], end_lsn=d_hi // 2)
+    r1 = view.refresh()
+    assert r1, "first refresh must touch every populated partition"
+
+    # fact-only epoch: the refresh set must be EXACTLY the partitions this
+    # epoch touched on the fact side (dim lineage did not advance)
+    before = {pid: st.lineage.get("epoch", -1) for pid, st in fact.manifest.partitions.items()}
+    fact.ingest(paths["ev"], None)
+    touched = {
+        pid
+        for pid, st in fact.manifest.partitions.items()
+        if st.lineage.get("epoch", -1) != before.get(pid, -1)
+    }
+    r2 = view.refresh()
+    assert set(r2) == touched
+    # idempotent: nothing advanced -> no partition rewrites
+    assert view.refresh() == []
+
+    # dim-only epoch
+    dim.ingest(paths["d_ev"], None)
+    r3 = view.refresh()
+    assert r3 and view.refresh() == []
+
+    inc = _view_df(view)
+
+    # batch twin: one-shot ingest of both full logs + a fresh view
+    f2 = CheckpointedIngest(tempfile.mkdtemp(prefix="jmv_f2_", dir="/tmp"), num_partitions=16)
+    d2 = CheckpointedIngest(
+        tempfile.mkdtemp(prefix="jmv_d2_", dir="/tmp"), num_partitions=16,
+        spec=CONVERSATIONS_SPEC,
+    )
+    view2 = JoinMaterializedView(tempfile.mkdtemp(prefix="jmv_v2_", dir="/tmp"), f2, d2)
+    f2.ingest(paths["ev"], paths["base"])
+    d2.ingest(paths["d_ev"], paths["d_base"])
+    view2.refresh()
+    batch = _view_df(view2)
+
+    pd.testing.assert_frame_equal(inc, batch)
+
+    # LEFT-join semantics: some convs live in fact but not in dim (the
+    # fixture deletes ~6% of dim rows and never creates ~10%)
+    assert inc["channel"].isna().any()
+    assert len(inc) == inc["conv_id"].nunique()
+    # joined rows carry real attributes
+    assert inc["channel"].notna().any()
+
+
+def test_join_mv_rejects_mispartitioned_lakes(paths):
+    fact = CheckpointedIngest(tempfile.mkdtemp(prefix="jmv_x_", dir="/tmp"), num_partitions=16)
+    dim = CheckpointedIngest(
+        tempfile.mkdtemp(prefix="jmv_y_", dir="/tmp"), num_partitions=8,
+        spec=CONVERSATIONS_SPEC,
+    )
+    with pytest.raises(ValueError, match="co-partitioning"):
+        JoinMaterializedView(tempfile.mkdtemp(prefix="jmv_z_", dir="/tmp"), fact, dim)
