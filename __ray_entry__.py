@@ -94,6 +94,7 @@ _RUN_FIRST = (
     "cdc_cdf_to_log",
     "cdc_partition_split",
     "cdc_join_mv_incremental",
+    "events_window_late_data",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -1873,7 +1873,14 @@ class JoinMaterializedView:
                     if dim_tabs
                     else d_schema.empty_table()
                 )
-                dim_cols = [n for n in merged_d.column_names if n not in join_cols]
+                # attribute columns = the dim PAYLOAD schema minus the join
+                # key (the merged lake table also carries engine columns —
+                # lsn/op/partition_id — that must not leak into the view)
+                dim_cols = [
+                    f.name
+                    for f in dp.schema_at()
+                    if f.name not in join_cols and f.name in merged_d.column_names
+                ]
                 joined = agg.join(
                     merged_d.select(join_cols + dim_cols),
                     keys=join_cols,

@@ -640,6 +640,129 @@ def q_events_tumbling_window(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+LATENESS_US = 1_800_000_000  # 30 min allowed lateness
+
+
+def q_events_window_late_data(sf_dir: str):
+    """Event-time tumbling windows with a WATERMARK and ALLOWED LATENESS —
+    the streaming-engine late-data contract (Flink/Beam shape): events are
+    processed in arrival order (``event_id``), the watermark is the running
+    max event time seen so far, and an event whose ``ts`` lags the watermark
+    by more than 30 min is LATE — excluded from its window's aggregate and
+    counted into the window's dead-letter tally instead.
+
+    Distributed watermark = the same two-pass prefix pattern as the packing
+    prefix-sum: a narrow (event_id, ts) pass emits per-block (first id,
+    max ts), the driver prefixes that block-count-scale frame (exclusive
+    cummax), and the flagging pass resolves each row's watermark from the
+    broadcast map + an in-block exclusive cummax — no driver stream, no
+    extra shuffle.  Per-block (win_hour, n, sum, late) partials pre-reduce
+    before the tiny final groupby."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts", "value"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "value": batch["value"],
+            }
+        )
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "event_id"
+    ).materialize()
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy()
+        return pa.table(
+            {
+                "first_id": pa.array([int(ids[0])] if len(ids) else [], pa.int64()),
+                "block_max_ts": pa.array(
+                    [int(batch["ts_us"].to_numpy().max())] if len(ids) else [],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    meta = (
+        rows.map_batches(
+            block_meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .to_pandas()  # block-count scale
+        .sort_values("first_id")
+    )
+    # exclusive prefix max: the watermark carried INTO each block
+    # sentinel far below any real timestamp but safe against int64
+    # underflow when the lateness is subtracted
+    no_wm = -(2**62)
+    prev_max = meta["block_max_ts"].cummax().shift(fill_value=no_wm)
+    wm_ref = ray.put(dict(zip(meta["first_id"].astype(int), prev_max.astype(int))))
+
+    def flag_and_fold(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        empty = pa.table(
+            {
+                "win_hour": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+                "n_late": pa.array([], pa.int64()),
+            }
+        )
+        ids = batch["event_id"].to_numpy()
+        if not len(ids):
+            return empty
+        ts = batch["ts_us"].to_numpy()
+        carried = int(_ray.get(wm_ref)[int(ids[0])])
+        # per-row watermark = max(carried-in, exclusive in-block cummax)
+        inblock = np.empty_like(ts)
+        inblock[0] = -(2**62)  # underflow-safe "no watermark yet"
+        np.maximum.accumulate(ts[:-1], out=inblock[1:])
+        wm = np.maximum(inblock, carried)
+        late = ts < wm - LATENESS_US
+        df = pd.DataFrame(
+            {
+                "win_hour": ts // 3_600_000_000,
+                "value": batch["value"].to_numpy(),
+                "late": late,
+            }
+        )
+        g = df.groupby("win_hour", sort=False)
+        on_time = df[~df["late"]].groupby("win_hour", sort=False)["value"]
+        out = pd.DataFrame(
+            {
+                "n_events": g["late"].apply(lambda s: int((~s).sum())),
+                "n_late": g["late"].sum().astype(np.int64),
+            }
+        )
+        out["sum_value"] = on_time.sum().reindex(out.index, fill_value=0.0)
+        out = out.reset_index()
+        return pa.table(
+            {
+                "win_hour": pa.array(out["win_hour"].to_numpy(), pa.int64()),
+                "n_events": pa.array(out["n_events"].to_numpy(), pa.int64()),
+                "sum_value": pa.array(out["sum_value"].to_numpy(), pa.float64()),
+                "n_late": pa.array(out["n_late"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = rows.map_batches(
+        flag_and_fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = partials.groupby("win_hour").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n_late", alias_name="n_late"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("sum_value")
+        return batch.set_column(idx, "sum_value", pc.round(batch["sum_value"], 6))
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_events_window_incremental(sf_dir: str):
     """Epoch-ledgered INCREMENTAL tumbling-window aggregate: the window
     family joined to the incremental-ingest machinery the dedup ledgers
@@ -1183,6 +1306,27 @@ RELATIONAL_SQL: dict[str, str] = {
                round(sum(value), 6) AS sum_value
         FROM x GROUP BY 1, 2
     """,
+    # watermark + allowed lateness: arrival order = event_id, watermark =
+    # strict-prefix max event time, late = ts < watermark - 30 min
+    "events_window_late_data": """
+        WITH ordered AS (
+            SELECT ts, value,
+                   max(ts) OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS wm
+            FROM events
+        ), flagged AS (
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win_hour, value,
+                   (wm IS NOT NULL AND ts < wm - INTERVAL 30 MINUTE) AS is_late
+            FROM ordered
+        )
+        SELECT win_hour,
+               count(*) FILTER (WHERE NOT is_late) AS n_events,
+               round(COALESCE(sum(value) FILTER (WHERE NOT is_late), 0), 6)
+                   AS sum_value,
+               count(*) FILTER (WHERE is_late) AS n_late
+        FROM flagged GROUP BY 1
+    """,
     "events_tumbling_window": """
         SELECT user_id,
                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win_hour,
@@ -1316,6 +1460,7 @@ def relational_queries():
         "events_hopping_window": q_events_hopping_window,
         "events_tumbling_window": q_events_tumbling_window,
         "events_window_incremental": q_events_window_incremental,
+        "events_window_late_data": q_events_window_late_data,
         "events_session_windows": q_events_session_windows,
         "events_asof_join": q_events_asof_join,
         "events_follow_within": q_events_follow_within,

@@ -93,3 +93,48 @@ def test_sessions_match_bruteforce(df):
             sessions[-1].append(cur)
         exp[int(u)] = (len(sessions), max(len(s) for s in sessions))
     assert got == exp
+
+
+# -- watermark / allowed-lateness flagging (events_window_late_data) --------
+
+
+def _brute_late(ts_us: np.ndarray, lateness: int) -> np.ndarray:
+    """O(n) single-process reference: watermark = strict-prefix max event
+    time; late = ts < watermark - lateness; the first event is never late."""
+    out = np.zeros(len(ts_us), dtype=bool)
+    wm = None
+    for i, t in enumerate(ts_us):
+        if wm is not None and t < wm - lateness:
+            out[i] = True
+        wm = t if wm is None else max(wm, t)
+    return out
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200),
+    st.integers(min_value=0, max_value=2_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_late_flagging_matches_brute_force(ts_list, lateness):
+    """The blockwise exclusive-cummax flagging (carried-in watermark +
+    in-block prefix) equals the sequential definition for EVERY block split
+    of the arrival sequence."""
+    ts = np.asarray(ts_list, dtype=np.int64)
+    expected = _brute_late(ts, lateness)
+
+    # emulate the distributed two-pass over an arbitrary 2-block split
+    for cut in (0, len(ts) // 2, len(ts)):
+        got = np.zeros(len(ts), dtype=bool)
+        carried = -(2**62)
+        for lo, hi in ((0, cut), (cut, len(ts))):
+            if lo == hi:
+                continue
+            blk = ts[lo:hi]
+            inblock = np.empty_like(blk)
+            inblock[0] = -(2**62)
+            if len(blk) > 1:
+                np.maximum.accumulate(blk[:-1], out=inblock[1:])
+            wm = np.maximum(inblock, carried)
+            got[lo:hi] = blk < wm - lateness
+            carried = max(carried, int(blk.max()))
+        assert (got == expected).all()
