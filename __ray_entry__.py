@@ -95,6 +95,8 @@ _RUN_FIRST = (
     "cdc_partition_split",
     "cdc_join_mv_incremental",
     "events_window_late_data",
+    "transcript_loss_mask",
+    "cdc_join_mv_atomic",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -160,6 +160,11 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "cdc_partition_split",
         "cdc_scd2_asof",
         "cdc_cdf_to_log",
+        # round-5 session-4 additions (join view / lateness / loss mask)
+        "cdc_join_mv_incremental",
+        "cdc_join_mv_atomic",
+        "events_window_late_data",
+        "transcript_loss_mask",
     ]
     out: dict[str, float] = {}
     for name in panel:

@@ -1801,36 +1801,48 @@ class JoinMaterializedView:
         else:
             self.state = {"fact": {}, "dim": {}}
 
-    def _stale_pids(self) -> list[int]:
+    def _stale_pids(self, fact_m: Manifest, dim_m: Manifest) -> list[int]:
         stale = set()
-        for side, ing in (("fact", self.fact), ("dim", self.dim)):
+        for side, m in (("fact", fact_m), ("dim", dim_m)):
             seen = self.state[side]
-            for pid, st in ing.manifest.partitions.items():
+            for pid, st in m.partitions.items():
                 if int(st.lineage.get("epoch", -1)) > seen.get(pid, -1):
                     stale.add(pid)
         return sorted(stale)
 
-    def refresh(self) -> list[int]:
+    def refresh(
+        self,
+        fact_manifest: Manifest | None = None,
+        dim_manifest: Manifest | None = None,
+    ) -> list[int]:
         """Rewrite the view files of exactly the stale partitions; returns
-        the refreshed partition ids (empty = the view was already fresh)."""
-        stale = self._stale_pids()
+        the refreshed partition ids (empty = the view was already fresh).
+
+        Pass explicit manifests to refresh AT A SPECIFIC CUT — e.g. the
+        manifests resolved through a ``MultiTableTask`` parent pointer, so
+        the view only ever reflects atomically-committed multi-table
+        epochs (a torn prepare is invisible by construction)."""
+        fact_m = fact_manifest if fact_manifest is not None else self.fact.manifest
+        dim_m = dim_manifest if dim_manifest is not None else self.dim.manifest
+        stale = self._stale_pids(fact_m, dim_m)
         if not stale:
             return []
-        f_plan, d_plan = self.fact.committed_plan(), self.dim.committed_plan()
+        f_plan = self.fact.committed_plan(fact_m)
+        d_plan = self.dim.committed_plan(dim_m)
         f_plan_json, d_plan_json = f_plan.to_json(), d_plan.to_json()
         f_spec_json = self.fact.spec.to_json()
         d_spec_json = self.dim.spec.to_json()
         join_cols = self.join_cols
         out_dir = self.out_dir
 
-        def part_item(ing: CheckpointedIngest, pid: int) -> tuple[list, list]:
-            st = ing.manifest.partitions.get(pid)
+        def part_item(m: Manifest, pid: int) -> tuple[list, list]:
+            st = m.partitions.get(pid)
             return (list(st.files), st.versions()) if st else ([], [])
 
         items = []
         for pid in stale:
-            ff, fv = part_item(self.fact, pid)
-            df_, dv = part_item(self.dim, pid)
+            ff, fv = part_item(fact_m, pid)
+            df_, dv = part_item(dim_m, pid)
             items.append(
                 {"pid": pid, "fact_files": ff, "fact_vers": fv,
                  "dim_files": df_, "dim_vers": dv}
@@ -1898,9 +1910,9 @@ class JoinMaterializedView:
             .map_batches(refresh_one, batch_format="pandas", batch_size=1)
             .take_all()
         )
-        for side, ing in (("fact", self.fact), ("dim", self.dim)):
+        for side, m in (("fact", fact_m), ("dim", dim_m)):
             for pid in stale:
-                st = ing.manifest.partitions.get(pid)
+                st = m.partitions.get(pid)
                 if st is not None:
                     self.state[side][pid] = int(st.lineage.get("epoch", -1))
         tmp = os.path.join(self.out_dir, self.STATE_FILE + ".tmp")

@@ -813,6 +813,95 @@ def transcript_quality_gate(
     )
 
 
+def transcript_loss_mask(
+    events_path: str | list[str],
+    base_path: str | list[str] | None = None,
+    *,
+    plan: EvolutionPlan | None = None,
+    spec: TableSpec = TRANSCRIPTS_SPEC,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    **kwargs,
+) -> ray.data.Dataset:
+    """ASSISTANT-ONLY LOSS-MASK accounting over the replayed lake state —
+    the SFT-training prep step: of each conversation's rendered token
+    stream, only assistant turns contribute to the loss; user/system/tool
+    turns are context.  Emits per live conversation the total token count,
+    the masked (loss-bearing) token count, and the masked turn count — the
+    exact numbers a training-data budgeter needs to weigh a conversation.
+
+    Scale shape: fused into the LWW merge's ``map_groups`` like the quality
+    gate — token counts are a vectorized substring count over the merged
+    partition group, per-conversation sums are segment ``reduceat`` over
+    the key-sorted run, and only 4 narrow integer columns leave the merge.
+    Token convention matches the corpus QC family: whitespace split, so
+    ``n_tokens == count(' ') + 1`` per non-null text."""
+    import pyarrow.compute as pc
+
+    plan = plan or scan_evolution_plan_distributed(events_path, spec)
+    merge_fn = make_lww_merge(plan.schema_at(), plan.keys())
+    ev = normalized_events(
+        events_path,
+        base_path,
+        plan=plan,
+        num_partitions=num_partitions,
+        **kwargs,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+            ("n_tokens_total", pa.int64()),
+            ("n_tokens_masked", pa.int64()),
+            ("n_turns_masked", pa.int64()),
+        ]
+    )
+
+    def merge_then_mask(t: pa.Table) -> pa.Table:
+        merged = merge_fn(t)  # key-sorted: (conv_id asc, turn_idx asc)
+        n_rows = len(merged)
+        if n_rows == 0:
+            return out_schema.empty_table()
+        conv = merged["conv_id"].combine_chunks().cast(pa.string())
+        if n_rows == 1:
+            starts = np.array([0], dtype=np.int64)
+        else:
+            neq = pc.not_equal(conv.slice(1), conv.slice(0, n_rows - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.concatenate(([0], np.flatnonzero(neq).astype(np.int64) + 1))
+        n_turns = np.diff(np.concatenate((starts, [n_rows]))).astype(np.int64)
+        text = merged["text"].combine_chunks().cast(pa.string())
+        valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
+        # whitespace tokens = spaces + 1, but a NULL text contributes 0
+        # (SQL: sum skips NULL len(string_split(NULL)))
+        toks = (
+            pc.count_substring(pc.fill_null(text, ""), " ").to_numpy(
+                zero_copy_only=False
+            )
+            + 1
+        ) * valid
+        role = pc.fill_null(merged["role"].combine_chunks().cast(pa.string()), "")
+        is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)
+        total = np.add.reduceat(toks.astype(np.int64), starts)
+        masked = np.add.reduceat((toks * is_asst).astype(np.int64), starts)
+        masked_turns = np.add.reduceat(is_asst.astype(np.int64), starts)
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(starts)),
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "n_tokens_total": pa.array(total, pa.int64()),
+                "n_tokens_masked": pa.array(masked, pa.int64()),
+                "n_turns_masked": pa.array(masked_turns, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return ev.groupby("partition_id").map_groups(
+        merge_then_mask, batch_format="pyarrow"
+    )
+
+
 def transcript_tool_sequences(
     events_path: str | list[str],
     base_path: str | list[str] | None = None,

@@ -110,3 +110,39 @@ def test_join_mv_rejects_mispartitioned_lakes(paths):
     )
     with pytest.raises(ValueError, match="co-partitioning"):
         JoinMaterializedView(tempfile.mkdtemp(prefix="jmv_z_", dir="/tmp"), fact, dim)
+
+
+def test_dim_retention_cascades_to_join_view(paths):
+    """GDPR erasure on the DIMENSION lake must invalidate exactly the view
+    partitions the forgotten keys hash to, and the re-joined rows lose
+    their attributes (NULL channel/owner/priority) while the fact side
+    lives on."""
+    from tapdata_connectors_ray.functions.hashing import partition_ids
+
+    fact = CheckpointedIngest(tempfile.mkdtemp(prefix="jmv_rf_", dir="/tmp"), num_partitions=16)
+    dim = CheckpointedIngest(
+        tempfile.mkdtemp(prefix="jmv_rd_", dir="/tmp"), num_partitions=16,
+        spec=CONVERSATIONS_SPEC,
+    )
+    view = JoinMaterializedView(tempfile.mkdtemp(prefix="jmv_rv_", dir="/tmp"), fact, dim)
+    fact.ingest(paths["ev"], paths["base"])
+    dim.ingest(paths["d_ev"], paths["d_base"])
+    view.refresh()
+
+    df = _view_df(view)
+    victims = df[df["channel"].notna()]["conv_id"].head(3).tolist()
+    dim.forget_keys(victims)
+    refreshed = view.refresh()
+    expect = sorted(set(partition_ids(__import__("numpy").array(victims, object), 16).tolist()))
+    assert refreshed == expect
+
+    after = _view_df(view)
+    hit = after[after["conv_id"].isin(victims)]
+    assert len(hit) == len(victims)           # fact rows survive...
+    assert hit["channel"].isna().all()        # ...dim attributes are gone
+    assert hit["priority"].isna().all()
+    # untouched conversations are byte-identical
+    rest = after[~after["conv_id"].isin(victims)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        rest, df[~df["conv_id"].isin(victims)].reset_index(drop=True)
+    )
