@@ -97,6 +97,7 @@ _RUN_FIRST = (
     "events_window_late_data",
     "transcript_loss_mask",
     "cdc_join_mv_atomic",
+    "events_window_topk",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -763,6 +763,59 @@ def q_events_window_late_data(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+WINDOW_TOPK = 3
+
+
+def q_events_window_topk(sf_dir: str):
+    """Per-window EXACT heavy hitters: the top-3 event types of every
+    1-hour window under (count DESC, type ASC) — the windowed top-k shape
+    (trending items / hot keys per interval).  In-block (window, type)
+    partial counts pre-reduce before the shuffle; windows are coarse-
+    bucketed so the per-bucket fold ranks each window wholly inside one
+    task — the shuffle carries ≤ windows×types×blocks narrow partials, and
+    nothing unbounded ever groups globally."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        win = batch["ts"].cast(pa.int64()).to_numpy() // 3_600_000_000
+        g = (
+            pd.DataFrame({"win_hour": win, "event_type": batch["event_type"].to_numpy(zero_copy_only=False)})
+            .groupby(["win_hour", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n_part")
+        )
+        return pa.table(
+            {
+                "win_hour": pa.array(g["win_hour"].to_numpy(), pa.int64()),
+                "event_type": pa.array(g["event_type"].to_numpy(object), pa.string()),
+                "n_part": pa.array(g["n_part"].to_numpy(), pa.int64()),
+                "wbucket": pa.array((g["win_hour"].to_numpy() % 256).astype(np.int32)),
+            }
+        )
+
+    def bucket_rank(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["win_hour", "event_type"], sort=False)["n_part"]
+            .sum()
+            .reset_index(name="n_events")
+        )
+        g = g.sort_values(
+            ["win_hour", "n_events", "event_type"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        g["rank"] = g.groupby("win_hour", sort=False).cumcount() + 1
+        return g[g["rank"] <= WINDOW_TOPK].drop(columns=[]).astype(
+            {"rank": np.int64}
+        )[["win_hour", "event_type", "n_events", "rank"]]
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("wbucket")
+        .map_groups(bucket_rank, batch_format="pandas")
+    )
+
+
 def q_events_window_incremental(sf_dir: str):
     """Epoch-ledgered INCREMENTAL tumbling-window aggregate: the window
     family joined to the incremental-ingest machinery the dedup ledgers
@@ -1327,6 +1380,19 @@ RELATIONAL_SQL: dict[str, str] = {
                count(*) FILTER (WHERE is_late) AS n_late
         FROM flagged GROUP BY 1
     """,
+    "events_window_topk": """
+        WITH c AS (
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win_hour,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY win_hour ORDER BY n_events DESC, event_type
+            ) AS rank FROM c
+        )
+        SELECT win_hour, event_type, n_events, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
+    """,
     "events_tumbling_window": """
         SELECT user_id,
                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win_hour,
@@ -1461,6 +1527,7 @@ def relational_queries():
         "events_tumbling_window": q_events_tumbling_window,
         "events_window_incremental": q_events_window_incremental,
         "events_window_late_data": q_events_window_late_data,
+        "events_window_topk": q_events_window_topk,
         "events_session_windows": q_events_session_windows,
         "events_asof_join": q_events_asof_join,
         "events_follow_within": q_events_follow_within,

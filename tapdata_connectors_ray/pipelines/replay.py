@@ -847,58 +847,65 @@ def transcript_loss_mask(
         **kwargs,
     )
 
-    out_schema = pa.schema(
-        [
-            ("conv_id", pa.string()),
-            ("n_turns", pa.int64()),
-            ("n_tokens_total", pa.int64()),
-            ("n_tokens_masked", pa.int64()),
-            ("n_turns_masked", pa.int64()),
-        ]
-    )
-
     def merge_then_mask(t: pa.Table) -> pa.Table:
-        merged = merge_fn(t)  # key-sorted: (conv_id asc, turn_idx asc)
-        n_rows = len(merged)
-        if n_rows == 0:
-            return out_schema.empty_table()
-        conv = merged["conv_id"].combine_chunks().cast(pa.string())
-        if n_rows == 1:
-            starts = np.array([0], dtype=np.int64)
-        else:
-            neq = pc.not_equal(conv.slice(1), conv.slice(0, n_rows - 1)).to_numpy(
-                zero_copy_only=False
-            )
-            starts = np.concatenate(([0], np.flatnonzero(neq).astype(np.int64) + 1))
-        n_turns = np.diff(np.concatenate((starts, [n_rows]))).astype(np.int64)
-        text = merged["text"].combine_chunks().cast(pa.string())
-        valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
-        # whitespace tokens = spaces + 1, but a NULL text contributes 0
-        # (SQL: sum skips NULL len(string_split(NULL)))
-        toks = (
-            pc.count_substring(pc.fill_null(text, ""), " ").to_numpy(
-                zero_copy_only=False
-            )
-            + 1
-        ) * valid
-        role = pc.fill_null(merged["role"].combine_chunks().cast(pa.string()), "")
-        is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)
-        total = np.add.reduceat(toks.astype(np.int64), starts)
-        masked = np.add.reduceat((toks * is_asst).astype(np.int64), starts)
-        masked_turns = np.add.reduceat(is_asst.astype(np.int64), starts)
-        return pa.table(
-            {
-                "conv_id": conv.take(pa.array(starts)),
-                "n_turns": pa.array(n_turns, pa.int64()),
-                "n_tokens_total": pa.array(total, pa.int64()),
-                "n_tokens_masked": pa.array(masked, pa.int64()),
-                "n_turns_masked": pa.array(masked_turns, pa.int64()),
-            },
-            schema=out_schema,
-        )
+        return loss_mask_merged_table(merge_fn(t))
 
     return ev.groupby("partition_id").map_groups(
         merge_then_mask, batch_format="pyarrow"
+    )
+
+
+LOSS_MASK_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("n_tokens_total", pa.int64()),
+        ("n_tokens_masked", pa.int64()),
+        ("n_turns_masked", pa.int64()),
+    ]
+)
+
+
+def loss_mask_merged_table(merged: pa.Table) -> pa.Table:
+    """Loss-mask kernel over ONE merged (key-sorted) partition table —
+    shared bit-for-bit by the fused one-shot query and the incremental MV
+    refresh (like ``render_merged_table``)."""
+    import pyarrow.compute as pc
+
+    n_rows = len(merged)
+    if n_rows == 0:
+        return LOSS_MASK_SCHEMA.empty_table()
+    conv = merged["conv_id"].combine_chunks().cast(pa.string())
+    if n_rows == 1:
+        starts = np.array([0], dtype=np.int64)
+    else:
+        neq = pc.not_equal(conv.slice(1), conv.slice(0, n_rows - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(neq).astype(np.int64) + 1))
+    n_turns = np.diff(np.concatenate((starts, [n_rows]))).astype(np.int64)
+    text = merged["text"].combine_chunks().cast(pa.string())
+    valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
+    # whitespace tokens = spaces + 1, but a NULL text contributes 0
+    # (SQL: sum skips NULL len(string_split(NULL)))
+    toks = (
+        pc.count_substring(pc.fill_null(text, ""), " ").to_numpy(zero_copy_only=False)
+        + 1
+    ) * valid
+    role = pc.fill_null(merged["role"].combine_chunks().cast(pa.string()), "")
+    is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)
+    total = np.add.reduceat(toks.astype(np.int64), starts)
+    masked = np.add.reduceat((toks * is_asst).astype(np.int64), starts)
+    masked_turns = np.add.reduceat(is_asst.astype(np.int64), starts)
+    return pa.table(
+        {
+            "conv_id": conv.take(pa.array(starts)),
+            "n_turns": pa.array(n_turns, pa.int64()),
+            "n_tokens_total": pa.array(total, pa.int64()),
+            "n_tokens_masked": pa.array(masked, pa.int64()),
+            "n_turns_masked": pa.array(masked_turns, pa.int64()),
+        },
+        schema=LOSS_MASK_SCHEMA,
     )
 
 
