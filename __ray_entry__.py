@@ -98,6 +98,9 @@ _RUN_FIRST = (
     "transcript_loss_mask",
     "cdc_join_mv_atomic",
     "events_window_topk",
+    "transcript_loss_mask_incremental",
+    "cdc_join_rollup_incremental",
+    "sample_transcripts_by_channel",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

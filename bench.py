@@ -165,6 +165,10 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "cdc_join_mv_atomic",
         "events_window_late_data",
         "transcript_loss_mask",
+        "events_window_topk",
+        "transcript_loss_mask_incremental",
+        "cdc_join_rollup_incremental",
+        "sample_transcripts_by_channel",
     ]
     out: dict[str, float] = {}
     for name in panel:

@@ -935,21 +935,19 @@ class CheckpointedIngest:
         )
         return ray.data.read_parquet(files)
 
-    def update_render_mv(self) -> list[int]:
-        """Incrementally-maintained RENDERED-TRANSCRIPT view — the training
-        sample a consumer actually reads, kept fresh by CDC: each refresh
-        re-renders ONLY the partitions whose data lineage advanced past the
+    def _update_kernel_mv(self, name: str, kernel) -> list[int]:
+        """Shared incremental refresh for KERNEL views — views whose content
+        is an arbitrary per-partition function of the merged lake state
+        (render, loss mask, ...), not a declarative aggregate.  Each refresh
+        re-computes ONLY the partitions whose data lineage advanced past the
         view's last refresh (conversations are partition-local, so a touched
-        partition's render file is the exact blast radius of its epochs).
-        The render kernel is the same Arrow-native assembly the fused replay
-        render uses (``replay.render_merged_table``); the per-view staleness
-        key rides the same lineage mechanism as the aggregate MVs.  Returns
-        the refreshed partition ids."""
-        from tapdata_connectors_ray.pipelines.replay import render_merged_table
-
+        partition's view file is the exact blast radius of its epochs); the
+        per-view staleness key rides the same lineage mechanism as the
+        aggregate MVs.  ``kernel``: module-level fn, merged table -> view
+        table.  Returns the refreshed partition ids."""
         plan = self.committed_plan()
         epoch = self.manifest.epoch
-        mvk = "mv_epoch:__render__"
+        mvk = f"mv_epoch:{name}"
         touched = [
             pid
             for pid, st in sorted(self.manifest.partitions.items())
@@ -960,7 +958,7 @@ class CheckpointedIngest:
             return []
         plan_json = plan.to_json()
         spec_json = self.spec.to_json()
-        mv_dir = os.path.join(self.lake_dir, "mv", "__render__")
+        mv_dir = os.path.join(self.lake_dir, "mv", name)
         os.makedirs(mv_dir, exist_ok=True)
         items = [
             {
@@ -985,9 +983,8 @@ class CheckpointedIngest:
                     for f, v in zip(row["files"], row["vers"])
                 ]
                 merged = lww_merge_tables(tables, out_schema, keys)
-                rendered = render_merged_table(merged)
                 out = os.path.join(mv_dir, f"p={pid:05d}.parquet")
-                atomic_put_parquet(rendered, out)
+                atomic_put_parquet(kernel(merged), out)
                 rows.append({"partition_id": pid})
             return pa.Table.from_pylist(rows)
 
@@ -1002,8 +999,29 @@ class CheckpointedIngest:
         commit_manifest(self.lake_dir, self.manifest)
         return touched
 
+    def update_render_mv(self) -> list[int]:
+        """Incrementally-maintained RENDERED-TRANSCRIPT view — the training
+        sample a consumer actually reads, kept fresh by CDC.  The render
+        kernel is the same Arrow-native assembly the fused replay render
+        uses (``replay.render_merged_table``)."""
+        from tapdata_connectors_ray.pipelines.replay import render_merged_table
+
+        return self._update_kernel_mv("__render__", render_merged_table)
+
     def render_mv_dataset(self) -> ray.data.Dataset:
         return self.mv_dataset("__render__")
+
+    def update_loss_mask_mv(self) -> list[int]:
+        """Incrementally-maintained LOSS-MASK view — per-conversation SFT
+        token budgets (total vs loss-bearing) kept fresh by CDC; kernel
+        shared bit-for-bit with the fused ``transcript_loss_mask`` query
+        (``replay.loss_mask_merged_table``)."""
+        from tapdata_connectors_ray.pipelines.replay import loss_mask_merged_table
+
+        return self._update_kernel_mv("__loss_mask__", loss_mask_merged_table)
+
+    def loss_mask_mv_dataset(self) -> ray.data.Dataset:
+        return self.mv_dataset("__loss_mask__")
 
     def dataset_at(self, epoch: int) -> ray.data.Dataset:
         """Time-travel read: the lake AS OF an earlier committed epoch (the
@@ -1792,7 +1810,7 @@ class JoinMaterializedView:
         self.out_dir = out_dir
         self.fact = fact
         self.dim = dim
-        os.makedirs(out_dir, exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "rollup"), exist_ok=True)
         sp = os.path.join(out_dir, self.STATE_FILE)
         if os.path.exists(sp):
             with open(sp) as f:
@@ -1902,6 +1920,26 @@ class JoinMaterializedView:
                     join_cols + ["n_turns", "sum_score"] + dim_cols
                 ).sort_by([(c, "ascending") for c in join_cols])
                 atomic_put_parquet(joined, os.path.join(out_dir, f"p={pid:05d}.parquet"))
+                # CASCADED rollup view: the per-channel partial of this
+                # partition lands in the SAME task (zero extra passes over
+                # the data) — the rollup's group key (a dim attribute) is
+                # NOT the partition key, so its final fold happens at read
+                # over partition-count-scale partials (two-level aggregate)
+                if "channel" in joined.column_names:
+                    part = joined.group_by(["channel"]).aggregate(
+                        [([], "count_all"), ("sum_score", "sum")]
+                    )
+                    part = part.rename_columns(
+                        [
+                            {"count_all": "n_convs", "sum_score_sum": "score_part"}.get(
+                                c, c
+                            )
+                            for c in part.column_names
+                        ]
+                    )
+                    atomic_put_parquet(
+                        part, os.path.join(out_dir, "rollup", f"p={pid:05d}.parquet")
+                    )
                 rows.append({"partition_id": pid})
             return pa.Table.from_pylist(rows)
 
@@ -1928,3 +1966,26 @@ class JoinMaterializedView:
             if f.endswith(".parquet")
         )
         return ray.data.read_parquet(files)
+
+    def rollup(self) -> pd.DataFrame:
+        """The cascaded per-channel rollup: final fold over the
+        partition-count-scale partials the refresh tasks already wrote —
+        metadata scale by construction (partitions × channels rows), never
+        a pass over the data."""
+        rdir = os.path.join(self.out_dir, "rollup")
+        files = sorted(
+            os.path.join(rdir, f) for f in os.listdir(rdir) if f.endswith(".parquet")
+        )
+        parts = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+        out = (
+            parts.groupby("channel", dropna=False, sort=True)
+            .agg(n_convs=("n_convs", "sum"), sum_score_total=("score_part", "sum"))
+            .reset_index()
+        )
+        # the null-channel group must surface as a real None (the driver
+        # hash distinguishes NaN from SQL NULL in object columns)
+        out["channel"] = out["channel"].astype(object).where(out["channel"].notna(), None)
+        out["n_convs"] = out["n_convs"].astype(np.int64)
+        # an all-null-score channel sums to NaN; the oracle coalesces to 0
+        out["sum_score_total"] = out["sum_score_total"].fillna(0).astype(np.int64)
+        return out.sort_values("channel", na_position="last").reset_index(drop=True)
