@@ -38,8 +38,11 @@ def entry() -> Any:
 # `events_hopping_window` shares the window-expansion kernel with the
 # r04-fresh tumbling/incremental windows; `cdc_multi_table_single_pass` is
 # pytest-pinned bit-for-bit equal to `cdc_multi_table_consistent`).
-# Round-5 additions (33 by the end of the round, incl. the CDC-lifecycle
-# wave: SCD2 ×3, CDF ×3, retention, WAP, render MV, partition split) each
+# Round-5 additions (43 by the end of the round: the CDC-lifecycle wave —
+# SCD2 ×3 + dim SCD2, CDF ×3, retention, WAP, render MV, partition split —
+# plus the session-4 view layer: join MV / atomic-cut / cascaded rollup /
+# snowflake, late-data windows, windowed top-k, loss mask ×2, channel
+# sampling) each
 # enter the new-query block AS THEY LAND — a query with NO driver row
 # outranks any query with an r03 row, so each addition displaces the tail
 # of the r03 block past the 50-slot cap.  Every r03 query that falls
@@ -101,6 +104,8 @@ _RUN_FIRST = (
     "transcript_loss_mask_incremental",
     "cdc_join_rollup_incremental",
     "sample_transcripts_by_channel",
+    "cdc_dim_scd2_history",
+    "cdc_join_mv_snowflake",
     # newest driver row is r03
     "cdc_delta_ingest_compact",
     "cdc_delta_minor_compact",

@@ -169,6 +169,8 @@ def run_query_panel(sf_dir: str) -> dict[str, float]:
         "transcript_loss_mask_incremental",
         "cdc_join_rollup_incremental",
         "sample_transcripts_by_channel",
+        "cdc_dim_scd2_history",
+        "cdc_join_mv_snowflake",
     ]
     out: dict[str, float] = {}
     for name in panel:

@@ -1026,7 +1026,7 @@ CONVERSATIONS_SPEC = TableSpec(
 _DIM_CHANNELS = np.array(["web", "mobile", "api", "email", "chat"])
 _DIM_OWNERS = np.array([f"agent-{i:03d}" for i in range(40)])
 
-DIM_FIXTURE_VERSION = 1
+DIM_FIXTURE_VERSION = 2
 
 
 def generate_conversation_dim_tables(
@@ -1105,6 +1105,22 @@ def generate_conversation_dim_tables(
     return base, events
 
 
+def generate_owners_table(seed: int = 17) -> pa.Table:
+    """Tiny second-level dimension (snowflake schema): owner -> team/region.
+    Small enough to BROADCAST (`ray.put` once, resolved per task) — the
+    honest scale answer for a dim that fits in one object."""
+    rng = np.random.default_rng(seed)
+    teams = np.char.add("team-", (np.arange(len(_DIM_OWNERS)) % 8).astype(str))
+    region = _REGIONS[rng.integers(0, len(_REGIONS), len(_DIM_OWNERS))]
+    return pa.table(
+        {
+            "owner": pa.array(_DIM_OWNERS, pa.string()),
+            "team": pa.array(teams, pa.string()),
+            "region_name": pa.array(region, pa.string()),
+        }
+    )
+
+
 def ensure_dim_fixtures(sf: str = "sf0.001", root: str = DEFAULT_FIXTURE_ROOT) -> str:
     """Per-tier dimension fixture derived from the tier's fact fixture:
     ``<root>/dim_<sf>/{conv_base,conv_events}.parquet``.  Cache key includes
@@ -1143,6 +1159,7 @@ def ensure_dim_fixtures(sf: str = "sf0.001", root: str = DEFAULT_FIXTURE_ROOT) -
     base, events = generate_conversation_dim_tables(conv_ids)
     _write_sharded(base, os.path.join(tmp, "conv_base.parquet"))
     _write_sharded(events, os.path.join(tmp, "conv_events.parquet"))
+    pq.write_table(generate_owners_table(), os.path.join(tmp, "owners.parquet"))
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(key, f)
     shutil.rmtree(out, ignore_errors=True)

@@ -146,3 +146,31 @@ def test_dim_retention_cascades_to_join_view(paths):
     pd.testing.assert_frame_equal(
         rest, df[~df["conv_id"].isin(victims)].reset_index(drop=True)
     )
+
+
+def test_rollup_matches_view_recompute(paths):
+    """The cascaded per-channel rollup (two-level aggregate over refresh-task
+    partials) equals a direct recompute from the join view's rows."""
+    import numpy as np
+
+    fact = CheckpointedIngest(tempfile.mkdtemp(prefix="jmv_uf_", dir="/tmp"), num_partitions=16)
+    dim = CheckpointedIngest(
+        tempfile.mkdtemp(prefix="jmv_ud_", dir="/tmp"), num_partitions=16,
+        spec=CONVERSATIONS_SPEC,
+    )
+    view = JoinMaterializedView(tempfile.mkdtemp(prefix="jmv_uv_", dir="/tmp"), fact, dim)
+    fact.ingest(paths["ev"], paths["base"])
+    dim.ingest(paths["d_ev"], paths["d_base"])
+    view.refresh()
+
+    got = view.rollup()
+    df = _view_df(view)
+    want = (
+        df.groupby("channel", dropna=False, sort=True)
+        .agg(n_convs=("conv_id", "size"), sum_score_total=("sum_score", "sum"))
+        .reset_index()
+    )
+    want["channel"] = want["channel"].astype(object).where(want["channel"].notna(), None)
+    want["sum_score_total"] = want["sum_score_total"].fillna(0).astype(np.int64)
+    want = want.sort_values("channel", na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype({"n_convs": np.int64}))

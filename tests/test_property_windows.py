@@ -138,3 +138,55 @@ def test_late_flagging_matches_brute_force(ts_list, lateness):
             got[lo:hi] = blk < wm - lateness
             carried = max(carried, int(blk.max()))
         assert (got == expected).all()
+
+
+# -- per-window exact top-k (events_window_topk) ------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),      # window
+            st.sampled_from(["a", "b", "c", "d"]),      # type
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_window_topk_fold_matches_brute_force(rows):
+    """The bucketed rank fold (partial counts summed, rank per window under
+    (n DESC, type ASC)) equals the obvious per-window sort, for any block
+    split of the input."""
+    from tapdata_connectors_ray.pipelines.relational import WINDOW_TOPK
+
+    df = pd.DataFrame(rows, columns=["win_hour", "event_type"])
+    want = (
+        df.groupby(["win_hour", "event_type"]).size().reset_index(name="n_events")
+        .sort_values(["win_hour", "n_events", "event_type"], ascending=[True, False, True])
+    )
+    want["rank"] = want.groupby("win_hour").cumcount() + 1
+    want = want[want["rank"] <= WINDOW_TOPK].reset_index(drop=True)
+
+    # emulate two blocks of in-block partials + the bucket fold
+    cut = len(df) // 2
+    parts = []
+    for blk in (df.iloc[:cut], df.iloc[cut:]):
+        if len(blk):
+            parts.append(
+                blk.groupby(["win_hour", "event_type"]).size().reset_index(name="n_part")
+            )
+    partials = pd.concat(parts, ignore_index=True)
+    g = (
+        partials.groupby(["win_hour", "event_type"], sort=False)["n_part"].sum()
+        .reset_index(name="n_events")
+        .sort_values(["win_hour", "n_events", "event_type"], ascending=[True, False, True],
+                     kind="stable")
+    )
+    g["rank"] = g.groupby("win_hour", sort=False).cumcount() + 1
+    got = g[g["rank"] <= WINDOW_TOPK].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["win_hour", "rank"]).reset_index(drop=True),
+        want.sort_values(["win_hour", "rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )

@@ -503,3 +503,27 @@ def test_change_data_feed_applies_to_snapshot(paths):
     got["turn_idx"] = got["turn_idx"].astype("Int32")
     exp["turn_idx"] = exp["turn_idx"].astype("Int32")
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_loss_mask_kernel():
+    """loss_mask_merged_table: whitespace-token convention (spaces+1, NULL
+    text = 0), assistant-only masking, per-conversation segment sums over a
+    key-sorted merged table."""
+    import pyarrow as pa
+
+    from tapdata_connectors_ray.pipelines.replay import loss_mask_merged_table
+
+    merged = pa.table(
+        {
+            "conv_id": ["a", "a", "a", "b", "b"],
+            "turn_idx": pa.array([0, 1, 2, 0, 1], pa.int32()),
+            "role": ["user", "assistant", "tool", "assistant", "user"],
+            "text": ["hi there", "one two three", None, "x", "y z"],
+        }
+    )
+    out = loss_mask_merged_table(merged).to_pydict()
+    assert out["conv_id"] == ["a", "b"]
+    assert out["n_turns"] == [3, 2]
+    assert out["n_tokens_total"] == [2 + 3 + 0, 1 + 2]
+    assert out["n_tokens_masked"] == [3, 1]
+    assert out["n_turns_masked"] == [1, 1]
