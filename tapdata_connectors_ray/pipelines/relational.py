@@ -730,10 +730,11 @@ def q_events_window_late_data(sf_dir: str):
         )
         g = df.groupby("win_hour", sort=False)
         on_time = df[~df["late"]].groupby("win_hour", sort=False)["value"]
+        n_late = g["late"].sum().astype(np.int64)
         out = pd.DataFrame(
             {
-                "n_events": g["late"].apply(lambda s: int((~s).sum())),
-                "n_late": g["late"].sum().astype(np.int64),
+                "n_events": (g.size() - n_late).astype(np.int64),
+                "n_late": n_late,
             }
         )
         out["sum_value"] = on_time.sum().reindex(out.index, fill_value=0.0)
