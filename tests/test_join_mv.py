@@ -174,3 +174,55 @@ def test_rollup_matches_view_recompute(paths):
     want["sum_score_total"] = want["sum_score_total"].fillna(0).astype(np.int64)
     want = want.sort_values("channel", na_position="last").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want.astype({"n_convs": np.int64}))
+
+
+def test_join_view_survives_partition_split(paths):
+    """Online partition-count growth (hash % 2P is partition-local) applied
+    to BOTH lakes preserves co-partitioning: the re-opened view at the new
+    width re-resolves (all partitions stale, since every lake file moved)
+    and equals a batch twin built directly at 2P."""
+    _, hi = lsn_bounds(paths["ev"])
+    _, d_hi = lsn_bounds(paths["d_ev"])
+    f_dir = tempfile.mkdtemp(prefix="jmv_pf_", dir="/tmp")
+    d_dir = tempfile.mkdtemp(prefix="jmv_pd_", dir="/tmp")
+    v_dir = tempfile.mkdtemp(prefix="jmv_pv_", dir="/tmp")
+
+    fact = CheckpointedIngest(f_dir, num_partitions=8)
+    dim = CheckpointedIngest(d_dir, num_partitions=8, spec=CONVERSATIONS_SPEC)
+    view = JoinMaterializedView(v_dir, fact, dim)
+    fact.ingest(paths["ev"], paths["base"], end_lsn=hi // 2)
+    dim.ingest(paths["d_ev"], paths["d_base"], end_lsn=d_hi // 2)
+    view.refresh()
+
+    # grow both lakes 8 -> 16 mid-stream, resume ingest at the new width
+    fact.split_partitions(factor=2)
+    dim.split_partitions(factor=2)
+    fact16 = CheckpointedIngest(f_dir, num_partitions=16)
+    dim16 = CheckpointedIngest(d_dir, num_partitions=16, spec=CONVERSATIONS_SPEC)
+    # the split stamps EVERY child with a fresh lineage epoch, so the view
+    # sees all populated partitions stale even before any further ingest —
+    # a pre-split view file can never survive at the new width
+    probe = JoinMaterializedView(v_dir, fact16, dim16)
+    stale = set(probe._stale_pids(fact16.manifest, dim16.manifest))
+    populated = {
+        pid for ing in (fact16, dim16)
+        for pid, st in ing.manifest.partitions.items() if st.files
+    }
+    assert populated <= stale
+    fact16.ingest(paths["ev"], None)
+    dim16.ingest(paths["d_ev"], None)
+    view16 = JoinMaterializedView(v_dir, fact16, dim16)
+    view16.refresh()
+
+    batch = CheckpointedIngest(tempfile.mkdtemp(prefix="jmv_pb_", dir="/tmp"), num_partitions=16)
+    batch_d = CheckpointedIngest(
+        tempfile.mkdtemp(prefix="jmv_pc_", dir="/tmp"), num_partitions=16,
+        spec=CONVERSATIONS_SPEC,
+    )
+    vb = JoinMaterializedView(tempfile.mkdtemp(prefix="jmv_pw_", dir="/tmp"), batch, batch_d)
+    batch.ingest(paths["ev"], paths["base"])
+    batch_d.ingest(paths["d_ev"], paths["d_base"])
+    vb.refresh()
+
+    pd.testing.assert_frame_equal(_view_df(view16), _view_df(vb))
+    pd.testing.assert_frame_equal(view16.rollup(), vb.rollup())
