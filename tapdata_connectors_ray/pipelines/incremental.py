@@ -1785,7 +1785,15 @@ class JoinMaterializedView:
     At 100 TB: refresh cost is O(touched partitions) map tasks, each bounded
     by one partition's live keys on both sides; the view state file is
     O(P) — metadata scale.  Reference: multi-table task + merge-table
-    processor (survey §2.6, §3.1)."""
+    processor (survey §2.6, §3.1).
+
+    Crash model: per-partition files land via ``atomic_put``; the state
+    file (written LAST, atomically) is the refresh's commit point — a crash
+    mid-refresh leaves state behind data, so the re-opened view simply
+    re-refreshes the same stale set (idempotent rewrites).  Like
+    ``CheckpointedIngest``, the view assumes ONE driver-side coordinator;
+    concurrent refreshers of the same view dir are fenced at the lake
+    layer, not here."""
 
     STATE_FILE = "join_state.json"
 

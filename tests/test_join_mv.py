@@ -226,3 +226,29 @@ def test_join_view_survives_partition_split(paths):
 
     pd.testing.assert_frame_equal(_view_df(view16), _view_df(vb))
     pd.testing.assert_frame_equal(view16.rollup(), vb.rollup())
+
+
+def test_refresh_crash_before_state_write_is_idempotent(paths):
+    """A crash AFTER view files land but BEFORE the state file commits must
+    leave the view re-refreshable: the reopened view sees the same stale
+    set, rewrites the same files, and converges to the batch answer."""
+    fact = CheckpointedIngest(tempfile.mkdtemp(prefix="jmv_cf_", dir="/tmp"), num_partitions=16)
+    dim = CheckpointedIngest(
+        tempfile.mkdtemp(prefix="jmv_cd_", dir="/tmp"), num_partitions=16,
+        spec=CONVERSATIONS_SPEC,
+    )
+    v_dir = tempfile.mkdtemp(prefix="jmv_cv_", dir="/tmp")
+    view = JoinMaterializedView(v_dir, fact, dim)
+    fact.ingest(paths["ev"], paths["base"])
+    dim.ingest(paths["d_ev"], paths["d_base"])
+    first = view.refresh()
+    want = _view_df(view)
+
+    # simulate the crash: data files persisted, state write lost
+    os.remove(os.path.join(v_dir, JoinMaterializedView.STATE_FILE))
+    recovered = JoinMaterializedView(v_dir, fact, dim)
+    second = recovered.refresh()
+    assert second == first            # the SAME stale set re-runs
+    assert recovered.refresh() == []  # and then the view is fresh
+    pd.testing.assert_frame_equal(_view_df(recovered), want)
+    pd.testing.assert_frame_equal(recovered.rollup(), view.rollup())
