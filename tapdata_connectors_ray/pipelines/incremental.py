@@ -1997,3 +1997,24 @@ class JoinMaterializedView:
         # an all-null-score channel sums to NaN; the oracle coalesces to 0
         out["sum_score_total"] = out["sum_score_total"].fillna(0).astype(np.int64)
         return out.sort_values("channel", na_position="last").reset_index(drop=True)
+
+    def metrics(self) -> dict:
+        """View freshness surface (north rule: per-partition lag metrics
+        exported): per side, how many partitions are stale and the worst
+        epoch lag (lake lineage epoch minus the view's refreshed epoch) —
+        the number a staleness SLO monitor alerts on."""
+        out: dict = {"partitions": 0, "stale_partitions": 0}
+        for side, ing in (("fact", self.fact), ("dim", self.dim)):
+            seen = self.state[side]
+            lags = [
+                int(st.lineage.get("epoch", -1)) - seen.get(pid, -1)
+                for pid, st in ing.manifest.partitions.items()
+                if st.files
+            ]
+            out[f"{side}_epoch_lag_max"] = max(lags) if lags else 0
+            out[f"{side}_stale_partitions"] = sum(1 for l in lags if l > 0)
+            out["partitions"] = max(out["partitions"], len(lags))
+        out["stale_partitions"] = (
+            out["fact_stale_partitions"] + out["dim_stale_partitions"]
+        )
+        return out

@@ -252,3 +252,29 @@ def test_refresh_crash_before_state_write_is_idempotent(paths):
     assert recovered.refresh() == []  # and then the view is fresh
     pd.testing.assert_frame_equal(_view_df(recovered), want)
     pd.testing.assert_frame_equal(recovered.rollup(), view.rollup())
+
+
+def test_view_freshness_metrics(paths):
+    """metrics(): zero lag right after a refresh; a dim-only epoch shows up
+    as dim-side staleness with epoch lag 1 and clears on the next refresh."""
+    fact = CheckpointedIngest(tempfile.mkdtemp(prefix="jmv_mf_", dir="/tmp"), num_partitions=16)
+    dim = CheckpointedIngest(
+        tempfile.mkdtemp(prefix="jmv_md_", dir="/tmp"), num_partitions=16,
+        spec=CONVERSATIONS_SPEC,
+    )
+    view = JoinMaterializedView(tempfile.mkdtemp(prefix="jmv_mv_", dir="/tmp"), fact, dim)
+    fact.ingest(paths["ev"], paths["base"])
+    dim.ingest(paths["d_ev"], paths["d_base"], end_lsn=1)
+    view.refresh()
+    m0 = view.metrics()
+    assert m0["stale_partitions"] == 0
+    assert m0["fact_epoch_lag_max"] == 0 and m0["dim_epoch_lag_max"] == 0
+
+    dim.ingest(paths["d_ev"], None)  # dim-only epoch
+    m1 = view.metrics()
+    assert m1["fact_stale_partitions"] == 0
+    assert m1["dim_stale_partitions"] > 0
+    assert m1["dim_epoch_lag_max"] == 1
+
+    view.refresh()
+    assert view.metrics()["stale_partitions"] == 0
