@@ -68,3 +68,31 @@ def test_cached_fixture_roundtrip(smoke_fixture_dir):
     assert base.schema.equals(TRANSCRIPTS_SCHEMA)
     assert events.schema.equals(EVENT_LOG_SCHEMA)
     assert events.num_rows > 10_000
+
+
+def test_dim_fixture_deterministic_and_composed():
+    """generate_conversation_dim_tables is byte-deterministic for a given
+    conv-id universe, and its composition matches the documented mix:
+    ~80% of convs in the base, inserts cover half the remainder, ~6% of
+    base convs deleted, priority NULL exactly on deletes."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from tapdata_connectors_ray.fixtures import generate_conversation_dim_tables
+
+    ids = np.array([f"conv-{i:08d}" for i in range(200)], dtype=object)
+    b1, e1 = generate_conversation_dim_tables(ids)
+    b2, e2 = generate_conversation_dim_tables(ids)
+    assert b1.equals(b2) and e1.equals(e2)
+
+    assert b1.num_rows == 160  # 80% of 200
+    ops = e1["op"].to_numpy(zero_copy_only=False)
+    ins_ids = set(e1.filter(pc.equal(e1["op"], "I"))["conv_id"].to_pylist())
+    base_ids = set(b1["conv_id"].to_pylist())
+    assert ins_ids.isdisjoint(base_ids)          # inserts are NEW convs
+    assert (ops == "D").sum() >= b1.num_rows * 0.06 * 0.9
+    d_mask = pc.equal(e1["op"], "D")
+    assert pc.all(pc.is_null(e1.filter(d_mask)["priority"])).as_py()
+    # non-delete rows always carry a priority
+    nd = e1.filter(pc.invert(d_mask))
+    assert pc.all(pc.is_valid(nd["priority"])).as_py()
