@@ -16,8 +16,8 @@ TABLES = (
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_all_oracle_sql_binds():
-    os.environ["TCR_ORACLE_SF_DIR"] = SF_DIR
+def test_all_oracle_sql_binds(monkeypatch):
+    monkeypatch.setenv("TCR_ORACLE_SF_DIR", SF_DIR)
     import __ray_entry__ as mod
 
     sqls = mod.oracle_sql()
